@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship smoke query at sf0.001.
+``queries()`` — every implemented operator from SURVEY.md §2 plus the
+beyond-reference LLM-data-pipeline operators, as (spark, sf_dir) →
+DataFrame callables.
+``oracle_sql()`` — the equivalent DuckDB SQL per query (omitted only
+for genuinely non-SQL-expressible ops: ML models, engine-specific
+hashing, filesystem scans).
+
+Implementations live in ``mgl870_tp02_project_01_hadoopmapreducelogs_spark.queries``;
+this module is a thin registry view.
 """
 
 from __future__ import annotations
@@ -13,26 +18,21 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from mgl870_tp02_project_01_hadoopmapreducelogs_spark.queries import REGISTRY
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the reference's core deliverable — the template catalog
+    (event matrix summary, process_logs_v10.py:126-162) mined from log
+    lines synthesized over /root/testdata/sf0.001."""
+    return REGISTRY["t1a_mine_templates"].run(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: spec.run for name, spec in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
+    }

@@ -1,0 +1,79 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {"<name>": sec, ...}, "sf": <sf>}
+
+Each query is forced end-to-end with the noop sink (full plan executes,
+no driver-side result transfer skewing the numbers). One untimed warm-up
+query absorbs JVM/codegen startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+#: headline set: the flagship mining pipeline + the heavy relational,
+#: dedup, and similarity operators — the queries whose plans matter at scale.
+HEADLINE = [
+    "t1a_mine_templates",
+    "t2_match_lines",
+    "f5_mask_dynamic_tokens",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_region_volume",
+    "a7_occurrence_pivot",
+    "w1_a4_a5_windowed_features",
+    "time_tumbling_hourly",
+    "text_quality_score",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "sim_cosine_topk",
+    "sim_knn_join",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from mgl870_tp02_project_01_hadoopmapreducelogs_spark.queries import REGISTRY
+    from mgl870_tp02_project_01_hadoopmapreducelogs_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+
+    def run(name: str) -> float:
+        df = REGISTRY[name].run(spark, sf_dir)
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    run(HEADLINE[0])  # warm-up (JVM, codegen, file listing)
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        times[name] = round(run(name), 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

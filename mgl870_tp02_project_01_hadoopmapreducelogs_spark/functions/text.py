@@ -27,7 +27,7 @@ WORDISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 def bpe_ish_token_count(col: Column) -> Column:
     """BPE-ish token estimate: count word/number/punct units (a regex
     approximation of byte-pair pre-tokenization)."""
-    return F.regexp_count(col, WORDISH)
+    return F.regexp_count(col, F.lit(WORDISH))
 
 
 # --- quality scoring ---------------------------------------------------------
@@ -47,14 +47,14 @@ def punct_ratio(col: Column) -> Column:
     """Punctuation chars / total chars (0 for empty strings)."""
     n = F.length(col)
     return F.when(n == 0, F.lit(0.0)).otherwise(
-        F.regexp_count(col, r"[^\w\s]") / n.cast("double")
+        F.regexp_count(col, F.lit(r"[^\w\s]")) / n.cast("double")
     )
 
 
 def stopword_hits(col: Column, lang: str = "en") -> Column:
     """Count of stopword occurrences (word-bounded, case-insensitive)."""
     words = "|".join(STOPWORDS[lang])
-    return F.regexp_count(F.lower(col), rf"\b({words})\b")
+    return F.regexp_count(F.lower(col), F.lit(rf"\b({words})\b"))
 
 
 def stopword_ratio(col: Column, lang: str = "en") -> Column:

@@ -21,7 +21,7 @@ def numeric_totals(df: DataFrame, cols: list[str]) -> DataFrame:
     ``try_cast`` yields NULL for non-numeric values exactly like coerce.
     """
     return df.select(
-        *[F.sum(F.try_cast(F.col(c), "double")).alias(c) for c in cols]
+        *[F.sum(F.col(c).try_cast("double")).alias(c) for c in cols]
     )
 
 

@@ -1,0 +1,290 @@
+"""Log-pipeline operators (SURVEY §2.1-§2.4) exercised against the
+driver's synthetic tables.
+
+The reference's surface is log-shaped; the correctness oracle runs on
+parquet tables. Bridge: deterministically *synthesize* a log line per
+``events`` row (constant timestamp prefix + level from event_type +
+thread + message whose dynamic tokens come from user_id/value), then
+run the real preprocessing/masking/mining operators on it. The oracle
+SQL reconstructs the identical strings, so every regex/grouping
+semantic is checked value-for-value.
+
+Numeric tokens are integer-ized (``floor(value*1000)``) so string
+renderings agree across engines; double aggregates elsewhere are
+rounded explicitly in BOTH engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import preprocess as P
+from ..operators import mining
+from . import load, register
+
+# --- shared line synthesis (Spark + SQL kept textually adjacent) -----------
+
+
+def _message(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        "message",
+        F.concat(
+            F.col("event_type"),
+            F.lit(" user="),
+            F.col("user_id").cast("string"),
+            F.lit(" v="),
+            F.floor(F.col("value") * 1000).cast("string"),
+        ),
+    )
+
+
+MESSAGE_SQL = (
+    "event_type || ' user=' || CAST(user_id AS VARCHAR)"
+    " || ' v=' || CAST(CAST(FLOOR(value*1000) AS BIGINT) AS VARCHAR)"
+)
+
+
+def _line(df: DataFrame) -> DataFrame:
+    level = F.when(F.col("event_type") == "error", "ERROR").otherwise("INFO")
+    return _message(df).withColumn(
+        "line",
+        F.concat(
+            F.lit("2024-01-01 00:00:00,000 "),
+            level,
+            F.lit(" [w"),
+            (F.col("user_id") % 8).cast("string"),
+            F.lit("] com.example.app.Handler: "),
+            F.col("message"),
+        ),
+    )
+
+
+LINE_SQL = (
+    "'2024-01-01 00:00:00,000 ' || "
+    "(CASE WHEN event_type = 'error' THEN 'ERROR' ELSE 'INFO' END) || "
+    "' [w' || CAST(user_id % 8 AS VARCHAR) || '] com.example.app.Handler: ' || "
+    + MESSAGE_SQL
+)
+
+
+def _mask_sql(expr: str) -> str:
+    """The F5 masking chain as DuckDB SQL, generated from the SAME rule
+    list the Spark expression uses — one source of truth."""
+    out = expr
+    for _name, pat in P.MASK_RULES:
+        out = f"regexp_replace({out}, '{pat}', '<*>', 'g')"
+    return out
+
+
+MASKED_LINES_SQL = f"""
+    SELECT event_id, {_mask_sql(MESSAGE_SQL)} AS masked
+    FROM events
+"""
+
+TEMPLATES_SQL = f"""
+    SELECT ROW_NUMBER() OVER (ORDER BY template) AS cluster_id,
+           size, template
+    FROM (
+        SELECT masked AS template, count(*) AS size
+        FROM ({MASKED_LINES_SQL})
+        GROUP BY masked
+    )
+"""
+
+
+def _masked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return _message(ev).select(
+        "event_id", P.mask(F.col("message")).alias("masked")
+    )
+
+
+# --- F1-F4 ------------------------------------------------------------------
+
+
+@register(
+    "f1_f4_preprocess_strip",
+    f"""
+    SELECT event_id,
+           trim(regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace({LINE_SQL},
+                   '^\\d{{4}}-\\d{{2}}-\\d{{2}} \\d{{2}}:\\d{{2}}:\\d{{2}},\\d{{3}}', ''),
+                 '\\b(INFO|ERROR|WARN|DEBUG|TRACE|FATAL)\\b', '', 'g'),
+               '\\[\\w+\\]', '', 'g'),
+             '\\s+', ' ', 'g')) AS clean
+    FROM events
+    """,
+    doc="F1-F4: timestamp/level/thread strip + whitespace normalize "
+    "(process_logs_v10.py:48-57) on synthesized log lines.",
+)
+def f1_f4_preprocess_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _line(load(spark, sf_dir, "events"))
+    return df.select("event_id", P.preprocess(F.col("line")).alias("clean"))
+
+
+# --- F5 ---------------------------------------------------------------------
+
+
+@register(
+    "f5_mask_dynamic_tokens",
+    MASKED_LINES_SQL,
+    doc="F5: config-driven <*> masking chain (process_logs_v10.py:24-37).",
+)
+def f5_mask_dynamic_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _masked(spark, sf_dir)
+
+
+# --- F6 ---------------------------------------------------------------------
+
+
+@register(
+    "f6_event_labels",
+    """
+    SELECT DISTINCT 'Event_' || CAST(user_id % 100 AS VARCHAR) AS label,
+           user_id % 100 AS event_id_back
+    FROM events
+    """,
+    doc="F6: Event_<id> label formatting + parse-back (process_logs.py:83).",
+)
+def f6_event_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    lab = P.event_label(F.col("user_id") % 100)
+    return ev.select(
+        lab.alias("label"),
+        P.event_id_from_label(lab).alias("event_id_back"),
+    ).distinct()
+
+
+# --- T1(a) ------------------------------------------------------------------
+
+
+@register(
+    "t1a_mine_templates",
+    TEMPLATES_SQL,
+    doc="T1(a): order-independent template mining — masked dedup + dense "
+    "catalog ranking (replaces Drain3 add_log_message, "
+    "process_logs_v10.py:59-81).",
+)
+def t1a_mine_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parsed = _masked(spark, sf_dir)
+    return mining.mine_exact(parsed).select("cluster_id", "size", "template")
+
+
+# --- T2 ---------------------------------------------------------------------
+
+
+@register(
+    "t2_match_lines",
+    f"""
+    SELECT l.event_id, t.cluster_id
+    FROM ({MASKED_LINES_SQL}) l
+    JOIN ({TEMPLATES_SQL}) t ON l.masked = t.template
+    """,
+    doc="T2: inference — map lines to an existing catalog via broadcast "
+    "hash join (template_miner.match, process_logs.py:71).",
+)
+def t2_match_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parsed = _masked(spark, sf_dir)
+    catalog = mining.mine_exact(parsed)
+    return mining.match_lines(parsed, catalog).select("event_id", "cluster_id")
+
+
+# --- T3 ---------------------------------------------------------------------
+
+
+@register(
+    "t3_new_template_feed",
+    f"""
+    WITH old_cat AS (
+        SELECT DISTINCT {_mask_sql(MESSAGE_SQL)} AS template
+        FROM events WHERE event_type IN ('click', 'view')
+    ),
+    new_cat AS (
+        SELECT masked AS template, count(*) AS size
+        FROM ({MASKED_LINES_SQL}) GROUP BY masked
+    )
+    SELECT n.template, n.size
+    FROM new_cat n LEFT JOIN old_cat o ON n.template = o.template
+    WHERE o.template IS NULL
+    """,
+    doc="T3: new-template change feed — anti-join of the current catalog "
+    "against the previous run's (process_logs_v10.py:67-78).",
+)
+def t3_new_template_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    old_lines = _message(ev.filter(F.col("event_type").isin("click", "view"))).select(
+        "event_id", P.mask(F.col("message")).alias("masked")
+    )
+    old = mining.mine_exact(old_lines)
+    new = mining.mine_exact(_masked(spark, sf_dir))
+    return mining.new_templates(old, new).select("template", "size")
+
+
+# --- T4 ---------------------------------------------------------------------
+
+
+@register(
+    "t4_cluster_census",
+    f"SELECT count(*) AS n_clusters FROM ({TEMPLATES_SQL})",
+    doc="T4: cluster census (process_logs_v10.py:81).",
+)
+def t4_cluster_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parsed = _masked(spark, sf_dir)
+    return mining.mine_exact(parsed).agg(F.count(F.lit(1)).alias("n_clusters"))
+
+
+# --- S1/S2: file-backed ingestion (rows-only: oracle has no filesystem) -----
+
+
+@register(
+    "s1_recursive_log_scan",
+    None,
+    doc="S1/S2/P1: recursive container_*.log directory scan with listing-"
+    "time glob pruning + stable line ids (process_logs_v10.py:86-111). "
+    "Rows-only: the oracle cannot read a directory tree; invariants "
+    "(file count, line density) are pytest-covered.",
+)
+def s1_recursive_log_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..sources import logs
+
+    root = os.path.join(tempfile.gettempdir(), "sg_s1_corpus")
+    app = os.path.join(root, "application_0001")
+    os.makedirs(app, exist_ok=True)
+    with open(os.path.join(app, "container_0001_01_000001.log"), "w") as f:
+        for i in range(100):
+            f.write(f"2024-01-01 00:00:{i % 60:02d},000 INFO [main] a.b.C: msg {i % 7}\n")
+    with open(os.path.join(app, "decoy.txt"), "w") as f:
+        f.write("must not be read\n")
+    raw = logs.read_log_dir(spark, root)
+    parsed = logs.parse_lines(raw)
+    return (
+        parsed.groupBy("masked")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("masked")
+    )
+
+
+# --- W2: per-key sequential numbering ---------------------------------------
+
+
+@register(
+    "w2_row_numbering",
+    """
+    SELECT event_id,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events
+    """,
+    doc="W2: stable sequential row numbering per key — the distributed "
+    "replacement for the reference's implicit RangeIndex "
+    "(process_logs.py:80-82).",
+)
+def w2_row_numbering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select("event_id", F.row_number().over(w).alias("rn"))

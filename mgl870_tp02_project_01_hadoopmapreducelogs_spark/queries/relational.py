@@ -1,0 +1,654 @@
+"""Relational operators (SURVEY §2.2, §2.5-§2.8) on the synthetic
+star schema — projections/filters, aggregations, sorts/top-k, joins,
+window buckets, plus TPC-H-shaped headline queries.
+
+Float discipline for oracle hash-matching: SUMs of doubles are either
+integer-ized (``floor(x*100)`` sums, exact in both engines) or rounded
+to 2 decimals in BOTH engines; correlations rounded to 4.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import load, register
+
+# --- P2/P3: projection & drop -----------------------------------------------
+
+
+@register(
+    "p2_p3_projection_drop",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem WHERE l_linenumber <= 3
+    """,
+    doc="P2+P3: column projection/drop pushed into the parquet scan "
+    "(ReadSchema pruning; reference does pandas drop, "
+    "process_logs_v9.py:256,263).",
+)
+def p2_p3_projection_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    wide = li.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_tax"
+    )
+    return wide.drop("l_tax").filter(F.col("l_linenumber") <= 3)
+
+
+# --- P4: filter on aggregate (HAVING) ----------------------------------------
+
+
+@register(
+    "p4_failure_event_filter",
+    """
+    SELECT event_type, count(*) AS total
+    FROM events WHERE event_type = 'error'
+    GROUP BY event_type HAVING count(*) > 0
+    """,
+    doc="P4: events with ≥1 occurrence — 'failure events' "
+    "(process_logs_v10.py:168-172; stat_calculation.py:2-3).",
+)
+def p4_failure_event_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("total"))
+        .filter(F.col("total") > 0)
+    )
+
+
+# --- P5: row selection by key predicate --------------------------------------
+
+
+@register(
+    "p5_row_selection_by_key",
+    """
+    SELECT event_id, user_id, value FROM events
+    WHERE event_type = 'purchase' AND user_id % 10 != 3
+    """,
+    doc="P5: equality/inequality key predicates "
+    "(process_logs_v10.py:249-250; v9:255-256).",
+)
+def p5_row_selection_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("user_id") % 10 != 3)
+    ).select("event_id", "user_id", "value")
+
+
+# --- A1/A2: totals ------------------------------------------------------------
+
+
+@register(
+    "a1_a2_event_totals",
+    """
+    SELECT event_type, count(*) AS n,
+           SUM(CAST(FLOOR(value*100) AS BIGINT)) AS total_cents
+    FROM events GROUP BY event_type
+    """,
+    doc="A1+A2: per-event frequency and column-wise totals "
+    "(process_logs_v10.py:152,168) — hash aggregate with map-side "
+    "partials; integer-exact sum.",
+)
+def a1_a2_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("value") * 100)).alias("total_cents"),
+    )
+
+
+# --- A3: null-on-error numeric coercion ---------------------------------------
+
+
+@register(
+    "a3_try_cast_coercion",
+    """
+    SELECT SUM(TRY_CAST(s AS BIGINT)) AS total,
+           count(*) - count(TRY_CAST(s AS BIGINT)) AS n_bad
+    FROM (
+        SELECT CASE WHEN event_id % 3 = 0 THEN props
+               ELSE CAST(user_id AS VARCHAR) END AS s
+        FROM events
+    )
+    """,
+    doc="A3: pd.to_numeric(errors='coerce') ≡ try_cast → NULL on "
+    "non-numeric (process_logs_v10.py:169).",
+)
+def a3_try_cast_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    s = F.when(F.col("event_id") % 3 == 0, F.col("props")).otherwise(
+        F.col("user_id").cast("string")
+    )
+    cast = s.try_cast("bigint")
+    return ev.select(cast.alias("c")).agg(
+        F.sum("c").alias("total"),
+        (F.count(F.lit(1)) - F.count("c")).alias("n_bad"),
+    )
+
+
+# --- A4/A5 + W1: windowed feature aggregation ---------------------------------
+
+
+@register(
+    "w1_a4_a5_windowed_features",
+    """
+    SELECT window_id,
+           SUM(CAST(FLOOR(value*1000) AS BIGINT)) AS sum_value,
+           MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS label
+    FROM (
+        SELECT value, event_type,
+               CAST(FLOOR((ROW_NUMBER() OVER (ORDER BY event_id) - 1) / 5) AS BIGINT)
+                 AS window_id
+        FROM events
+    )
+    GROUP BY window_id
+    """,
+    doc="W1+A4+A5: tumbling row-bucket windows (arange(len)//5), per-"
+    "window feature SUM and label MAX "
+    "(process_logs_v10.py:262-265).",
+)
+def w1_a4_a5_windowed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.orderBy("event_id")
+    bucketed = ev.select(
+        F.floor((F.row_number().over(w) - 1) / 5).cast("long").alias("window_id"),
+        F.floor(F.col("value") * 1000).alias("v"),
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("is_err"),
+    )
+    return bucketed.groupBy("window_id").agg(
+        F.sum("v").alias("sum_value"), F.max("is_err").alias("label")
+    )
+
+
+# --- A6: class histogram -------------------------------------------------------
+
+
+@register(
+    "a6_class_histogram",
+    """
+    SELECT CASE WHEN value > 49.63 THEN 1 ELSE 0 END AS label, count(*) AS n
+    FROM events GROUP BY 1
+    """,
+    doc="A6: np.bincount(y) class balance (process_logs_v10.py:334-335).",
+)
+def a6_class_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select(F.when(F.col("value") > 49.63, 1).otherwise(0).alias("label"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --- A7: pivot / one-hot occurrence matrix -------------------------------------
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "a7_occurrence_pivot",
+    """
+    SELECT user_id,
+           SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS click,
+           SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS error,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+           SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS signup,
+           SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS view
+    FROM events GROUP BY user_id
+    """,
+    doc="A7/D6: line×event one-hot matrix via pivot at the edge "
+    "(process_logs.py:68-83); long/sparse form is the primary "
+    "representation at scale.",
+)
+def a7_occurrence_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", values=EVENT_TYPES)
+        .count()
+        .na.fill(0)
+    )
+    for t in EVENT_TYPES:
+        out = out.withColumn(t, F.col(t).cast("long"))
+    return out
+
+
+# --- A8: distinct + sort --------------------------------------------------------
+
+
+@register(
+    "a8_distinct_sort",
+    "SELECT DISTINCT event_type FROM events ORDER BY event_type",
+    doc="A8: dictionary build — distinct ids sorted (process_logs.py:75-76).",
+)
+def a8_distinct_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "events").select("event_type").distinct().orderBy(
+        "event_type"
+    )
+
+
+# --- A9: Pearson correlation -----------------------------------------------------
+
+
+@register(
+    "a9_pearson_correlation",
+    """
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           ROUND(corr(l_discount, l_tax), 4) AS corr_disc_tax
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="A9: Pearson correlation matrix entries (X.corr().abs(), "
+    "process_logs_v10.py:254) as grouped corr aggregates.",
+)
+def a9_pearson_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.corr("l_discount", "l_tax"), 4).alias("corr_disc_tax"),
+    )
+
+
+# --- A10: correlation-threshold pruning -------------------------------------------
+
+
+@register(
+    "a10_correlation_pruning",
+    """
+    WITH feats AS (
+        SELECT l_quantity AS x1,
+               l_quantity * 2 + l_tax AS x2,
+               l_discount AS x3
+        FROM lineitem
+    ), c AS (
+        SELECT corr(x1, x2) AS c12, corr(x1, x3) AS c13, corr(x2, x3) AS c23
+        FROM feats
+    )
+    SELECT 'x2' AS dropped FROM c WHERE abs(c12) > 0.7
+    UNION ALL
+    SELECT 'x3' FROM c WHERE abs(c13) > 0.7 OR abs(c23) > 0.7
+    """,
+    doc="A10/M9: drop features |corr|>threshold with an earlier column "
+    "(np.triu scan, process_logs_v10.py:253-257). x2 is constructed "
+    "collinear with x1 so exactly x2 drops.",
+)
+def a10_correlation_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import stats
+
+    li = load(spark, sf_dir, "lineitem")
+    feats = li.select(
+        F.col("l_quantity").alias("x1"),
+        (F.col("l_quantity") * 2 + F.col("l_tax")).alias("x2"),
+        F.col("l_discount").alias("x3"),
+    )
+    dropped = stats.correlated_columns(feats, ["x1", "x2", "x3"], threshold=0.7)
+    return spark.createDataFrame([(c,) for c in dropped], "dropped string")
+
+
+# --- A11: descriptive stats --------------------------------------------------------
+
+
+@register(
+    "a11_describe",
+    """
+    SELECT count(l_quantity) AS n,
+           ROUND(avg(l_quantity), 4) AS mean_qty,
+           ROUND(min(l_quantity), 4) AS min_qty,
+           ROUND(max(l_quantity), 4) AS max_qty
+    FROM lineitem
+    """,
+    doc="A11: df.describe()/info() summary (process_logs_v10.py:229-231).",
+)
+def a11_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("l_quantity").alias("n"),
+        F.round(F.avg("l_quantity"), 4).alias("mean_qty"),
+        F.round(F.min("l_quantity"), 4).alias("min_qty"),
+        F.round(F.max("l_quantity"), 4).alias("max_qty"),
+    )
+
+
+# --- K1/K2: top-k by magnitude -------------------------------------------------------
+
+
+@register(
+    "k1_k2_topk_by_magnitude",
+    """
+    SELECT s_suppkey, s_name, ROUND(s_acctbal, 2) AS acctbal
+    FROM supplier
+    ORDER BY abs(s_acctbal) DESC, s_suppkey LIMIT 10
+    """,
+    doc="K1+K2: abs-descending sort + top-k → TakeOrderedAndProject "
+    "(nlargest(10), process_logs_v10.py:306-307,393-394).",
+)
+def k1_k2_topk_by_magnitude(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load(spark, sf_dir, "supplier")
+    return (
+        s.orderBy(F.abs(F.col("s_acctbal")).desc(), F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", F.round("s_acctbal", 2).alias("acctbal"))
+        .limit(10)
+    )
+
+
+# --- K3/K4: ascending sort + bounded preview ------------------------------------------
+
+
+@register(
+    "k3_k4_sorted_preview",
+    """
+    SELECT l_orderkey, l_linenumber, l_returnflag
+    FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 5
+    """,
+    doc="K3+K4: ascending key sort + head() preview (process_logs.py:75; "
+    "process_logs_v10.py:230).",
+)
+def k3_k4_sorted_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy("l_orderkey", "l_linenumber")
+        .select("l_orderkey", "l_linenumber", "l_returnflag")
+        .limit(5)
+    )
+
+
+# --- Joins (§2.7) -----------------------------------------------------------------------
+
+
+@register(
+    "join_broadcast_dims",
+    """
+    SELECT r.r_name AS region, count(*) AS n_customers,
+           SUM(CAST(FLOOR(c.c_acctbal*100) AS BIGINT)) AS total_bal_cents
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    doc="§2.7: dict-lookup ≡ broadcast hash join of facts against small "
+    "dims (event_to_index, process_logs.py:76-82); explicit "
+    "broadcast() hints keep the join shuffle-free at any fact size.",
+)
+def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.floor(F.col("c_acctbal") * 100)).alias("total_bal_cents"),
+        )
+    )
+
+
+@register(
+    "join_window_alignment",
+    """
+    WITH b AS (
+        SELECT value, event_type,
+               CAST(FLOOR((ROW_NUMBER() OVER (ORDER BY event_id) - 1) / 5) AS BIGINT)
+                 AS window_id
+        FROM events
+    ),
+    x AS (
+        SELECT window_id, SUM(CAST(FLOOR(value*1000) AS BIGINT)) AS sum_value
+        FROM b GROUP BY window_id
+    ),
+    y AS (
+        SELECT window_id,
+               MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS label
+        FROM b GROUP BY window_id
+    )
+    SELECT x.window_id, x.sum_value, y.label
+    FROM x JOIN y ON x.window_id = y.window_id
+    """,
+    doc="§2.7: explicit inner equi-join on window_id replacing pandas "
+    "implicit index alignment of X and y "
+    "(process_logs_v10.py:264-265).",
+)
+def join_window_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.orderBy("event_id")
+    b = ev.select(
+        F.floor((F.row_number().over(w) - 1) / 5).cast("long").alias("window_id"),
+        F.floor(F.col("value") * 1000).alias("v"),
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("is_err"),
+    )
+    x = b.groupBy("window_id").agg(F.sum("v").alias("sum_value"))
+    y = b.groupBy("window_id").agg(F.max("is_err").alias("label"))
+    return x.join(y, "window_id", "inner").select("window_id", "sum_value", "label")
+
+
+@register(
+    "join_left_semi",
+    """
+    SELECT p_partkey, p_name FROM part p
+    WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey
+                  AND l.l_quantity > 45)
+    """,
+    doc="Left-semi join (EXISTS) — engine surface beyond the reference's "
+    "implicit lookups.",
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return p.join(li, p.p_partkey == li.l_partkey, "left_semi").select(
+        "p_partkey", "p_name"
+    )
+
+
+@register(
+    "join_left_anti",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate < TIMESTAMP '1995-07-01 00:00:00')
+    """,
+    doc="Left-anti join (NOT EXISTS) — customers with no early-1995 orders.",
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-07-01").cast("timestamp")
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# --- set ops ------------------------------------------------------------------------------
+
+
+@register(
+    "setop_union_distinct",
+    """
+    SELECT k FROM (
+        SELECT DISTINCT l_suppkey AS k FROM lineitem WHERE l_quantity > 49
+        UNION
+        SELECT DISTINCT s_suppkey AS k FROM supplier WHERE s_acctbal < 0
+    )
+    """,
+    doc="Set ops: UNION DISTINCT of key sets.",
+)
+def setop_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 49)
+        .select(F.col("l_suppkey").alias("k"))
+    )
+    b = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("k"))
+    )
+    return a.union(b).distinct()
+
+
+# --- time windows ----------------------------------------------------------------------------
+
+
+@register(
+    "time_tumbling_hourly",
+    """
+    SELECT date_trunc('hour', ts) AS hour_start,
+           count(*) AS n,
+           SUM(CAST(FLOOR(value*1000) AS BIGINT)) AS sum_value
+    FROM events GROUP BY 1
+    """,
+    doc="Time-based tumbling windows over the parsed timestamp — the "
+    "scale-correct replacement for W1 row buckets (SURVEY §2.8).",
+)
+def time_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(F.date_trunc("hour", "ts").alias("hour_start")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("value") * 1000)).alias("sum_value"),
+    )
+
+
+# --- TPC-H-shaped headline queries ------------------------------------------------------------
+
+
+@register(
+    "tpch_q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1-shaped pricing summary: the canonical scan→filter→"
+    "hash-agg plan (map-side partials, no join).",
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+    doc="TPC-H Q3-shaped shipping priority: selective dim filter → "
+    "fact joins → agg → top-k.",
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q5_region_volume",
+    """
+    SELECT n.n_name AS nation,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+    doc="TPC-H Q5-shaped local-supplier volume: multi-way fact/dim joins "
+    "with a same-nation join predicate.",
+)
+def tpch_q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+# --- grouped top-k (beyond-reference distributed idiom) -----------------------------------------
+
+
+@register(
+    "topk_per_group",
+    """
+    SELECT user_id, event_id, rnk FROM (
+        SELECT user_id, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY value DESC, event_id) AS rnk
+        FROM events
+    ) WHERE rnk <= 3
+    """,
+    doc="Top-k per group via ranking window — one shuffle on the group "
+    "key; the scalable form of the reference's nlargest.",
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), "event_id")
+    return (
+        ev.select("user_id", "event_id", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 3)
+    )

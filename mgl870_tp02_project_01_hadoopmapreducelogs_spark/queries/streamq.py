@@ -1,0 +1,132 @@
+"""Structured Streaming surface (SURVEY §2.9) + multimodal queries.
+
+Streaming queries run the parquet table through ``readStream`` with a
+watermark and land in a memory sink, driven to completion with
+``processAllAvailable`` — so the *streaming* result is comparable to a
+batch oracle: the checks prove the streaming plan computes the same
+answer as the SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import multimodal
+from . import load, register
+
+_SINK_N = 0
+
+
+def _run_stream(stream_df, query_name: str) -> DataFrame:
+    global _SINK_N
+    _SINK_N += 1
+    name = f"{query_name}_{_SINK_N}"
+    q = (
+        stream_df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    spark = stream_df.sparkSession
+    return spark.table(name)
+
+
+@register(
+    "streaming_hourly_counts",
+    """
+    SELECT date_trunc('hour', ts) AS hour_start,
+           count(*) AS n,
+           SUM(CAST(FLOOR(value*1000) AS BIGINT)) AS sum_value
+    FROM events GROUP BY 1
+    """,
+    doc="Structured Streaming: readStream → watermark(ts) → tumbling "
+    "1-hour window agg → memory sink, driven to completion; the batch "
+    "SQL oracle proves stream/batch parity (epoch-aligned windows ≡ "
+    "date_trunc).",
+)
+def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import load_events_stream
+
+    stream = (
+        load_events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 1000)).alias("sum_value"),
+        )
+    )
+    out = _run_stream(stream, "hourly_counts")
+    return out.select(F.col("w.start").alias("hour_start"), "n", "sum_value")
+
+
+@register(
+    "streaming_template_mining",
+    """
+    SELECT regexp_replace(
+             event_type || ' user=' || CAST(user_id AS VARCHAR),
+             '\\b\\d+\\b', '<*>', 'g') AS template,
+           count(*) AS size
+    FROM events GROUP BY 1
+    """,
+    doc="T1 streaming variant: online template mining as a stateless "
+    "streaming aggregation over masked messages (SURVEY §2.9) — "
+    "batch-SQL oracle proves parity.",
+)
+def streaming_template_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import load_events_stream
+
+    msg = F.concat(
+        F.col("event_type"), F.lit(" user="), F.col("user_id").cast("string")
+    )
+    stream = (
+        load_events_stream(spark, sf_dir)
+        .select(F.regexp_replace(msg, r"\b\d+\b", "<*>").alias("template"))
+        .groupBy("template")
+        .agg(F.count(F.lit(1)).alias("size"))
+    )
+    return _run_stream(stream, "template_mining")
+
+
+# --- multimodal ---------------------------------------------------------------
+
+
+@register(
+    "multimodal_byte_stats",
+    """
+    SELECT doc_id, octet_length(encode(text)) AS n_bytes
+    FROM documents
+    """,
+    doc="Multimodal columns: opaque binary payloads with typed "
+    "metadata — byte-length stats of the payload column.",
+)
+def multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    with_bin = multimodal.attach_binary(docs, "text")
+    return with_bin.select("doc_id", "n_bytes")
+
+
+@register(
+    "multimodal_feature_extract",
+    None,
+    doc="Multimodal feature extraction: Arrow-batched mapInPandas over "
+    "binary payloads (decode step stubbed behind NotImplementedError; "
+    "deterministic fake featurizer exercises the full distributed "
+    "plumbing — schema, batching, partitioning).",
+)
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    with_bin = multimodal.attach_binary(docs, "text")
+    feats = multimodal.extract_features(with_bin, id_col="doc_id")
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        F.round(F.aggregate("features", F.lit(0.0), lambda a, v: a + v), 3).alias(
+            "feature_sum"
+        ),
+    )

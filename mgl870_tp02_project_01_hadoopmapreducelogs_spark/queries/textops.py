@@ -1,0 +1,335 @@
+"""Text-analysis + deduplication operators (beyond-reference surface)
+on the ``documents`` table — the LLM-training-data-pipeline layer.
+
+Everything except the hash functions is expressible in both engines;
+hashing uses md5 (bit-identical in Spark and DuckDB), which makes even
+MinHash-LSH candidate generation oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from . import load, register
+
+# --- token counting -----------------------------------------------------------
+
+
+@register(
+    "text_token_count",
+    r"""
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+             AS n_bpeish
+    FROM documents
+    """,
+    doc="Token counting: whitespace tokens + BPE-ish unit count (regex "
+    "pre-tokenization approximation). Map-only pass.",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("n_tokens"),
+        TX.bpe_ish_token_count(F.col("text")).alias("n_bpeish"),
+    )
+
+
+# --- quality scoring ------------------------------------------------------------
+
+
+@register(
+    "text_quality_score",
+    r"""
+    SELECT doc_id,
+        ROUND(CASE WHEN length(text) = 0 THEN 0.0
+              ELSE len(regexp_extract_all(text, '[^\w\s]'))
+                   / CAST(length(text) AS DOUBLE) END, 4) AS punct_ratio,
+        ROUND(CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) = 0 THEN 0.0
+              ELSE len(regexp_extract_all(lower(text),
+                       '\b(the|a|of|and|to|in|is|that|for|it)\b'))
+                   / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)
+              END, 4) AS stopword_ratio
+    FROM documents
+    """,
+    doc="Quality scoring: punctuation + stopword ratios (C4/Gopher-style "
+    "cheap corpus filters) as one codegen'd projection.",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(TX.punct_ratio(F.col("text")), 4).alias("punct_ratio"),
+        F.round(TX.stopword_ratio(F.col("text"), "en"), 4).alias("stopword_ratio"),
+    )
+
+
+# --- language identification ------------------------------------------------------
+
+
+def _langid_oracle() -> str:
+    hits = {
+        lang: (
+            f"len(regexp_extract_all(lower(text), "
+            f"'\\b({'|'.join(words)})\\b'))"
+        )
+        for lang, words in TX.STOPWORDS.items()
+    }
+    m = f"greatest({', '.join(hits.values())})"
+    cases = "\n".join(
+        f"WHEN {m} > 0 AND {hits[lang]} = {m} THEN '{lang}'"
+        for lang in sorted(TX.STOPWORDS)
+    )
+    return f"""
+    SELECT doc_id, lang,
+           CASE {cases} ELSE 'en' END AS detected
+    FROM documents
+    """
+
+
+@register(
+    "text_detect_language",
+    _langid_oracle(),
+    doc="Language ID: stopword-vote argmax (n-gram heuristic), ties "
+    "broken by language code — generated from the same word lists as "
+    "the Spark expression.",
+)
+def text_detect_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", TX.detect_language(F.col("text")).alias("detected")
+    )
+
+
+# --- fingerprinting + exact dedup ---------------------------------------------------
+
+NORM_SQL = r"trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', '', 'g'), '\s+', ' ', 'g'))"
+
+
+@register(
+    "text_fingerprint",
+    f"SELECT doc_id, md5({NORM_SQL}) AS fp FROM documents",
+    doc="Document fingerprint: md5 of normalized text (content address).",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
+
+
+@register(
+    "dedup_exact",
+    f"""
+    SELECT fp, min(doc_id) AS keeper, count(*) AS n_copies
+    FROM (SELECT doc_id, md5({NORM_SQL}) AS fp FROM documents)
+    GROUP BY fp
+    """,
+    doc="Exact deduplication: hash-groupBy on the content fingerprint, "
+    "keep min doc_id. One shuffle keyed by fingerprint; at 100 TB the "
+    "fingerprint is computed in the scan projection and the shuffle "
+    "carries (fp, doc_id) only.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# --- n-gram Jaccard near-dup ----------------------------------------------------------
+
+SHINGLES_SQL = r"""
+    SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+                 AS shingle
+        FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\s+')) AS tok,
+                   unnest(generate_series(1,
+                       len(regexp_split_to_array(trim(text), '\s+')))) AS pos
+            FROM documents
+        )
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ) WHERE shingle IS NOT NULL
+"""
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct 3-word shingles per document, built with split + slice
+    transforms (no UDF). Mirrors SHINGLES_SQL exactly: raw whitespace
+    split, no normalization, docs shorter than 3 tokens drop out."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), n - 2)  # 1-based start positions of 3-shingles
+    return (
+        docs.filter(n >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 3)))
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH sh AS ({SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(shared / CAST(na.n + nb.n - shared AS DOUBLE), 4) AS jaccard
+    FROM pairs
+    JOIN sizes na ON pairs.doc_a = na.doc_id
+    JOIN sizes nb ON pairs.doc_b = nb.doc_id
+    WHERE shared / CAST(na.n + nb.n - shared AS DOUBLE) >= 0.5
+    """,
+    doc="N-gram Jaccard near-dup detection: 3-word shingles, candidate "
+    "pairs via shingle equi-join (inverted index), Jaccard ≥ 0.5. The "
+    "shingle join IS the scalable candidate generator — no O(n²) "
+    "cross join; hot shingles can be df-filtered or salted at scale.",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")).cast("double")
+    return (
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+# --- MinHash + LSH near-dup (the scale path) ---------------------------------------------
+
+N_HASHES = 8
+BAND_SIZE = 4  # 2 bands of 4 → catches jaccard ≳ 0.7 pairs w.h.p.
+
+
+def _minhash_sig_sql() -> str:
+    sigs = ", ".join(
+        f"min(md5(shingle || '#{j}')) AS s{j}" for j in range(N_HASHES)
+    )
+    return f"SELECT doc_id, {sigs} FROM ({SHINGLES_SQL}) GROUP BY doc_id"
+
+
+def _bands_sql() -> str:
+    bands = []
+    for b in range(N_HASHES // BAND_SIZE):
+        cols = " || ".join(f"s{b * BAND_SIZE + j}" for j in range(BAND_SIZE))
+        bands.append(
+            f"SELECT doc_id, {b} AS band_id, md5({cols}) AS band FROM sig"
+        )
+    return " UNION ALL ".join(bands)
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH sig AS ({_minhash_sig_sql()}),
+    bands AS ({_bands_sql()})
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band_id = b.band_id AND a.band = b.band
+                AND a.doc_id < b.doc_id
+    """,
+    doc="MinHash+LSH near-dup candidates: shingle→8 md5 minhashes→2 "
+    "bands of 4→bucket equi-join. The standard sub-quadratic dedup at "
+    "corpus scale; md5 keeps signatures bit-identical to the oracle.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir)
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{j}")))).alias(f"s{j}")
+            for j in range(N_HASHES)
+        ]
+    )
+    # one pass over sig: compute every band column, then unpivot with
+    # stack — avoids re-deriving the shingle pipeline per band (a union
+    # of selects would execute the upstream plan once per branch)
+    band_cols = [
+        F.md5(
+            F.concat(*[F.col(f"s{b * BAND_SIZE + j}") for j in range(BAND_SIZE)])
+        ).alias(f"band{b}")
+        for b in range(N_HASHES // BAND_SIZE)
+    ]
+    stack_args = ", ".join(f"{b}, band{b}" for b in range(N_HASHES // BAND_SIZE))
+    bands = sig.select("doc_id", *band_cols).selectExpr(
+        "doc_id",
+        f"stack({N_HASHES // BAND_SIZE}, {stack_args}) AS (band_id, band)",
+    )
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band_id", "band")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band_id", "band")
+    return (
+        a.join(b, ["band_id", "band"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+# --- SimHash (rows-only: 64-bit bit-vote hashing not portably SQL-expressible) -----------
+
+
+@register(
+    "dedup_simhash",
+    None,
+    doc="SimHash near-dup: 32-bit bit-vote fingerprint from md5(token) "
+    "bits, hamming-adjacent buckets. Rows-only check (bit arithmetic "
+    "diverges across engines); determinism is pytest-covered.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    )
+    # per-token 32-bit hash from md5 hex prefix
+    h = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+    bits = toks.select(
+        "doc_id",
+        *[
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+            .alias(f"b{i}")
+            for i in range(32)
+        ],
+    )
+    votes = bits.groupBy("doc_id").agg(
+        *[F.sum(f"b{i}").alias(f"b{i}") for i in range(32)]
+    )
+    sim = votes.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"b{i}") > 0, F.lit(2).cast("long") ** i).otherwise(0)
+                for i in range(32)
+            ]
+        ).alias("simhash"),
+    )
+    return sim.groupBy("simhash").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper")
+    )

@@ -1,0 +1,201 @@
+"""Similarity search over the ``embeddings`` table (beyond-reference).
+
+Embedding elements are integer-ized (``floor(x*1000)`` after a cast to
+double) before any arithmetic so dot products and norms are EXACT in
+both engines (64 dims × 1e6² products stay under 2^53) — the cosine is
+then a deterministic double in Spark and DuckDB alike.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import load, register
+
+INT_EMB_SQL = "list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000) AS BIGINT))"
+
+
+def _int_emb(col):
+    return F.transform(col, lambda x: F.floor(x.cast("double") * 1000))
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _cos(a, b):
+    na = F.sqrt(_dot(a, a))
+    nb = F.sqrt(_dot(b, b))
+    return F.when(na * nb == 0, F.lit(0.0)).otherwise(_dot(a, b) / (na * nb))
+
+
+COS_SQL = """
+    list_sum(list_transform(list_zip(e, qv), p -> CAST(p[1]*p[2] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(e, x -> CAST(x*x AS DOUBLE))))
+       * sqrt(list_sum(list_transform(qv, x -> CAST(x*x AS DOUBLE)))))
+"""
+
+
+@register(
+    "sim_cosine_topk",
+    f"""
+    WITH base AS (SELECT vec_id, {INT_EMB_SQL} AS e FROM embeddings),
+    q AS (SELECT e AS qv FROM base WHERE vec_id = 0)
+    SELECT vec_id, ROUND({COS_SQL}, 4) AS cos
+    FROM base, q
+    WHERE vec_id != 0
+    ORDER BY ROUND({COS_SQL}, 4) DESC, vec_id
+    LIMIT 10
+    """,
+    doc="Brute-force cosine top-k (the ANN correctness baseline): "
+    "broadcast the query vector, one map-only scoring pass, "
+    "TakeOrderedAndProject for the top-k. At 100 TB this is the "
+    "exact-rescoring stage after LSH/IVF candidate pruning.",
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _int_emb(F.col("embedding")).alias("e")
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("e").alias("qv"))
+    cos = F.round(_cos(F.col("e"), F.col("qv")), 4)
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", cos.alias("cos"))
+        .orderBy(F.col("cos").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+@register(
+    "sim_knn_join",
+    f"""
+    WITH base AS (SELECT vec_id, label, {INT_EMB_SQL} AS e FROM embeddings),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROUND(
+                 list_sum(list_transform(list_zip(c.e, q.e), p -> CAST(p[1]*p[2] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(c.e, x -> CAST(x*x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(q.e, x -> CAST(x*x AS DOUBLE))))), 4)
+               AS cos
+        FROM base q JOIN base c ON q.vec_id != c.vec_id
+        WHERE q.vec_id < 5
+    )
+    SELECT query_id, neighbor_id, cos FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS rnk
+        FROM scored
+    ) WHERE rnk <= 3
+    """,
+    doc="k-NN join: top-3 cosine neighbors per query vector — broadcast "
+    "the (small) query set against the corpus, rank per query. The "
+    "general form of batch similarity search.",
+)
+def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _int_emb(F.col("embedding")).alias("e")
+    )
+    q = base.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    cos = F.round(_cos(F.col("e"), F.col("qe")), 4)
+    scored = (
+        base.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("query_id", "neighbor_id", "cos")
+    )
+
+
+@register(
+    "sim_lsh_sign_buckets",
+    f"""
+    WITH base AS (SELECT vec_id, {INT_EMB_SQL} AS e FROM embeddings)
+    SELECT
+      (CASE WHEN e[1] >= 0 THEN 128 ELSE 0 END +
+       CASE WHEN e[2] >= 0 THEN 64  ELSE 0 END +
+       CASE WHEN e[3] >= 0 THEN 32  ELSE 0 END +
+       CASE WHEN e[4] >= 0 THEN 16  ELSE 0 END +
+       CASE WHEN e[5] >= 0 THEN 8   ELSE 0 END +
+       CASE WHEN e[6] >= 0 THEN 4   ELSE 0 END +
+       CASE WHEN e[7] >= 0 THEN 2   ELSE 0 END +
+       CASE WHEN e[8] >= 0 THEN 1   ELSE 0 END) AS bucket,
+      count(*) AS n, min(vec_id) AS min_vec_id
+    FROM base GROUP BY 1
+    """,
+    doc="LSH bucketing (sign-projection): 8-bit bucket from coordinate "
+    "signs — the candidate-pruning stage that makes ANN sub-linear; "
+    "candidates then rescored exactly (sim_cosine_topk).",
+)
+def sim_lsh_sign_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _int_emb(F.col("embedding")).alias("e")
+    )
+    bucket = sum(
+        F.when(F.element_at("e", i + 1) >= 0, F.lit(2 ** (7 - i))).otherwise(0)
+        for i in range(8)
+    )
+    return emb.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"), F.min("vec_id").alias("min_vec_id")
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""
+    WITH base AS (SELECT vec_id, {INT_EMB_SQL} AS e FROM embeddings),
+    bucketed AS (
+        SELECT vec_id, e,
+          (CASE WHEN e[1] >= 0 THEN 8 ELSE 0 END +
+           CASE WHEN e[2] >= 0 THEN 4 ELSE 0 END +
+           CASE WHEN e[3] >= 0 THEN 2 ELSE 0 END +
+           CASE WHEN e[4] >= 0 THEN 1 ELSE 0 END) AS bucket
+        FROM base
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(
+             list_sum(list_transform(list_zip(a.e, b.e), p -> CAST(p[1]*p[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(a.e, x -> CAST(x*x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(b.e, x -> CAST(x*x AS DOUBLE))))), 4)
+           AS cos
+    FROM bucketed a JOIN bucketed b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(list_zip(a.e, b.e), p -> CAST(p[1]*p[2] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(a.e, x -> CAST(x*x AS DOUBLE))))
+             * sqrt(list_sum(list_transform(b.e, x -> CAST(x*x AS DOUBLE))))) > 0.95
+    """,
+    doc="Embedding-cosine near-dup: LSH sign-bucket candidate join (no "
+    "O(n²) cross product) + exact cosine > 0.95 within buckets.",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _int_emb(F.col("embedding")).alias("e")
+    )
+    bucket = sum(
+        F.when(F.element_at("e", i + 1) >= 0, F.lit(2 ** (3 - i))).otherwise(0)
+        for i in range(4)
+    )
+    bucketed = emb.withColumn("bucket", bucket)
+    a = bucketed.select(
+        F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"), "bucket"
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"), "bucket"
+    )
+    cos = _cos(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(cos > 0.95)
+        .select("vec_a", "vec_b", F.round(cos, 4).alias("cos"))
+    )

@@ -1,0 +1,49 @@
+"""Scale audits: assert the physical plans have the shapes that
+survive a 100×/1000× scale-up (SURVEY §4.2). These are the engine's
+'optimizer tests' — Catalyst does the work; we pin the outcomes."""
+
+from pyspark.sql import functions as F
+
+from mgl870_tp02_project_01_hadoopmapreducelogs_spark.plans import plan_report
+from mgl870_tp02_project_01_hadoopmapreducelogs_spark.plans.audit import (
+    executed_plan_str,
+)
+from mgl870_tp02_project_01_hadoopmapreducelogs_spark.queries import REGISTRY
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_scan_pushdown_and_pruning(spark):
+    rep = plan_report(REGISTRY["p2_p3_projection_drop"].run(spark, SF_DIR))
+    assert rep["has_pushed_filters"], "filter must reach the parquet scan"
+    assert rep["reads_pruned_schema"]
+
+
+def test_dim_join_broadcasts(spark):
+    rep = plan_report(REGISTRY["join_broadcast_dims"].run(spark, SF_DIR))
+    assert rep["has_broadcast_join"], "small dims must broadcast, not shuffle"
+
+
+def test_topk_is_take_ordered(spark):
+    rep = plan_report(REGISTRY["k1_k2_topk_by_magnitude"].run(spark, SF_DIR))
+    assert rep["has_take_ordered"], "top-k must plan as TakeOrderedAndProject"
+
+
+def test_template_match_broadcasts_catalog(spark):
+    rep = plan_report(REGISTRY["t2_match_lines"].run(spark, SF_DIR))
+    assert rep["has_broadcast_join"], "template catalog lookup must broadcast"
+
+
+def test_mining_has_no_python_in_hot_path(spark):
+    df = REGISTRY["t1a_mine_templates"].run(spark, SF_DIR)
+    rep = plan_report(df)
+    assert not rep["has_python_udf"], "mining must stay JVM-side"
+    # the executed (AQE-final) plan must show whole-stage codegen:
+    # stages print as '*(N) Operator' in the final-plan string
+    assert "*(" in executed_plan_str(df)
+
+
+def test_agg_uses_hash_aggregate(spark):
+    rep = plan_report(REGISTRY["tpch_q1_pricing_summary"].run(spark, SF_DIR))
+    assert rep["has_partial_agg"]
+    assert not rep["has_python_udf"]

@@ -1,0 +1,47 @@
+from pyspark.sql import functions as F
+
+from mgl870_tp02_project_01_hadoopmapreducelogs_spark.operators import matrix, mining
+from mgl870_tp02_project_01_hadoopmapreducelogs_spark.sources import logs
+from mgl870_tp02_project_01_hadoopmapreducelogs_spark.streaming import mining_stream
+
+
+def test_stream_matches_batch_catalog(spark, log_dir):
+    """Stream/batch parity: mining the same corpus through the streaming
+    path yields the same (template, size) catalog as batch."""
+    raw = mining_stream.read_log_stream(spark, log_dir, max_files_per_trigger=1)
+    parsed = mining_stream.parse_stream(raw)
+    stream_catalog = mining_stream.mine_templates_stream(parsed)
+    got = mining_stream.run_to_memory(stream_catalog, "stream_catalog_test")
+
+    batch = mining.mine_exact(logs.parse_lines(logs.read_log_dir(spark, log_dir)))
+    batch_set = {(r.template, r.size) for r in batch.collect()}
+    stream_set = {(r.template, r.size) for r in got.collect()}
+    assert stream_set == batch_set
+
+
+def test_windowed_counts_have_event_time(spark, log_dir):
+    raw = mining_stream.read_log_stream(spark, log_dir)
+    parsed = mining_stream.parse_stream(raw).filter(F.col("ts").isNotNull())
+    windowed = mining_stream.windowed_event_counts(parsed, "5 minutes", "10 minutes")
+    got = mining_stream.run_to_memory(windowed, "windowed_test", mode="append")
+    # append mode emits only watermark-closed windows; bounded input
+    # closes everything after processAllAvailable finalizes
+    assert "window_start" in got.columns
+
+
+def test_stream_catalog_sink_roundtrip(spark, log_dir, tmp_path):
+    raw = mining_stream.read_log_stream(spark, log_dir)
+    parsed = mining_stream.parse_stream(raw)
+    catalog = mining_stream.mine_templates_stream(parsed)
+    q = mining_stream.write_catalog_stream(
+        catalog,
+        str(tmp_path / "catalog"),
+        str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    back = spark.read.parquet(str(tmp_path / "catalog"))
+    batch_n = mining.mine_exact(
+        logs.parse_lines(logs.read_log_dir(spark, log_dir))
+    ).count()
+    assert back.count() == batch_n
