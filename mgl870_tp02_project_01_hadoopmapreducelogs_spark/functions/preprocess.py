@@ -43,6 +43,7 @@ MASK_RULES: list[tuple[str, str]] = [
     ("application_id", r"application_\d+_\d+"),
     ("attempt_id", r"attempt_\d+_\d+_\w_\d+_\d+"),
     ("task_id", r"task_\d+_\d+_\w_\d+"),
+    ("word_num_id", r"\b[A-Za-z]+_\d+(_\d+)*\b"),
     ("url", r"[a-zA-Z]+://[^\s]+"),
     ("path", r"(/[\w.\-]+){2,}"),
     ("ip_port", r"\d+\.\d+\.\d+\.\d+(:\d+)?"),

@@ -1,0 +1,222 @@
+"""T1(c) — faithful Drain-family online template mining, distributed.
+
+The reference mines templates with the Drain3 library
+(``template_miner.add_log_message``, process_logs_v10.py:59-81; knobs
+depth=4, sim_th=0.4, max_clusters=10000 at process_logs_v10.py:8-17,
+drain3.ini:1-8). This module reimplements the published Drain algorithm
+(He et al., "Drain: An Online Log Parsing Approach with Fixed Depth
+Tree", ICWS 2017) from the paper's description — a fixed-depth prefix
+tree keyed by token count and leading tokens, leaf clusters matched by
+token-wise similarity ≥ ``sim_th``, matched templates generalized by
+replacing disagreeing tokens with ``<*>``.
+
+Distribution strategy (SURVEY §2.4 option (b)): Drain is inherently
+order-sensitive, so a faithful port cannot be both parallel and
+bit-identical to a serial run. The engine therefore:
+
+1. fits one miner per partition with ``mapInPandas`` (Arrow batches,
+   no driver involvement) and emits per-partition (template, count)
+   summaries — thousands of rows, not billions;
+2. merges partition summaries on the driver by replaying them into a
+   fresh miner in sorted template order (deterministic given the set
+   of partition templates);
+3. broadcasts the merged catalog and rematches every line with a
+   ``mapInPandas`` lookup — so line→cluster assignment is exact w.r.t.
+   the final catalog, and Σ size = line count holds.
+
+The canonical, fully deterministic operators remain
+``mining.mine_exact``/``mine_drainish``; this variant exists for
+parity with the reference's clustering behavior (similarity-threshold
+merging that the closed-form variant cannot express).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+MASK = "<*>"
+
+
+class _Cluster:
+    __slots__ = ("tokens", "size")
+
+    def __init__(self, tokens: list[str], size: int = 0):
+        self.tokens = tokens
+        self.size = size
+
+
+class DrainMiner:
+    """Fixed-depth-tree online log clustering (He et al. 2017).
+
+    ``depth`` counts internal levels: root → token-count → first
+    ``depth-2`` tokens → leaf cluster list (reference knob
+    tree_max_depth=4, drain3.ini). Numeric-looking tokens route through
+    ``MASK`` branches so ids don't explode the tree (paper §III.B).
+    """
+
+    def __init__(self, depth: int = 4, sim_th: float = 0.4, max_clusters: int = 10000):
+        self.depth = depth
+        self.sim_th = sim_th
+        self.max_clusters = max_clusters
+        self.root: dict = {}
+        self.clusters: list[_Cluster] = []
+
+    # -- tree navigation -----------------------------------------------------
+
+    @staticmethod
+    def _branch_token(tok: str) -> str:
+        return MASK if any(ch.isdigit() for ch in tok) else tok
+
+    def _leaf(self, tokens: list[str], create: bool) -> list[_Cluster] | None:
+        node = self.root
+        keys = [str(len(tokens))] + [
+            self._branch_token(t) for t in tokens[: self.depth - 2]
+        ]
+        for k in keys:
+            nxt = node.get(k)
+            if nxt is None:
+                if not create:
+                    return None
+                nxt = node[k] = {}
+            node = nxt
+        if "\0leaf" not in node:
+            if not create:
+                return None
+            node["\0leaf"] = []
+        return node["\0leaf"]
+
+    # -- similarity ------------------------------------------------------------
+
+    @staticmethod
+    def _sim(a: list[str], b: list[str]) -> float:
+        if len(a) != len(b) or not a:
+            return 0.0
+        same = sum(1 for x, y in zip(a, b) if x == y or x == MASK or y == MASK)
+        return same / len(a)
+
+    # -- fit -------------------------------------------------------------------
+
+    def add(self, message: str, count: int = 1) -> int:
+        """Absorb one (masked) message; returns the cluster index."""
+        tokens = message.split(" ")
+        leaf = self._leaf(tokens, create=True)
+        best, best_sim = None, -1.0
+        for cl in leaf:
+            s = self._sim(cl.tokens, tokens)
+            if s > best_sim:
+                best, best_sim = cl, s
+        if best is not None and best_sim >= self.sim_th:
+            best.tokens = [
+                x if x == y else MASK for x, y in zip(best.tokens, tokens)
+            ]
+            best.size += count
+            return self.clusters.index(best)
+        if len(self.clusters) >= self.max_clusters:
+            # paper: overflow → absorb into the closest existing cluster
+            if best is not None:
+                best.size += count
+                return self.clusters.index(best)
+        cl = _Cluster(list(tokens), count)
+        leaf.append(cl)
+        self.clusters.append(cl)
+        return len(self.clusters) - 1
+
+    # -- inference ---------------------------------------------------------------
+
+    def match(self, message: str) -> int | None:
+        """T2 semantics: find the best cluster WITHOUT updating state
+        (template_miner.match, process_logs.py:71); None if no leaf or
+        below threshold."""
+        tokens = message.split(" ")
+        leaf = self._leaf(tokens, create=False)
+        if not leaf:
+            return None
+        best, best_sim = None, -1.0
+        for i, cl in enumerate(leaf):
+            s = self._sim(cl.tokens, tokens)
+            if s > best_sim:
+                best, best_sim = i, s
+        if best is None or best_sim < self.sim_th:
+            return None
+        return self.clusters.index(leaf[best])
+
+    def templates(self) -> list[tuple[str, int]]:
+        return [(" ".join(c.tokens), c.size) for c in self.clusters]
+
+
+def fit_distributed(
+    parsed: DataFrame,
+    masked_col: str = "masked",
+    depth: int = 4,
+    sim_th: float = 0.4,
+    max_clusters: int = 10000,
+) -> DataFrame:
+    """Fit Drain at scale: per-partition miners → driver merge.
+
+    Returns the catalog ``(cluster_id, size, template)``. The partition
+    stage reduces each partition to its local template summaries, so
+    driver traffic is O(partitions × templates-per-partition), never
+    O(lines).
+    """
+    spark = parsed.sparkSession
+
+    def fit_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        miner = DrainMiner(depth, sim_th, max_clusters)
+        for pdf in batches:
+            for msg in pdf[masked_col]:
+                if msg is not None:
+                    miner.add(msg)
+        yield pd.DataFrame(miner.templates(), columns=["template", "size"])
+
+    partials = parsed.select(masked_col).mapInPandas(
+        fit_partition, schema="template string, size long"
+    )
+    # driver merge: replay partition templates into a fresh miner in
+    # sorted order — deterministic given the partial template set
+    rows = sorted((r.template, r.size) for r in partials.collect())
+    merged = DrainMiner(depth, sim_th, max_clusters)
+    for template, size in rows:
+        merged.add(template, size)
+    catalog = sorted(merged.templates())
+    return spark.createDataFrame(
+        [(i + 1, size, t) for i, (t, size) in enumerate(catalog)],
+        "cluster_id long, size long, template string",
+    )
+
+
+def match_distributed(
+    parsed: DataFrame,
+    catalog: DataFrame,
+    masked_col: str = "masked",
+    depth: int = 4,
+    sim_th: float = 0.4,
+) -> DataFrame:
+    """Broadcast the catalog, rebuild the (small) tree per executor,
+    and match every line — exact w.r.t. the merged catalog."""
+    spark = parsed.sparkSession
+    cat_rows = [(r.cluster_id, r.template) for r in catalog.collect()]
+    b = spark.sparkContext.broadcast(cat_rows)
+
+    @F.pandas_udf("long")
+    def drain_match(msgs: pd.Series) -> pd.Series:
+        miner = DrainMiner(depth, sim_th, max_clusters=len(b.value) + 1)
+        # replaying catalog templates can merge similar ones — map the
+        # miner's cluster index back to the FIRST catalog id it absorbed
+        idx_to_cid: dict[int, int] = {}
+        for cid, template in b.value:
+            idx = miner.add(template, 0)
+            idx_to_cid.setdefault(idx, cid)
+
+        def lookup(m):
+            if m is None:
+                return None
+            idx = miner.match(m)
+            return None if idx is None else idx_to_cid.get(idx)
+
+        return msgs.map(lookup)
+
+    return parsed.withColumn("cluster_id", drain_match(F.col(masked_col)))

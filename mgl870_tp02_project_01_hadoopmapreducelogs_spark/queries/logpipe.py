@@ -236,6 +236,25 @@ def t4_cluster_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mining.mine_exact(parsed).agg(F.count(F.lit(1)).alias("n_clusters"))
 
 
+# --- T1(c): faithful Drain mining ---------------------------------------------
+
+
+@register(
+    "t1c_drain_mining",
+    None,
+    doc="T1(c): faithful Drain-family mining (He et al. 2017; the "
+    "reference's Drain3 path, process_logs_v10.py:59-81) — per-"
+    "partition mapInPandas fit, driver merge, broadcast rematch. "
+    "Rows-only: similarity-threshold clustering is not SQL-"
+    "expressible; invariants are pytest-covered (tests/test_drain.py).",
+)
+def t1c_drain_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import drain
+
+    parsed = _masked(spark, sf_dir)
+    return drain.fit_distributed(parsed, depth=4, sim_th=0.4)
+
+
 # --- S1/S2: file-backed ingestion (rows-only: oracle has no filesystem) -----
 
 

@@ -93,6 +93,34 @@ def streaming_template_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_stream(stream, "template_mining")
 
 
+@register(
+    "streaming_new_template_feed",
+    None,
+    doc="T3 as a custom stateful streaming operator "
+    "(applyInPandasWithState): emit each template exactly once on "
+    "first sighting, running totals in the state store (the "
+    "distributed drain3_state.bin). Rows-only: stateful emission "
+    "order is not SQL-expressible; exactly-once invariants are "
+    "pytest-covered (tests/test_streaming.py).",
+)
+def streaming_new_template_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import mining_stream
+    from . import load_events_stream
+
+    msg = F.concat(
+        F.col("event_type"), F.lit(" user="), F.col("user_id").cast("string")
+    )
+    stream = load_events_stream(spark, sf_dir).select(
+        F.regexp_replace(msg, r"\b\d+\b", "<*>").alias("masked")
+    )
+    feed = mining_stream.new_template_feed_stream(stream)
+    global _SINK_N
+    _SINK_N += 1
+    return mining_stream.run_to_memory(
+        feed, f"new_template_feed_{_SINK_N}", mode="append"
+    )
+
+
 # --- multimodal ---------------------------------------------------------------
 
 

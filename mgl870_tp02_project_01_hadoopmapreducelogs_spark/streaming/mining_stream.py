@@ -98,6 +98,44 @@ def run_to_memory(stream_df: DataFrame, name: str, mode: str = "complete") -> Da
     return stream_df.sparkSession.table(name)
 
 
+def new_template_feed_stream(parsed: DataFrame, masked_col: str = "masked") -> DataFrame:
+    """T3 as a stateful stream: emit each template exactly once — the
+    first time it is ever seen — with its first-batch count (the
+    reference prints new templates as Drain discovers them,
+    process_logs_v10.py:67-78).
+
+    Custom stateful operator via ``applyInPandasWithState``: state is
+    one running total per template key, partitioned by template hash —
+    the state store scales horizontally with executors and survives
+    restarts through the checkpoint, which is exactly the role
+    drain3_state.bin played single-node.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def emit_first_sighting(key, pdfs, state: GroupState):
+        count = 0
+        for pdf in pdfs:
+            count += len(pdf)
+        if state.exists:
+            (total,) = state.get
+            state.update((total + count,))
+            return iter([])
+        state.update((count,))
+        return iter([pd.DataFrame({"template": [key[0]], "first_size": [count]})])
+
+    return (
+        parsed.groupBy(F.col(masked_col))
+        .applyInPandasWithState(
+            emit_first_sighting,
+            outputStructType="template string, first_size long",
+            stateStructType="total long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def write_catalog_stream(
     stream_df: DataFrame, path: str, checkpoint: str, mode: str = "update"
 ):

@@ -29,6 +29,19 @@ def test_windowed_counts_have_event_time(spark, log_dir):
     assert "window_start" in got.columns
 
 
+def test_stateful_new_template_feed_emits_each_template_once(spark, log_dir):
+    raw = mining_stream.read_log_stream(spark, log_dir, max_files_per_trigger=1)
+    parsed = mining_stream.parse_stream(raw)
+    feed = mining_stream.new_template_feed_stream(parsed)
+    got = mining_stream.run_to_memory(feed, "new_template_feed", mode="append")
+    emitted = [r.template for r in got.collect()]
+    batch = mining.mine_exact(logs.parse_lines(logs.read_log_dir(spark, log_dir)))
+    batch_templates = {r.template for r in batch.collect()}
+    # exactly-once per template, covering the full catalog
+    assert len(emitted) == len(set(emitted)) == len(batch_templates)
+    assert set(emitted) == batch_templates
+
+
 def test_stream_catalog_sink_roundtrip(spark, log_dir, tmp_path):
     raw = mining_stream.read_log_stream(spark, log_dir)
     parsed = mining_stream.parse_stream(raw)
