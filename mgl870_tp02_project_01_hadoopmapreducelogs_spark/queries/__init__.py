@@ -66,4 +66,12 @@ def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # importing the modules populates REGISTRY
-from . import logpipe, relational, textops, vectorops, mlops, streamq  # noqa: E402,F401
+from . import (  # noqa: E402,F401
+    extended,
+    logpipe,
+    mlops,
+    relational,
+    streamq,
+    textops,
+    vectorops,
+)

@@ -1,0 +1,250 @@
+"""Extended relational + similarity operators (beyond-reference
+completeness): grouping sets, sessionization, as-of join, IVF-style
+ANN, approximate sketches, and sink roundtrips — the operators a user
+of a general analytics engine expects even though the reference's
+scripts never reached them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import load, register
+
+# --- rollup / grouping sets ---------------------------------------------------
+
+
+@register(
+    "rollup_region_nation",
+    """
+    SELECT r.r_name AS region, n.n_name AS nation,
+           count(*) AS n_customers,
+           SUM(CAST(FLOOR(c.c_acctbal*100) AS BIGINT)) AS bal_cents
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP(r.r_name, n.n_name)
+    """,
+    doc="ROLLUP grouping sets: region/nation/grand-total subtotal "
+    "hierarchy in one aggregation pass (Expand + hash agg).",
+)
+def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(F.col("r_name").alias("region"), F.col("n_name").alias("nation"),
+                "c_acctbal")
+        .rollup("region", "nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.floor(F.col("c_acctbal") * 100)).alias("bal_cents"),
+        )
+    )
+
+
+# --- sessionization -------------------------------------------------------------
+
+SESSION_GAP_MIN = 30
+
+
+@register(
+    "sessionize_events",
+    f"""
+    WITH g AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                         > INTERVAL {SESSION_GAP_MIN} MINUTE
+                    OR LAG(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_start
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, event_id,
+               SUM(is_start) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM g
+    )
+    SELECT user_id, session_no, count(*) AS n_events
+    FROM s GROUP BY user_id, session_no
+    """,
+    doc="Sessionization: lag-gap detection + running sum of session "
+    "starts — one shuffle on the session key (the distributed idiom "
+    "for the reference's implicit row adjacency).",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    is_start = F.when(
+        gap.isNull() | (gap > SESSION_GAP_MIN * 60), 1
+    ).otherwise(0)
+    sess = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(is_start).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "session_no"
+        ),
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
+# --- as-of join -------------------------------------------------------------------
+
+
+@register(
+    "asof_join_last_order",
+    """
+    SELECT e.event_id,
+           (SELECT max(o.o_orderdate) FROM orders o
+            WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+             AS last_order_date
+    FROM events e WHERE e.user_id <= 100
+    """,
+    doc="As-of join (Spark lacks a native one): for each event, the "
+    "most recent order of the same key at-or-before the event time. "
+    "Implemented as a union-tag-sort: both sides tagged and merged, "
+    "one window pass carries the last order date forward — a single "
+    "shuffle on the key, no per-row subquery, no range explosion.",
+)
+def asof_join_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") <= 100)
+    orders = load(spark, sf_dir, "orders")
+    left = ev.select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.col("event_id"),
+        F.lit(None).cast("timestamp").alias("o_date"),
+        F.lit(1).alias("is_event"),
+    )
+    right = orders.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_orderdate").alias("o_date"),
+        F.lit(0).alias("is_event"),
+    )
+    # order rows sort before event rows at equal timestamps (is_event asc)
+    # so an order dated exactly at the event time is visible to it
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "is_event")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = left.unionByName(right).withColumn(
+        "last_order_date", F.last("o_date", ignorenulls=True).over(w)
+    )
+    return merged.filter(F.col("is_event") == 1).select(
+        "event_id", "last_order_date"
+    )
+
+
+# --- IVF-style ANN -------------------------------------------------------------------
+
+
+@register(
+    "sim_ivf_topk",
+    None,
+    doc="IVF-bucketed ANN: KMeans centroids (spark.ml) partition the "
+    "corpus; queries probe only the nearest cells, then rescore "
+    "exactly. The scale path where sign-LSH recall is insufficient. "
+    "Rows-only: KMeans cell assignment is engine-specific.",
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    from ..functions import vectors as V
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    with_vec = emb.withColumn("v", array_to_vector("e"))
+    km = KMeans(k=8, seed=42, featuresCol="v", predictionCol="cell").fit(with_vec)
+    assigned = km.transform(with_vec)
+
+    q = assigned.filter(F.col("vec_id") == 0).select(
+        F.col("e").alias("qe"), F.col("cell").alias("qcell")
+    )
+    # probe only the query's cell (nprobe=1), rescore exactly by cosine
+    cand = assigned.crossJoin(F.broadcast(q)).filter(
+        (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != 0)
+    )
+    cos = F.round(V.cosine(F.col("e"), F.col("qe")), 4)
+    return (
+        cand.select("vec_id", cos.alias("cos"))
+        .orderBy(F.col("cos").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+# --- approximate sketches ---------------------------------------------------------------
+
+
+@register(
+    "approx_sketches",
+    None,
+    doc="Approximate aggregation toolbox: approx_count_distinct (HLL) "
+    "and percentile_approx (KLL-style) — the constant-memory "
+    "replacements for exact distincts/quantiles at 100 TB. Rows-only: "
+    "sketch internals are engine-specific (exactness bounds are "
+    "asserted in pytest).",
+)
+def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+        F.percentile_approx("l_quantity", 0.5).alias("median_qty"),
+        F.percentile_approx("l_extendedprice", 0.99).alias("p99_price"),
+    )
+
+
+# --- sink roundtrips ----------------------------------------------------------------------
+
+
+@register(
+    "s4_s5_sink_roundtrip",
+    None,
+    doc="S4+S5 sinks: write the template catalog to header-CSV and "
+    "Parquet, read both back, verify identical content (the "
+    "reference's event_matrix.csv + drain3_state.bin persistence, "
+    "process_logs_v10.py:160,39-40). Rows-only: filesystem sinks "
+    "have no SQL oracle.",
+)
+def s4_s5_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators import mining
+    from ..sources import sinks
+    from .logpipe import _masked
+
+    catalog = mining.mine_exact(_masked(spark, sf_dir))
+    base = tempfile.mkdtemp(prefix="sg_sinks_")
+    sinks.write_csv(catalog.select("cluster_id", "size", "template"), f"{base}/csv")
+    sinks.write_catalog(catalog, f"{base}/parquet")
+    csv_back = (
+        spark.read.option("header", True).csv(f"{base}/csv")
+        .select(
+            F.col("cluster_id").cast("long"),
+            F.col("size").cast("long"),
+            "template",
+        )
+    )
+    pq_back = sinks.read_catalog(spark, f"{base}/parquet").select(
+        "cluster_id", "size", "template"
+    )
+    return (
+        csv_back.exceptAll(pq_back)
+        .unionByName(pq_back.exceptAll(csv_back))
+        .agg(F.count(F.lit(1)).alias("n_divergent_rows"))
+    )

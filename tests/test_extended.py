@@ -1,0 +1,23 @@
+from mgl870_tp02_project_01_hadoopmapreducelogs_spark.queries import REGISTRY
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_sink_roundtrip_has_no_divergence(spark):
+    row = REGISTRY["s4_s5_sink_roundtrip"].run(spark, SF_DIR).collect()[0]
+    assert row.n_divergent_rows == 0
+
+
+def test_approx_sketches_within_bounds(spark):
+    row = REGISTRY["approx_sketches"].run(spark, SF_DIR).collect()[0]
+    rel_err = abs(row.approx_orders - row.exact_orders) / row.exact_orders
+    assert rel_err < 0.10  # rsd=0.02 sketch; generous 5σ bound
+    assert 0 < row.median_qty < row.p99_price
+
+
+def test_ivf_topk_matches_brute_force_in_probed_cell(spark):
+    ivf = {r.vec_id for r in REGISTRY["sim_ivf_topk"].run(spark, SF_DIR).collect()}
+    brute = {r.vec_id for r in REGISTRY["sim_cosine_topk"].run(spark, SF_DIR).collect()}
+    # nprobe=1 recall: at least a couple of the true top-10 in one cell
+    assert len(ivf & brute) >= 1
+    assert len(ivf) == 10
