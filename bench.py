@@ -37,6 +37,10 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "sim_cosine_topk",
     "sim_knn_join",
+    "t1c_drain_mining",
+    "sessionize_events",
+    "asof_join_last_order",
+    "rollup_region_nation",
 ]
 
 

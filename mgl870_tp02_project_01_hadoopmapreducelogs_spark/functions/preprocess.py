@@ -49,6 +49,7 @@ MASK_RULES: list[tuple[str, str]] = [
     ("ip_port", r"\d+\.\d+\.\d+\.\d+(:\d+)?"),
     ("float", r"\b\d+\.\d+\b"),
     ("hex", r"\b0x[0-9a-fA-F]+\b"),
+    ("num_unit", r"\b\d+[a-zA-Z]+\b"),
     ("number", r"\b\d+\b"),
 ]
 

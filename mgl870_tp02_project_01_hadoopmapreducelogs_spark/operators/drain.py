@@ -166,10 +166,14 @@ def fit_distributed(
 
     def fit_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         miner = DrainMiner(depth, sim_th, max_clusters)
+        # pre-aggregate each Arrow batch with vectorized value_counts so
+        # the Python-level add() runs once per DISTINCT message, not per
+        # line — identical result (add(msg, k) ≡ k× add(msg)), and the
+        # per-line cost drops to the dedup hash
         for pdf in batches:
-            for msg in pdf[masked_col]:
-                if msg is not None:
-                    miner.add(msg)
+            counts = pdf[masked_col].dropna().value_counts()
+            for msg, k in counts.items():
+                miner.add(msg, int(k))
         yield pd.DataFrame(miner.templates(), columns=["template", "size"])
 
     partials = parsed.select(masked_col).mapInPandas(
@@ -212,11 +216,12 @@ def match_distributed(
             idx_to_cid.setdefault(idx, cid)
 
         def lookup(m):
-            if m is None:
-                return None
             idx = miner.match(m)
             return None if idx is None else idx_to_cid.get(idx)
 
-        return msgs.map(lookup)
+        # tree-match once per distinct message in the batch, then
+        # broadcast-map the answers back over the rows
+        uniq = {m: lookup(m) for m in msgs.dropna().unique()}
+        return msgs.map(lambda m: uniq.get(m) if m is not None else None)
 
     return parsed.withColumn("cluster_id", drain_match(F.col(masked_col)))

@@ -40,6 +40,13 @@ def test_exact_mining_invariants(spark, log_dir):
     )
 
 
+def test_drainish_deterministic_under_repartition(spark, log_dir):
+    parsed = _parsed(spark, log_dir)
+    a = mining.mine_drainish(parsed)
+    b = mining.mine_drainish(parsed.repartition(11))
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
 def test_drainish_generalizes_with_wildcards(spark, log_dir):
     parsed = _parsed(spark, log_dir)
     exact = mining.mine_exact(parsed)
