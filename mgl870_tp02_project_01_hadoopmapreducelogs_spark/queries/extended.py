@@ -209,6 +209,29 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- semi-structured extraction --------------------------------------------------------------
+
+
+@register(
+    "json_extract_props",
+    """
+    SELECT event_type,
+           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           count(json_extract(props, '$.k')) AS n_with_k
+    FROM events GROUP BY event_type
+    """,
+    doc="Semi-structured path: extract typed fields from the JSON "
+    "props column (get_json_object) and aggregate — the schema-on-"
+    "read pattern for enriched log attributes.",
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"), F.count(k).alias("n_with_k")
+    )
+
+
 # --- sink roundtrips ----------------------------------------------------------------------
 
 

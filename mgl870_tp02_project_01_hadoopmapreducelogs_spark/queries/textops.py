@@ -278,9 +278,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b in range(N_HASHES // BAND_SIZE)
     ]
     stack_args = ", ".join(f"{b}, band{b}" for b in range(N_HASHES // BAND_SIZE))
-    bands = sig.select("doc_id", *band_cols).selectExpr(
-        "doc_id",
-        f"stack({N_HASHES // BAND_SIZE}, {stack_args}) AS (band_id, band)",
+    # cache: both sides of the self-join read this table — without the
+    # cache each side re-executes the whole shingle+minhash pipeline
+    bands = (
+        sig.select("doc_id", *band_cols)
+        .selectExpr(
+            "doc_id",
+            f"stack({N_HASHES // BAND_SIZE}, {stack_args}) AS (band_id, band)",
+        )
+        .cache()
     )
     a = bands.select(F.col("doc_id").alias("doc_a"), "band_id", "band")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band_id", "band")
