@@ -44,9 +44,12 @@ MASK_RULES: list[tuple[str, str]] = [
     ("attempt_id", r"attempt_\d+_\d+_\w_\d+_\d+"),
     ("task_id", r"task_\d+_\d+_\w_\d+"),
     ("word_num_id", r"\b[A-Za-z]+_\d+(_\d+)*\b"),
-    ("url", r"[a-zA-Z]+://[^\s]+"),
+    # \b anchors keep Java-regex matching linear on pathological inputs
+    # (an unanchored [a-zA-Z]+:// backtracks O(n²) on a megabyte token);
+    # RE2 (the oracle) is linear either way and accepts \b.
+    ("url", r"\b[a-zA-Z]+://[^\s]+"),
     ("path", r"(/[\w.\-]+){2,}"),
-    ("ip_port", r"\d+\.\d+\.\d+\.\d+(:\d+)?"),
+    ("ip_port", r"\b\d+\.\d+\.\d+\.\d+(:\d+)?"),
     ("float", r"\b\d+\.\d+\b"),
     ("hex", r"\b0x[0-9a-fA-F]+\b"),
     ("num_unit", r"\b\d+[a-zA-Z]+\b"),
@@ -110,7 +113,11 @@ def extract_timestamp(col: Column) -> Column:
     continuation lines (stack traces with no prefix, hadoop_logs.txt:944).
     """
     raw = F.regexp_extract(col, f"({TS_PREFIX.lstrip('^')})", 1)
-    return F.to_timestamp(F.nullif(raw, F.lit("")), "yyyy-MM-dd HH:mm:ss,SSS")
+    # try_to_timestamp: a regex-shaped but invalid date (2024-13-45 …)
+    # must yield NULL, not kill the ingest job (ANSI to_timestamp throws)
+    return F.try_to_timestamp(
+        F.nullif(raw, F.lit("")), F.lit("yyyy-MM-dd HH:mm:ss,SSS")
+    )
 
 
 def extract_level(col: Column) -> Column:
@@ -123,9 +130,16 @@ def extract_thread(col: Column) -> Column:
 
 def extract_logger(col: Column) -> Column:
     """Logger class: the dotted name before the first ``:`` after the
-    thread, e.g. ``org.apache.hadoop.mapreduce.v2.app.MRAppMaster``."""
+    thread, e.g. ``org.apache.hadoop.mapreduce.v2.app.MRAppMaster``.
+
+    The leading ``\\b`` is load-bearing: unanchored, Java regex retries
+    the nested quantifier at every offset of a long unbroken token —
+    O(n²), ~30 min on a 1 MB line. Anchored it's linear (one attempt per
+    word start). Semantics unchanged for ``[a-zA-Z_]``-initial loggers;
+    only a (nonexistent in practice) ``$``-initial logger would differ.
+    """
     return F.nullif(
-        F.regexp_extract(col, r"((?:[a-zA-Z_$][\w$]*\.){2,}[A-Z][\w$]*):", 1),
+        F.regexp_extract(col, r"\b((?:[a-zA-Z_$][\w$]*\.){2,}[A-Z][\w$]*):", 1),
         F.lit(""),
     )
 

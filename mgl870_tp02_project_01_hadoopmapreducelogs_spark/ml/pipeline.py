@@ -52,6 +52,22 @@ def stratified_split(
     return train, test
 
 
+def three_way_split(
+    df: DataFrame,
+    label_col: str = "label",
+    fractions: tuple[float, float, float] = (0.6, 0.2, 0.2),
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """M1 — the reference's 60/20/20 train/val/test split
+    (process_logs_v10.py:272-273 applies train_test_split twice).
+    Stratified: the first cut is sampleBy, the remainder splits again.
+    """
+    train_f, val_f, test_f = fractions
+    train, rest = stratified_split(df, label_col, 1.0 - train_f, seed)
+    val, test = stratified_split(rest, label_col, test_f / (val_f + test_f), seed + 1)
+    return train, val, test
+
+
 def fit_logistic_regression(train: DataFrame, max_iter: int = 1000, **kw):
     """M2 — LogisticRegression(max_iter=1000) (process_logs_v10.py:279)."""
     from pyspark.ml.classification import LogisticRegression

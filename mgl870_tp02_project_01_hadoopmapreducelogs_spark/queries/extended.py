@@ -232,6 +232,66 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- skew handling ------------------------------------------------------------------------
+
+
+@register(
+    "skew_salted_agg",
+    """
+    SELECT event_type, count(*) AS n,
+           SUM(CAST(FLOOR(value*1000) AS BIGINT)) AS sum_mills,
+           MAX(CAST(FLOOR(value*1000) AS BIGINT)) AS max_mills
+    FROM events GROUP BY event_type
+    """,
+    doc="Skew-safe two-stage salted aggregation (operators/skew.py): "
+    "one hot key spreads over n_salts first-stage reducers, per-salt "
+    "partials re-aggregate per key. Result must be bit-identical to "
+    "the plain GROUP BY (the oracle) — salting changes the plan, "
+    "never the answer.",
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import skew
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "mills", F.floor(F.col("value") * 1000)
+    )
+    return skew.salted_agg(
+        ev,
+        ["event_type"],
+        [
+            ("mills", "count", "n"),
+            ("mills", "sum", "sum_mills"),
+            ("mills", "max", "max_mills"),
+        ],
+    )
+
+
+@register(
+    "skew_hot_key_cap",
+    """
+    SELECT event_type, count(*) AS n_kept, SUM(event_id) AS sum_ids
+    FROM (
+        SELECT event_type, event_id,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY event_id) AS rn
+        FROM events
+    ) WHERE rn <= 100
+    GROUP BY event_type
+    """,
+    doc="Hot-key capping (operators/skew.py cap_hot_keys): keep a "
+    "deterministic top-N rows per key — the document-frequency cap "
+    "that bounds inverted-index join blow-up in dedup pipelines.",
+)
+def skew_hot_key_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import skew
+
+    ev = load(spark, sf_dir, "events").select("event_type", "event_id")
+    capped = skew.cap_hot_keys(ev, "event_type", 100, order_col="event_id")
+    return capped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.sum("event_id").alias("sum_ids")
+    )
+
+
 # --- sink roundtrips ----------------------------------------------------------------------
 
 

@@ -35,6 +35,19 @@ def test_stratified_split_partitions_data(spark):
     assert train.select("label").distinct().count() == 2
 
 
+def test_three_way_split_partitions_data(spark):
+    df = _dataset(spark)
+    train, val, test = pipeline.three_way_split(df)
+    n = df.count()
+    parts = [train.count(), val.count(), test.count()]
+    assert sum(parts) == n
+    assert parts[0] > parts[1] and parts[0] > parts[2]
+    # disjoint
+    assert train.join(val, "id", "inner").count() == 0
+    assert train.join(test, "id", "inner").count() == 0
+    assert val.join(test, "id", "inner").count() == 0
+
+
 def test_lr_end_to_end_with_metrics(spark):
     df = pipeline.assemble(_dataset(spark), ["x1", "x3"])
     train, test = pipeline.stratified_split(df, test_frac=0.25, seed=42)
