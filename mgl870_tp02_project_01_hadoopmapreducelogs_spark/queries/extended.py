@@ -232,6 +232,137 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- ranking window functions -------------------------------------------------------------
+
+
+@register(
+    "window_rank_analytics",
+    """
+    SELECT o_custkey, o_orderkey,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           NTILE(4) OVER w AS quartile,
+           LAG(o_orderkey) OVER w AS prev_order
+    FROM orders WHERE o_custkey <= 200
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY CAST(FLOOR(o_totalprice*100) AS BIGINT) DESC,
+                          o_orderkey)
+    """,
+    doc="Ranking window surface beyond the reference (SURVEY §2.8 notes "
+    "it has none): rank / dense_rank / ntile / lag in one pass — one "
+    "shuffle on the partition key, sort within partitions only. "
+    "Order key is integer cents so ties break identically in both "
+    "engines.",
+)
+def window_rank_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 200)
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    w = Window.partitionBy("o_custkey").orderBy(cents.desc(), "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+    )
+
+
+# --- set operators beyond union -----------------------------------------------------------
+
+
+@register(
+    "setop_intersect_except",
+    """
+    SELECT 'both' AS src, user_id FROM (
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'error'
+    )
+    UNION ALL
+    SELECT 'only_purchase' AS src, user_id FROM (
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+        EXCEPT
+        SELECT user_id FROM events WHERE event_type = 'error'
+    )
+    """,
+    doc="INTERSECT / EXCEPT (distinct set semantics): users seen in "
+    "both event classes vs. purchase-only — compiles to left-semi / "
+    "left-anti joins over the aggregated key sets.",
+)
+def setop_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    purchase = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    error = ev.filter(F.col("event_type") == "error").select("user_id")
+    both = purchase.intersect(error).select(
+        F.lit("both").alias("src"), "user_id"
+    )
+    only = purchase.subtract(error).select(
+        F.lit("only_purchase").alias("src"), "user_id"
+    )
+    return both.unionByName(only)
+
+
+# --- cube grouping sets -------------------------------------------------------------------
+
+
+@register(
+    "cube_status_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           SUM(CAST(FLOOR(o_totalprice*100) AS BIGINT)) AS total_cents
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE grouping sets: all 2² subtotal combinations in one "
+    "Expand + hash-aggregate pass (complements rollup_region_nation).",
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("o_totalprice") * 100)).alias("total_cents"),
+    )
+
+
+# --- unpivot / melt -----------------------------------------------------------------------
+
+
+@register(
+    "unpivot_measures",
+    """
+    WITH agg AS (
+        SELECT l_returnflag,
+               SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS sum_qty,
+               SUM(CAST(FLOOR(l_extendedprice*100) AS BIGINT)) AS sum_price_cents,
+               count(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM agg
+    UNION ALL
+    SELECT l_returnflag, 'sum_price_cents', sum_price_cents FROM agg
+    UNION ALL
+    SELECT l_returnflag, 'n_rows', n_rows FROM agg
+    """,
+    doc="Unpivot/melt (wide → long): the inverse of A7's pivot, via the "
+    "native unpivot operator — no shuffle beyond the feeding "
+    "aggregation; the oracle expresses it as stacked UNION ALL.",
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.sum(F.floor("l_quantity")).alias("sum_qty"),
+        F.sum(F.floor(F.col("l_extendedprice") * 100)).alias("sum_price_cents"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return agg.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price_cents", "n_rows"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
 # --- skew handling ------------------------------------------------------------------------
 
 

@@ -121,6 +121,74 @@ def streaming_new_template_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_sliding_counts",
+    """
+    SELECT ws AS window_start, count(*) AS n FROM (
+        SELECT date_trunc('hour', ts) AS ws FROM events
+        UNION ALL
+        SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS ws FROM events
+    ) GROUP BY ws
+    """,
+    doc="Sliding-window streaming agg (2 h window, 1 h slide, "
+    "watermarked): every event lands in exactly two epoch-aligned "
+    "windows — the oracle stacks two phase-shifted tumbling "
+    "groupings.",
+)
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import load_events_stream
+
+    stream = (
+        load_events_stream(spark, sf_dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = _run_stream(stream, "sliding_counts")
+    return out.select(F.col("w.start").alias("window_start"), "n")
+
+
+@register(
+    "session_window_native",
+    """
+    WITH g AS (
+        SELECT user_id, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS is_start
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT user_id, ts,
+               SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM g
+    )
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, session_no
+    """,
+    doc="Native session_window (gap 30 min): Spark's built-in merging "
+    "session operator must agree with the portable lag/running-sum "
+    "idiom (sessionize_events) including the window-end = last event + "
+    "gap bound — proof the two sessionization paths are one semantics.",
+)
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 # --- multimodal ---------------------------------------------------------------
 
 

@@ -34,6 +34,19 @@ def _cos(a, b):
     return F.when(na * nb == 0, F.lit(0.0)).otherwise(_dot(a, b) / (na * nb))
 
 
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def _cos_pre(a, b, na, nb):
+    """Cosine with norms precomputed per ROW (higher-order array
+    functions are interpreted, not codegen'd — recomputing both norms
+    per PAIR costs 5 array passes/pair; with norms as scalar columns a
+    pair costs one dot product). Float-identical to ``_cos``: same
+    sqrt/product/division order."""
+    return F.when(na * nb == 0, F.lit(0.0)).otherwise(_dot(a, b) / (na * nb))
+
+
 COS_SQL = """
     list_sum(list_transform(list_zip(e, qv), p -> CAST(p[1]*p[2] AS DOUBLE)))
     / (sqrt(list_sum(list_transform(e, x -> CAST(x*x AS DOUBLE))))
@@ -61,8 +74,13 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", _int_emb(F.col("embedding")).alias("e")
     )
-    q = emb.filter(F.col("vec_id") == 0).select(F.col("e").alias("qv"))
-    cos = F.round(_cos(F.col("e"), F.col("qv")), 4)
+    emb = emb.withColumn("nrm", _norm(F.col("e")))
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("e").alias("qv"), F.col("nrm").alias("nq")
+    )
+    cos = F.round(
+        _cos_pre(F.col("e"), F.col("qv"), F.col("nrm"), F.col("nq")), 4
+    )
     return (
         emb.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(q))
@@ -100,10 +118,15 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = load(spark, sf_dir, "embeddings").select(
         "vec_id", _int_emb(F.col("embedding")).alias("e")
     )
+    base = base.withColumn("nrm", _norm(F.col("e")))
     q = base.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("nq"),
     )
-    cos = F.round(_cos(F.col("e"), F.col("qe")), 4)
+    cos = F.round(
+        _cos_pre(F.col("e"), F.col("qe"), F.col("nrm"), F.col("nq")), 4
+    )
     scored = (
         base.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -185,14 +208,22 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.element_at("e", i + 1) >= 0, F.lit(2 ** (3 - i))).otherwise(0)
         for i in range(4)
     )
-    bucketed = emb.withColumn("bucket", bucket)
+    bucketed = emb.withColumn("bucket", bucket).withColumn(
+        "nrm", _norm(F.col("e"))
+    )
     a = bucketed.select(
-        F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"), "bucket"
+        F.col("vec_id").alias("vec_a"),
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+        "bucket",
     )
     b = bucketed.select(
-        F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"), "bucket"
+        F.col("vec_id").alias("vec_b"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+        "bucket",
     )
-    cos = _cos(F.col("ea"), F.col("eb"))
+    cos = _cos_pre(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb"))
     return (
         a.join(b, "bucket")
         .filter(F.col("vec_a") < F.col("vec_b"))
