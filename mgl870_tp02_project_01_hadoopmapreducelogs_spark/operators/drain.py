@@ -162,21 +162,27 @@ def fit_distributed(
     driver traffic is O(partitions × templates-per-partition), never
     O(lines).
     """
+    from pyspark.sql import functions as F
+
     spark = parsed.sparkSession
 
     def fit_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         miner = DrainMiner(depth, sim_th, max_clusters)
-        # pre-aggregate each Arrow batch with vectorized value_counts so
-        # the Python-level add() runs once per DISTINCT message, not per
-        # line — identical result (add(msg, k) ≡ k× add(msg)), and the
-        # per-line cost drops to the dedup hash
         for pdf in batches:
-            counts = pdf[masked_col].dropna().value_counts()
-            for msg, k in counts.items():
+            for msg, k in zip(pdf[masked_col], pdf["__cnt"]):
                 miner.add(msg, int(k))
         yield pd.DataFrame(miner.templates(), columns=["template", "size"])
 
-    partials = parsed.select(masked_col).mapInPandas(
+    # reduce to DISTINCT masked messages + counts in the JVM first
+    # (map-side combine): add(msg, k) ≡ k× add(msg), so the fit is
+    # identical, but Arrow ships O(distinct) rows instead of O(lines)
+    # and AQE coalesces the tiny shuffle to few Python workers
+    counts = (
+        parsed.filter(F.col(masked_col).isNotNull())
+        .groupBy(masked_col)
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    partials = counts.mapInPandas(
         fit_partition, schema="template string, size long"
     )
     # driver merge: replay partition templates into a fresh miner in

@@ -159,24 +159,28 @@ SHINGLES_SQL = r"""
 """
 
 
-def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct 3-word shingles per document, built with split + slice
+def _doc_shingles(
+    spark: SparkSession, sf_dir: str, distinct: bool = True
+) -> DataFrame:
+    """3-word shingles per document, built with split + slice
     transforms (no UDF). Mirrors SHINGLES_SQL exactly: raw whitespace
-    split, no normalization, docs shorter than 3 tokens drop out."""
+    split, no normalization, docs shorter than 3 tokens drop out.
+
+    ``distinct=False`` skips the dedup shuffle — correct whenever the
+    consumer is idempotent to duplicates (MinHash: min over a multiset
+    equals min over its set).
+    """
     docs = load(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.col("text")), r"\s+")
     n = F.size(toks)
     idx = F.sequence(F.lit(1), n - 2)  # 1-based start positions of 3-shingles
-    return (
-        docs.filter(n >= 3)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 3)))
-            ).alias("shingle"),
-        )
-        .distinct()
+    sh = docs.filter(n >= 3).select(
+        "doc_id",
+        F.explode(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 3)))
+        ).alias("shingle"),
     )
+    return sh.distinct() if distinct else sh
 
 
 @register(
@@ -261,7 +265,9 @@ def _bands_sql() -> str:
     "corpus scale; md5 keeps signatures bit-identical to the oracle.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _doc_shingles(spark, sf_dir)
+    # distinct=False: min(md5) is identical over the shingle multiset,
+    # and skipping the dedup saves a full shuffle of the exploded rows
+    sh = _doc_shingles(spark, sf_dir, distinct=False)
     sig = sh.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{j}")))).alias(f"s{j}")
