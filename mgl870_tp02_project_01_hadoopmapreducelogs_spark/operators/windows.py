@@ -14,6 +14,68 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str = "rn",
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """Scale-safe global ``row_number() OVER (ORDER BY key)`` for a
+    numeric order key.
+
+    ``Window.orderBy`` with no partitionBy funnels the whole table into
+    one partition ("Moving all data to a single partition") — the #1
+    scale killer flagged in round 1. This is the zipWithIndex idiom in
+    DataFrame form, made deterministic by deriving the bucket from the
+    key VALUE rather than from ``repartitionByRange`` placement (whose
+    sampled boundaries differ between jobs, so spark_partition_id is
+    not stable across the two passes):
+
+    1. one tiny agg for (min, max) of the key → a monotonic bucket
+       function ``_b = clamp(floor((key - min) / width))``;
+    2. per-bucket counts → cumulative offsets, computed on the driver
+       (≤ num_buckets rows) and shipped back as a literal CASE map —
+       no single-partition WindowExec anywhere in the plan;
+    3. local ``row_number`` per bucket (shuffle on ``_b``, parallel
+       sort within buckets), plus the bucket's offset.
+
+    Equivalent to the single-partition form when the key is unique
+    and non-null (the bucket function is monotonic, so cross-bucket
+    order is preserved). Three column-pruned scans of one column
+    instead of a full-table single-partition sort.
+    """
+    if len(order_cols) != 1:
+        raise ValueError("global_row_number needs exactly one numeric order column")
+    key = order_cols[0]
+    n = num_buckets or df.sparkSession.sparkContext.defaultParallelism
+    lo, hi = df.agg(F.min(key), F.max(key)).first()
+    if lo is None:  # empty input
+        return df.withColumn(out_col, F.lit(None).cast("long"))
+    width = max(1, (int(hi) - int(lo) + n) // n)
+    bucket = F.least(
+        F.lit(n - 1), F.floor((F.col(key) - F.lit(int(lo))) / F.lit(width))
+    ).cast("int")
+    with_b = df.withColumn("_b", bucket)
+    counts = {
+        r["_b"]: r["_n"]
+        for r in with_b.groupBy("_b").agg(F.count(F.lit(1)).alias("_n")).collect()
+    }
+    offsets, acc = {}, 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    off_expr = F.lit(0)
+    for b, off in offsets.items():
+        off_expr = F.when(F.col("_b") == b, F.lit(off)).otherwise(off_expr)
+    w_local = Window.partitionBy("_b").orderBy(key)
+    return (
+        with_b.withColumn(
+            out_col, (F.row_number().over(w_local) + off_expr).cast("long")
+        )
+        .drop("_b")
+    )
+
+
 def add_row_buckets(
     df: DataFrame,
     order_cols: list[str],
@@ -25,16 +87,15 @@ def add_row_buckets(
 
     Needs a total order (``order_cols``) to be well-defined in a
     distributed setting — the reference's implicit RangeIndex made that
-    invisible. The global ``row_number`` is a single-partition sort:
-    fine for the windowed-feature matrices this feeds (already
-    aggregated, small), documented as non-scalable for raw lines — use
-    ``add_time_windows`` there.
+    invisible. Row position comes from ``global_row_number`` (range-
+    partitioned, no single-partition sort); for time-keyed data prefer
+    ``add_time_windows``.
     """
-    w = Window.orderBy(*order_cols)
-    return df.withColumn(
+    numbered = global_row_number(df, order_cols, out_col="_rn")
+    return numbered.withColumn(
         out_col,
-        F.floor((F.row_number().over(w) - F.lit(1)) / F.lit(window_size)).cast("long"),
-    )
+        F.floor((F.col("_rn") - F.lit(1)) / F.lit(window_size)).cast("long"),
+    ).drop("_rn")
 
 
 def aggregate_windows(

@@ -20,7 +20,7 @@ from . import load, register
     """
     SELECT r.r_name AS region, n.n_name AS nation,
            count(*) AS n_customers,
-           SUM(CAST(FLOOR(c.c_acctbal*100) AS BIGINT)) AS bal_cents
+           CAST(SUM(CAST(FLOOR(c.c_acctbal*100) AS BIGINT)) AS BIGINT) AS bal_cents
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -66,9 +66,10 @@ SESSION_GAP_MIN = 30
     ),
     s AS (
         SELECT user_id, event_id,
-               SUM(is_start) OVER (PARTITION BY user_id
-                                   ORDER BY ts, event_id
-                                   ROWS UNBOUNDED PRECEDING) AS session_no
+               CAST(SUM(is_start) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS session_no
         FROM g
     )
     SELECT user_id, session_no, count(*) AS n_events
@@ -81,9 +82,12 @@ SESSION_GAP_MIN = 30
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # microsecond precision: ts.cast('long') truncates to seconds, so a
+    # true gap in (1800.0, 1801.0) s could disagree with the oracle's
+    # full-precision interval comparison
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
     is_start = F.when(
-        gap.isNull() | (gap > SESSION_GAP_MIN * 60), 1
+        gap.isNull() | (gap > SESSION_GAP_MIN * 60 * 1_000_000), 1
     ).otherwise(0)
     sess = ev.select(
         "user_id",
@@ -216,7 +220,7 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_extract_props",
     """
     SELECT event_type,
-           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            count(json_extract(props, '$.k')) AS n_with_k
     FROM events GROUP BY event_type
     """,
@@ -310,7 +314,7 @@ def setop_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cube_status_priority",
     """
     SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-           SUM(CAST(FLOOR(o_totalprice*100) AS BIGINT)) AS total_cents
+           CAST(SUM(CAST(FLOOR(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
     FROM orders
     GROUP BY CUBE(o_orderstatus, o_orderpriority)
     """,
@@ -333,8 +337,9 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH agg AS (
         SELECT l_returnflag,
-               SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS sum_qty,
-               SUM(CAST(FLOOR(l_extendedprice*100) AS BIGINT)) AS sum_price_cents,
+               CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(SUM(CAST(FLOOR(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+                 AS sum_price_cents,
                count(*) AS n_rows
         FROM lineitem GROUP BY l_returnflag
     )
@@ -370,7 +375,7 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     "skew_salted_agg",
     """
     SELECT event_type, count(*) AS n,
-           SUM(CAST(FLOOR(value*1000) AS BIGINT)) AS sum_mills,
+           CAST(SUM(CAST(FLOOR(value*1000) AS BIGINT)) AS BIGINT) AS sum_mills,
            MAX(CAST(FLOOR(value*1000) AS BIGINT)) AS max_mills
     FROM events GROUP BY event_type
     """,
@@ -400,7 +405,8 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "skew_hot_key_cap",
     """
-    SELECT event_type, count(*) AS n_kept, SUM(event_id) AS sum_ids
+    SELECT event_type, count(*) AS n_kept,
+           CAST(SUM(event_id) AS BIGINT) AS sum_ids
     FROM (
         SELECT event_type, event_id,
                ROW_NUMBER() OVER (PARTITION BY event_type

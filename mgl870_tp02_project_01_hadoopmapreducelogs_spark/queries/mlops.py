@@ -9,7 +9,7 @@ with a full oracle (``ml_windowed_dataset``).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..ml import anomaly, pipeline
@@ -24,12 +24,11 @@ def _windowed(spark: SparkSession, sf_dir: str, window_size: int = 5) -> DataFra
     window event-type counts + value sum as features, 'any error in
     window' as the label (reference windowing process_logs_v10.py:262-265
     with v9's column-label semantics, process_logs_v9.py:255-256)."""
+    from ..operators.windows import add_row_buckets
+
     ev = load(spark, sf_dir, "events")
-    w = Window.orderBy("event_id")
-    b = ev.select(
-        F.floor((F.row_number().over(w) - 1) / window_size)
-        .cast("long")
-        .alias("window_id"),
+    b = add_row_buckets(ev, ["event_id"], window_size=window_size).select(
+        "window_id",
         "event_type",
         F.floor(F.col("value") * 1000).alias("v"),
     )
@@ -58,12 +57,12 @@ _WINDOWED_SQL = """
     "ml_windowed_dataset",
     f"""
     SELECT window_id,
-           SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS n_click,
-           SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS n_error,
-           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-           SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS n_signup,
-           SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS n_view,
-           SUM(v) AS sum_value,
+           CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+           CAST(SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+           CAST(SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+           CAST(SUM(v) AS BIGINT) AS sum_value,
            MAX(CASE WHEN event_type = 'error' THEN CAST(1.0 AS DOUBLE)
                ELSE CAST(0.0 AS DOUBLE) END) AS label
     FROM ({_WINDOWED_SQL})

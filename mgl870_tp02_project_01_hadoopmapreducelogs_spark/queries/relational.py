@@ -84,7 +84,7 @@ def p5_row_selection_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a1_a2_event_totals",
     """
     SELECT event_type, count(*) AS n,
-           SUM(CAST(FLOOR(value*100) AS BIGINT)) AS total_cents
+           CAST(SUM(CAST(FLOOR(value*100) AS BIGINT)) AS BIGINT) AS total_cents
     FROM events GROUP BY event_type
     """,
     doc="A1+A2: per-event frequency and column-wise totals "
@@ -105,7 +105,7 @@ def a1_a2_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "a3_try_cast_coercion",
     """
-    SELECT SUM(TRY_CAST(s AS BIGINT)) AS total,
+    SELECT CAST(SUM(TRY_CAST(s AS BIGINT)) AS BIGINT) AS total,
            count(*) - count(TRY_CAST(s AS BIGINT)) AS n_bad
     FROM (
         SELECT CASE WHEN event_id % 3 = 0 THEN props
@@ -135,7 +135,7 @@ def a3_try_cast_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w1_a4_a5_windowed_features",
     """
     SELECT window_id,
-           SUM(CAST(FLOOR(value*1000) AS BIGINT)) AS sum_value,
+           CAST(SUM(CAST(FLOOR(value*1000) AS BIGINT)) AS BIGINT) AS sum_value,
            MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS label
     FROM (
         SELECT value, event_type,
@@ -150,10 +150,11 @@ def a3_try_cast_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(process_logs_v10.py:262-265).",
 )
 def w1_a4_a5_windowed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import add_row_buckets
+
     ev = load(spark, sf_dir, "events")
-    w = Window.orderBy("event_id")
-    bucketed = ev.select(
-        F.floor((F.row_number().over(w) - 1) / 5).cast("long").alias("window_id"),
+    bucketed = add_row_buckets(ev, ["event_id"], window_size=5).select(
+        "window_id",
         F.floor(F.col("value") * 1000).alias("v"),
         F.when(F.col("event_type") == "error", 1).otherwise(0).alias("is_err"),
     )
@@ -191,11 +192,11 @@ EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
     "a7_occurrence_pivot",
     """
     SELECT user_id,
-           SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS click,
-           SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS error,
-           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-           SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS signup,
-           SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS view
+           CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view
     FROM events GROUP BY user_id
     """,
     doc="A7/D6: line×event one-hot matrix via pivot at the edge "
@@ -361,7 +362,7 @@ def k3_k4_sorted_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_broadcast_dims",
     """
     SELECT r.r_name AS region, count(*) AS n_customers,
-           SUM(CAST(FLOOR(c.c_acctbal*100) AS BIGINT)) AS total_bal_cents
+           CAST(SUM(CAST(FLOOR(c.c_acctbal*100) AS BIGINT)) AS BIGINT) AS total_bal_cents
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -396,7 +397,8 @@ def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     ),
     x AS (
-        SELECT window_id, SUM(CAST(FLOOR(value*1000) AS BIGINT)) AS sum_value
+        SELECT window_id,
+               CAST(SUM(CAST(FLOOR(value*1000) AS BIGINT)) AS BIGINT) AS sum_value
         FROM b GROUP BY window_id
     ),
     y AS (
@@ -412,10 +414,11 @@ def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(process_logs_v10.py:264-265).",
 )
 def join_window_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import add_row_buckets
+
     ev = load(spark, sf_dir, "events")
-    w = Window.orderBy("event_id")
-    b = ev.select(
-        F.floor((F.row_number().over(w) - 1) / 5).cast("long").alias("window_id"),
+    b = add_row_buckets(ev, ["event_id"], window_size=5).select(
+        "window_id",
         F.floor(F.col("value") * 1000).alias("v"),
         F.when(F.col("event_type") == "error", 1).otherwise(0).alias("is_err"),
     )
@@ -497,7 +500,7 @@ def setop_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT date_trunc('hour', ts) AS hour_start,
            count(*) AS n,
-           SUM(CAST(FLOOR(value*1000) AS BIGINT)) AS sum_value
+           CAST(SUM(CAST(FLOOR(value*1000) AS BIGINT)) AS BIGINT) AS sum_value
     FROM events GROUP BY 1
     """,
     doc="Time-based tumbling windows over the parsed timestamp — the "

@@ -41,7 +41,7 @@ def _run_stream(stream_df, query_name: str) -> DataFrame:
     """
     SELECT date_trunc('hour', ts) AS hour_start,
            count(*) AS n,
-           SUM(CAST(FLOOR(value*1000) AS BIGINT)) AS sum_value
+           CAST(SUM(CAST(FLOOR(value*1000) AS BIGINT)) AS BIGINT) AS sum_value
     FROM events GROUP BY 1
     """,
     doc="Structured Streaming: readStream → watermark(ts) → tumbling "
@@ -152,7 +152,7 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "session_window_native",
     """
     WITH g AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN LAG(ts) OVER w IS NULL
                     OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS is_start
@@ -161,7 +161,7 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
         SELECT user_id, ts,
-               SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+               SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                    ROWS UNBOUNDED PRECEDING) AS session_no
         FROM g
     )
