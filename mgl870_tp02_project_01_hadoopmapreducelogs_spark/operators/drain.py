@@ -42,11 +42,12 @@ MASK = "<*>"
 
 
 class _Cluster:
-    __slots__ = ("tokens", "size")
+    __slots__ = ("tokens", "size", "idx")
 
-    def __init__(self, tokens: list[str], size: int = 0):
+    def __init__(self, tokens: list[str], size: int = 0, idx: int = 0):
         self.tokens = tokens
         self.size = size
+        self.idx = idx  # position in DrainMiner.clusters — O(1) id lookup
 
 
 class DrainMiner:
@@ -64,6 +65,7 @@ class DrainMiner:
         self.max_clusters = max_clusters
         self.root: dict = {}
         self.clusters: list[_Cluster] = []
+        self._overflow: _Cluster | None = None
 
     # -- tree navigation -----------------------------------------------------
 
@@ -114,16 +116,23 @@ class DrainMiner:
                 x if x == y else MASK for x, y in zip(best.tokens, tokens)
             ]
             best.size += count
-            return self.clusters.index(best)
+            return best.idx
         if len(self.clusters) >= self.max_clusters:
-            # paper: overflow → absorb into the closest existing cluster
+            # overflow: never grow past the cap — absorb into the closest
+            # leaf cluster if any, else a single catch-all "<*>" cluster
+            # (at most max_clusters regular clusters + 1 catch-all)
             if best is not None:
                 best.size += count
-                return self.clusters.index(best)
-        cl = _Cluster(list(tokens), count)
+                return best.idx
+            if self._overflow is None:
+                self._overflow = _Cluster([MASK], 0, idx=len(self.clusters))
+                self.clusters.append(self._overflow)
+            self._overflow.size += count
+            return self._overflow.idx
+        cl = _Cluster(list(tokens), count, idx=len(self.clusters))
         leaf.append(cl)
         self.clusters.append(cl)
-        return len(self.clusters) - 1
+        return cl.idx
 
     # -- inference ---------------------------------------------------------------
 
@@ -136,13 +145,13 @@ class DrainMiner:
         if not leaf:
             return None
         best, best_sim = None, -1.0
-        for i, cl in enumerate(leaf):
+        for cl in leaf:
             s = self._sim(cl.tokens, tokens)
             if s > best_sim:
-                best, best_sim = i, s
+                best, best_sim = cl, s
         if best is None or best_sim < self.sim_th:
             return None
-        return self.clusters.index(leaf[best])
+        return best.idx
 
     def templates(self) -> list[tuple[str, int]]:
         return [(" ".join(c.tokens), c.size) for c in self.clusters]

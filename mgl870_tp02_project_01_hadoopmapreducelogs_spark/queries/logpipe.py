@@ -173,6 +173,57 @@ def t1a_mine_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mining.mine_exact(parsed).select("cluster_id", "size", "template")
 
 
+# --- T1(b) ------------------------------------------------------------------
+
+
+@register(
+    "t1b_drainish_mining",
+    f"""
+    WITH msk AS (
+        SELECT masked, count(*) AS size
+        FROM ({MASKED_LINES_SQL}) GROUP BY masked
+    ),
+    keyed AS (
+        SELECT masked, size, string_split(masked, ' ') AS toks,
+               len(string_split(masked, ' ')) AS n_toks,
+               string_split(masked, ' ')[1] AS head
+        FROM msk
+    ),
+    pos_rows AS (
+        SELECT toks, n_toks, head,
+               unnest(generate_series(1, n_toks)) AS pos
+        FROM keyed
+    ),
+    consensus AS (
+        SELECT n_toks, head, pos,
+               CASE WHEN count(DISTINCT toks[pos]) = 1
+                    THEN min(toks[pos]) ELSE '<*>' END AS out_tok
+        FROM pos_rows GROUP BY n_toks, head, pos
+    ),
+    templates AS (
+        SELECT n_toks, head,
+               string_agg(out_tok, ' ' ORDER BY pos) AS template
+        FROM consensus GROUP BY n_toks, head
+    ),
+    sizes AS (
+        SELECT n_toks, head, CAST(SUM(size) AS BIGINT) AS size
+        FROM keyed GROUP BY n_toks, head
+    )
+    SELECT ROW_NUMBER() OVER (ORDER BY template) AS cluster_id,
+           s.size, t.template
+    FROM templates t JOIN sizes s USING (n_toks, head)
+    """,
+    doc="T1(b): Drain-style generalization as a closed-form aggregation "
+    "— cluster key (token_count, first_token) = Drain's first two "
+    "prefix-tree levels, position-wise consensus-or-<*> (Drain's "
+    "wildcard rule, process_logs_v10.py:59-81); fully SQL-expressible "
+    "so the middle mining variant gets a hard oracle verdict.",
+)
+def t1b_drainish_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parsed = _masked(spark, sf_dir)
+    return mining.mine_drainish(parsed).select("cluster_id", "size", "template")
+
+
 # --- T2 ---------------------------------------------------------------------
 
 
