@@ -183,10 +183,24 @@ def _doc_shingles(
     return sh.distinct() if distinct else sh
 
 
+#: stop-shingle document-frequency cap: a shingle appearing in more than
+#: this many documents is dropped before the inverted-index self-join.
+#: At 100 TB one hot shingle ("the of the") would otherwise fan out to
+#: df² candidate pairs; the cap bounds per-shingle join fan-out at
+#: DF_CAP², and the dropped set is tiny (broadcast anti-join).
+SHINGLE_DF_CAP = 50
+
+
 @register(
     "dedup_ngram_jaccard",
     f"""
-    WITH sh AS ({SHINGLES_SQL}),
+    WITH sh0 AS ({SHINGLES_SQL}),
+    sh AS (
+        SELECT * FROM sh0 WHERE shingle NOT IN (
+            SELECT shingle FROM sh0 GROUP BY shingle
+            HAVING count(*) > {SHINGLE_DF_CAP}
+        )
+    ),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     pairs AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
@@ -200,13 +214,22 @@ def _doc_shingles(
     JOIN sizes nb ON pairs.doc_b = nb.doc_id
     WHERE shared / CAST(na.n + nb.n - shared AS DOUBLE) >= 0.5
     """,
-    doc="N-gram Jaccard near-dup detection: 3-word shingles, candidate "
-    "pairs via shingle equi-join (inverted index), Jaccard ≥ 0.5. The "
-    "shingle join IS the scalable candidate generator — no O(n²) "
-    "cross join; hot shingles can be df-filtered or salted at scale.",
+    doc="N-gram Jaccard near-dup detection: 3-word shingles, stop-"
+    "shingle df-filter (document frequency > SHINGLE_DF_CAP dropped "
+    "via broadcast anti-join — bounds self-join fan-out at scale), "
+    "candidate pairs via shingle equi-join (inverted index), Jaccard "
+    "≥ 0.5 over the filtered shingle sets. Oracle applies the same "
+    "df-filter, so results match exactly.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _doc_shingles(spark, sf_dir).cache()
+    sh0 = _doc_shingles(spark, sf_dir).cache()
+    hot = (
+        sh0.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > SHINGLE_DF_CAP)
+        .select("shingle")
+    )
+    sh = sh0.join(F.broadcast(hot), "shingle", "left_anti").cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -307,17 +330,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- SimHash (rows-only: 64-bit bit-vote hashing not portably SQL-expressible) -----------
 
 
-@register(
-    "dedup_simhash",
-    None,
-    doc="SimHash near-dup: 32-bit bit-vote fingerprint from md5(token) "
-    "bits, hamming-adjacent buckets. Rows-only check (bit arithmetic "
-    "diverges across engines); determinism is pytest-covered.",
-)
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+def simhash_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """32-bit SimHash per document: per-token md5-derived hash, bit-vote
+    aggregation (Charikar 2002). Returns ``(doc_id, simhash)``."""
     toks = docs.select(
-        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+        "doc_id", F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok")
     )
     # per-token 32-bit hash from md5 hex prefix
     h = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
@@ -333,7 +350,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     votes = bits.groupBy("doc_id").agg(
         *[F.sum(f"b{i}").alias(f"b{i}") for i in range(32)]
     )
-    sim = votes.select(
+    return votes.select(
         "doc_id",
         sum(
             [
@@ -342,6 +359,65 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ).alias("simhash"),
     )
-    return sim.groupBy("simhash").agg(
-        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper")
+
+
+def simhash_near_pairs(hashes: DataFrame, max_hamming: int = 2) -> DataFrame:
+    """Near-dup pairs by 1-bit-neighbor bucket probing.
+
+    Each doc is emitted under 33 bucket keys — its simhash plus every
+    1-bit flip. Two docs at hamming distance d share a key iff d ≤ 2
+    (d=0: same hash; d=1: one's neighbor is the other's hash; d=2:
+    flipping one differing bit on each side meets in the middle), so
+    the bucket equi-join finds ALL pairs with d ≤ 2 without an O(n²)
+    cross join; an exact ``bit_count(xor)`` filter then enforces
+    ``max_hamming``. The 33× expansion is on doc-level fingerprints
+    (one row per document), never on tokens — cheap at any corpus size.
+    """
+    if max_hamming > 2:
+        raise ValueError("1-bit probing only guarantees pairs at hamming <= 2")
+    keys = hashes.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                F.col("simhash"),
+                *[
+                    F.col("simhash").bitwiseXOR(F.lit(1 << i))
+                    for i in range(32)
+                ],
+            )
+        ).alias("bucket"),
     )
+    a = keys.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"), "bucket"
+    )
+    b = keys.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"), "bucket"
+    )
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        pairs.withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+@register(
+    "dedup_simhash",
+    None,
+    doc="SimHash near-dup: 32-bit bit-vote fingerprint from md5(token) "
+    "bits, 1-bit-neighbor bucket probing (33 keys/doc) — finds every "
+    "pair at hamming ≤ 2 sub-quadratically. Rows-only check (bit "
+    "arithmetic diverges across engines); the probing guarantee is "
+    "pytest-covered with planted 1-bit and 2-bit flips.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    hashes = simhash_fingerprints(docs).cache()
+    return simhash_near_pairs(hashes, max_hamming=2)

@@ -173,60 +173,127 @@ def sim_lsh_sign_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Banded sign-LSH knobs for the registered query. Bucket-size math:
+# with B bands of k sign bits, a pair at angle θ matches ≥1 band with
+# prob 1-(1-(1-θ/π)^k)^B, and candidate volume is ~B·n²/2^(k+1) per
+# band-bucket on sign-balanced data. True near-dup thresholds (cos ≥
+# 0.9) want bands=8, bits=8 → recall ≈ 0.99, candidates ~n²/64.
+# The sf testdata has NO planted near-dups (max pair cos ≈ 0.51), so
+# the registered query runs the coarse 16×4 config at threshold 0.45 —
+# non-vacuous (finds the real top pairs) and still band-pruned; the
+# 8×8 near-dup config is pytest-covered with planted duplicates.
+DEDUP_BANDS = 16
+DEDUP_BITS = 4
+DEDUP_COS_TH = 0.45
+
+
+def embedding_near_pairs(
+    emb: DataFrame,
+    bands: int = 8,
+    bits: int = 8,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Near-duplicate vector pairs via banded sign-LSH.
+
+    ``emb`` is ``(vec_id, e: array<long>)``. Each vector is emitted
+    under one bucket key per band (the signs of ``bits`` consecutive
+    dims); candidate pairs share any band bucket (the MinHash-LSH OR-
+    construction, applied to sign-random-projection); exact cosine then
+    filters. Pair volume is bounded by band-bucket sizes — never O(n²).
+    """
+    nrm = emb.withColumn("nrm", _norm(F.col("e")))
+
+    def bucket(b: int):
+        return sum(
+            F.when(F.element_at("e", b * bits + j + 1) >= 0, F.lit(2**j)).otherwise(0)
+            for j in range(bits)
+        )
+
+    banded = nrm.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"), bucket(b).alias("bucket")
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vec_id", "bb.band_id", "bb.bucket")
+    a = banded.select(F.col("vec_id").alias("vec_a"), "band_id", "bucket")
+    b = banded.select(F.col("vec_id").alias("vec_b"), "band_id", "bucket")
+    cand = (
+        a.join(b, ["band_id", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    ea = nrm.select(
+        F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"), F.col("nrm").alias("na")
+    )
+    eb = nrm.select(
+        F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"), F.col("nrm").alias("nb")
+    )
+    cos = _cos_pre(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb"))
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .filter(cos >= threshold)
+        .select("vec_a", "vec_b", F.round(cos, 4).alias("cos"))
+    )
+
+
+def _band_bucket_sql(b: int, bits: int) -> str:
+    cases = " + ".join(
+        f"CASE WHEN e[{b * bits + j + 1}] >= 0 THEN {2**j} ELSE 0 END"
+        for j in range(bits)
+    )
+    return f"SELECT vec_id, {b} AS band_id, ({cases}) AS bucket FROM base"
+
+
+_DEDUP_BANDS_SQL = " UNION ALL ".join(
+    _band_bucket_sql(b, DEDUP_BITS) for b in range(DEDUP_BANDS)
+)
+
+
 @register(
     "dedup_embedding_cosine",
     f"""
     WITH base AS (SELECT vec_id, {INT_EMB_SQL} AS e FROM embeddings),
-    bucketed AS (
-        SELECT vec_id, e,
-          (CASE WHEN e[1] >= 0 THEN 8 ELSE 0 END +
-           CASE WHEN e[2] >= 0 THEN 4 ELSE 0 END +
-           CASE WHEN e[3] >= 0 THEN 2 ELSE 0 END +
-           CASE WHEN e[4] >= 0 THEN 1 ELSE 0 END) AS bucket
-        FROM base
+    bands AS ({_DEDUP_BANDS_SQL}),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.bucket = b.bucket
+         AND a.vec_id < b.vec_id
     )
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+    SELECT vec_a, vec_b,
            ROUND(
-             list_sum(list_transform(list_zip(a.e, b.e), p -> CAST(p[1]*p[2] AS DOUBLE)))
-             / (sqrt(list_sum(list_transform(a.e, x -> CAST(x*x AS DOUBLE))))
-                * sqrt(list_sum(list_transform(b.e, x -> CAST(x*x AS DOUBLE))))), 4)
+             list_sum(list_transform(list_zip(ba.e, bb.e), p -> CAST(p[1]*p[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(ba.e, x -> CAST(x*x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(bb.e, x -> CAST(x*x AS DOUBLE))))), 4)
            AS cos
-    FROM bucketed a JOIN bucketed b
-      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-    WHERE list_sum(list_transform(list_zip(a.e, b.e), p -> CAST(p[1]*p[2] AS DOUBLE)))
-          / (sqrt(list_sum(list_transform(a.e, x -> CAST(x*x AS DOUBLE))))
-             * sqrt(list_sum(list_transform(b.e, x -> CAST(x*x AS DOUBLE))))) > 0.95
+    FROM cand
+    JOIN base ba ON cand.vec_a = ba.vec_id
+    JOIN base bb ON cand.vec_b = bb.vec_id
+    WHERE list_sum(list_transform(list_zip(ba.e, bb.e), p -> CAST(p[1]*p[2] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(ba.e, x -> CAST(x*x AS DOUBLE))))
+             * sqrt(list_sum(list_transform(bb.e, x -> CAST(x*x AS DOUBLE)))))
+          >= {DEDUP_COS_TH}
     """,
-    doc="Embedding-cosine near-dup: LSH sign-bucket candidate join (no "
-    "O(n²) cross product) + exact cosine > 0.95 within buckets.",
+    doc="Embedding-cosine near-dup: banded sign-LSH candidate join "
+    f"({DEDUP_BANDS} bands × {DEDUP_BITS} sign bits, OR-construction — "
+    "no O(n²) cross product) + exact cosine rescoring. Coarse band "
+    "config + 0.45 threshold here because the testdata plants no true "
+    "near-dups (max pair cos ≈ 0.51); the 8×8 near-dup config "
+    "(recall ≈ 0.99 at cos 0.95) is pytest-covered with planted dups.",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", _int_emb(F.col("embedding")).alias("e")
     )
-    bucket = sum(
-        F.when(F.element_at("e", i + 1) >= 0, F.lit(2 ** (3 - i))).otherwise(0)
-        for i in range(4)
-    )
-    bucketed = emb.withColumn("bucket", bucket).withColumn(
-        "nrm", _norm(F.col("e"))
-    )
-    a = bucketed.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("e").alias("ea"),
-        F.col("nrm").alias("na"),
-        "bucket",
-    )
-    b = bucketed.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("e").alias("eb"),
-        F.col("nrm").alias("nb"),
-        "bucket",
-    )
-    cos = _cos_pre(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb"))
-    return (
-        a.join(b, "bucket")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .filter(cos > 0.95)
-        .select("vec_a", "vec_b", F.round(cos, 4).alias("cos"))
+    return embedding_near_pairs(
+        emb, bands=DEDUP_BANDS, bits=DEDUP_BITS, threshold=DEDUP_COS_TH
     )

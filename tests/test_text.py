@@ -65,3 +65,45 @@ def test_quality_score_bounds(spark):
     )
     assert out[0] == 1.0
     assert out[1] < 0.5
+
+
+def test_simhash_near_pairs_probing(spark):
+    from mgl870_tp02_project_01_hadoopmapreducelogs_spark.queries import textops
+
+    base = 0b1010_1100_0011_0101_1010_1100_0011_0101
+    hashes = spark.createDataFrame(
+        [
+            (1, base),                 # anchor
+            (2, base),                 # exact dup (hamming 0)
+            (3, base ^ (1 << 7)),      # 1-bit flip
+            (4, base ^ (1 << 3) ^ (1 << 29)),  # 2-bit flip
+            (5, base ^ 0b111),         # 3 bits away -> excluded
+            (6, 0),                    # far away
+        ],
+        "doc_id long, simhash long",
+    )
+    out = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in textops.simhash_near_pairs(hashes, max_hamming=2).collect()
+    }
+    assert out[(1, 2)] == 0
+    assert out[(1, 3)] == 1
+    assert out[(2, 3)] == 1
+    assert out[(1, 4)] == 2
+    assert (1, 5) not in out and (1, 6) not in out
+    # doc 3 vs 4 is hamming 3 -> must not appear even though both pair with 1
+    assert (3, 4) not in out
+
+
+def test_simhash_fingerprint_deterministic(spark):
+    from mgl870_tp02_project_01_hadoopmapreducelogs_spark.queries import textops
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "totally different words here")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r.simhash for r in textops.simhash_fingerprints(docs).collect()}
+    assert rows[1] == rows[2]
+    assert 0 <= rows[1] < 2 ** 32
+    assert rows[1] != rows[3]

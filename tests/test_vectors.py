@@ -28,3 +28,26 @@ def test_l2_and_unit(spark):
     df = spark.createDataFrame([([3.0, 4.0],)], ["a"])
     u = df.select(V.unit(F.col("a")).alias("u")).collect()[0].u
     assert math.isclose(sum(x * x for x in u), 1.0, rel_tol=1e-12)
+
+
+def test_embedding_near_pairs_finds_planted_dups(spark):
+    """8 bands x 8 bits near-dup config: planted near-identical vectors
+    (cos > 0.99) must be recovered; unrelated vectors must not pair."""
+    import random
+
+    from mgl870_tp02_project_01_hadoopmapreducelogs_spark.queries import vectorops
+
+    rng = random.Random(11)
+    base = [rng.gauss(0, 1) for _ in range(64)]
+    near = [x + rng.gauss(0, 0.01) for x in base]  # tiny perturbation
+    far1 = [rng.gauss(0, 1) for _ in range(64)]
+    far2 = [rng.gauss(0, 1) for _ in range(64)]
+    rows = [(0, base), (1, near), (2, far1), (3, far2)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: F.floor(x * 1000)).alias("e"),
+    )
+    out = vectorops.embedding_near_pairs(emb, bands=8, bits=8, threshold=0.95)
+    pairs = {(r.vec_a, r.vec_b): r.cos for r in out.collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
+    assert all(p == (0, 1) for p in pairs)
