@@ -155,40 +155,64 @@ def asof_join_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- IVF-style ANN -------------------------------------------------------------------
 
 
-@register(
-    "sim_ivf_topk",
-    None,
-    doc="IVF-bucketed ANN: KMeans centroids (spark.ml) partition the "
-    "corpus; queries probe only the nearest cells, then rescore "
-    "exactly. The scale path where sign-LSH recall is insufficient. "
-    "Rows-only: KMeans cell assignment is engine-specific.",
-)
-def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_id: int = 0,
+    k: int = 10,
+    n_cells: int = 8,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF ANN: KMeans cells partition the corpus; the query probes its
+    ``nprobe`` nearest cells (by centroid distance — 8 centroids, a
+    driver-side computation over the broadcast-small model), candidates
+    rescored exactly by cosine. Unit vectors make euclidean cells ≈
+    angular cells."""
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
 
     from ..functions import vectors as V
 
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
+    from pyspark.ml.functions import array_to_vector
+
     with_vec = emb.withColumn("v", array_to_vector("e"))
-    km = KMeans(k=8, seed=42, featuresCol="v", predictionCol="cell").fit(with_vec)
+    km = KMeans(k=n_cells, seed=42, featuresCol="v", predictionCol="cell").fit(
+        with_vec
+    )
     assigned = km.transform(with_vec)
 
-    q = assigned.filter(F.col("vec_id") == 0).select(
-        F.col("e").alias("qe"), F.col("cell").alias("qcell")
+    qe = assigned.filter(F.col("vec_id") == query_id).select("e").first()["e"]
+    dists = sorted(
+        (sum((x - c) ** 2 for x, c in zip(qe, center)), i)
+        for i, center in enumerate(km.clusterCenters())
     )
-    # probe only the query's cell (nprobe=1), rescore exactly by cosine
+    probe_cells = [i for _, i in dists[:nprobe]]
+
+    q = assigned.filter(F.col("vec_id") == query_id).select(F.col("e").alias("qe"))
     cand = assigned.crossJoin(F.broadcast(q)).filter(
-        (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != 0)
+        F.col("cell").isin(probe_cells) & (F.col("vec_id") != query_id)
     )
     cos = F.round(V.cosine(F.col("e"), F.col("qe")), 4)
     return (
         cand.select("vec_id", cos.alias("cos"))
         .orderBy(F.col("cos").desc(), "vec_id")
-        .limit(10)
+        .limit(k)
     )
+
+
+@register(
+    "sim_ivf_topk",
+    None,
+    doc="IVF-bucketed ANN: KMeans centroids (spark.ml) partition the "
+    "corpus; queries probe their nprobe=2 nearest cells, then rescore "
+    "exactly. The scale path where sign-LSH recall is insufficient. "
+    "Rows-only: KMeans cell assignment is engine-specific; recall vs "
+    "the exact top-k is pytest-pinned (tests/test_extended.py).",
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivf_topk(spark, sf_dir, query_id=0, k=10, n_cells=8, nprobe=2)
 
 
 # --- approximate sketches ---------------------------------------------------------------

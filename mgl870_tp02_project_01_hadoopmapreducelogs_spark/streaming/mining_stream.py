@@ -137,14 +137,37 @@ def new_template_feed_stream(parsed: DataFrame, masked_col: str = "masked") -> D
 
 
 def write_catalog_stream(
-    stream_df: DataFrame, path: str, checkpoint: str, mode: str = "update"
+    stream_df: DataFrame, path: str, checkpoint: str, mode: str = "complete"
 ):
-    """S5 streaming sink: checkpointed foreachBatch upsert of the
-    template catalog to Parquet (each epoch overwrites with the latest
-    running counts — idempotent by epoch)."""
+    """S5 streaming sink: checkpointed foreachBatch persistence of the
+    template catalog to Parquet (the drain3_state.bin replacement).
+
+    ``complete`` (default): every epoch carries the FULL catalog, so a
+    plain overwrite is correct and idempotent by epoch — the right mode
+    here because the catalog is bounded by template cardinality, not
+    line count. ``update``: epochs carry only the templates whose
+    counts changed, so the sink MERGES the batch into the existing
+    parquet (templates absent from the batch keep their previous rows)
+    instead of overwriting — an overwrite would silently drop every
+    untouched template after the first trigger.
+    """
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        batch_df.write.mode("overwrite").parquet(path)
+        out = batch_df
+        if mode == "update":
+            spark = batch_df.sparkSession
+            try:
+                existing = spark.read.parquet(path)
+            except Exception:  # first epoch: nothing to merge
+                existing = None
+            if existing is not None:
+                out = existing.join(
+                    batch_df.select("template"), "template", "left_anti"
+                ).unionByName(batch_df)
+            # materialize before overwriting the path we just read
+            # (bounded by catalog size, never by corpus size)
+            out = spark.createDataFrame(out.collect(), out.schema)
+        out.write.mode("overwrite").parquet(path)
 
     return (
         stream_df.writeStream.outputMode(mode)

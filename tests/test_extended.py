@@ -21,3 +21,22 @@ def test_ivf_topk_matches_brute_force_in_probed_cell(spark):
     # nprobe=1 recall: at least a couple of the true top-10 in one cell
     assert len(ivf & brute) >= 1
     assert len(ivf) == 10
+
+
+def test_ivf_recall_vs_exact_topk(spark):
+    """sim_ivf_topk is only useful if its cells actually retain the true
+    neighbors: pin recall of the nprobe=2 IVF top-10 against the exact
+    brute-force top-10 (sim_cosine_topk) on the same data."""
+    from mgl870_tp02_project_01_hadoopmapreducelogs_spark.queries import (
+        extended,
+        vectorops,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    exact = {r.vec_id for r in vectorops.sim_cosine_topk(spark, sf).collect()}
+    ivf = {
+        r.vec_id
+        for r in extended.ivf_topk(spark, sf, query_id=0, k=10, nprobe=2).collect()
+    }
+    assert len(exact) == 10 and len(ivf) == 10
+    assert len(exact & ivf) >= 5, f"recall {len(exact & ivf)}/10"

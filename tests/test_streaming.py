@@ -43,7 +43,10 @@ def test_stateful_new_template_feed_emits_each_template_once(spark, log_dir):
 
 
 def test_stream_catalog_sink_roundtrip(spark, log_dir, tmp_path):
-    raw = mining_stream.read_log_stream(spark, log_dir)
+    # maxFilesPerTrigger=1 forces MULTIPLE micro-batches: the persisted
+    # catalog must keep templates untouched by later epochs (the
+    # update-mode overwrite bug dropped them)
+    raw = mining_stream.read_log_stream(spark, log_dir, max_files_per_trigger=1)
     parsed = mining_stream.parse_stream(raw)
     catalog = mining_stream.mine_templates_stream(parsed)
     q = mining_stream.write_catalog_stream(
@@ -54,7 +57,29 @@ def test_stream_catalog_sink_roundtrip(spark, log_dir, tmp_path):
     q.processAllAvailable()
     q.stop()
     back = spark.read.parquet(str(tmp_path / "catalog"))
-    batch_n = mining.mine_exact(
-        logs.parse_lines(logs.read_log_dir(spark, log_dir))
-    ).count()
-    assert back.count() == batch_n
+    batch = mining.mine_exact(logs.parse_lines(logs.read_log_dir(spark, log_dir)))
+    # full-content parity, not just counts: every (template, size)
+    assert {(r.template, r.size) for r in back.collect()} == {
+        (r.template, r.size) for r in batch.collect()
+    }
+
+
+def test_stream_catalog_sink_update_mode_merges(spark, log_dir, tmp_path):
+    """update-mode epochs carry only changed templates; the sink must
+    merge, so the final parquet still holds the complete catalog."""
+    raw = mining_stream.read_log_stream(spark, log_dir, max_files_per_trigger=1)
+    parsed = mining_stream.parse_stream(raw)
+    catalog = mining_stream.mine_templates_stream(parsed)
+    q = mining_stream.write_catalog_stream(
+        catalog,
+        str(tmp_path / "catalog_u"),
+        str(tmp_path / "ckpt_u"),
+        mode="update",
+    )
+    q.processAllAvailable()
+    q.stop()
+    back = spark.read.parquet(str(tmp_path / "catalog_u"))
+    batch = mining.mine_exact(logs.parse_lines(logs.read_log_dir(spark, log_dir)))
+    assert {(r.template, r.size) for r in back.collect()} == {
+        (r.template, r.size) for r in batch.collect()
+    }
