@@ -41,6 +41,9 @@ HEADLINE = [
     "sessionize_events",
     "asof_join_last_order",
     "rollup_region_nation",
+    "dedup_embedding_cosine",
+    "session_window_native",
+    "t1b_drainish_mining",
 ]
 
 

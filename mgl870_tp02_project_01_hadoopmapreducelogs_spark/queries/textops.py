@@ -354,7 +354,9 @@ def simhash_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         sum(
             [
-                F.when(F.col(f"b{i}") > 0, F.lit(2).cast("long") ** i).otherwise(0)
+                F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                )
                 for i in range(32)
             ]
         ).alias("simhash"),

@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 from mgl870_tp02_project_01_hadoopmapreducelogs_spark.plans import plan_report
 from mgl870_tp02_project_01_hadoopmapreducelogs_spark.plans.audit import (
     executed_plan_str,
+    explain_str,
 )
 from mgl870_tp02_project_01_hadoopmapreducelogs_spark.queries import REGISTRY
 
@@ -47,3 +48,23 @@ def test_agg_uses_hash_aggregate(spark):
     rep = plan_report(REGISTRY["tpch_q1_pricing_summary"].run(spark, SF_DIR))
     assert rep["has_partial_agg"]
     assert not rep["has_python_udf"]
+
+
+def test_windowed_features_has_no_single_partition_exchange(spark):
+    """Round-1 scale killer: Window.orderBy with no partitionBy plans an
+    Exchange SinglePartition (all data through one task). The bucketed
+    global_row_number idiom must keep every exchange parallel."""
+    df = REGISTRY["w1_a4_a5_windowed_features"].run(spark, SF_DIR)
+    plan = explain_str(df, "simple")
+    assert "SinglePartition" not in plan, plan
+    df2 = REGISTRY["ml_windowed_dataset"].run(spark, SF_DIR)
+    assert "SinglePartition" not in explain_str(df2, "simple")
+
+
+def test_jaccard_hot_shingle_filter_broadcasts(spark):
+    """The stop-shingle df-filter must be a broadcast LEFT ANTI join
+    (tiny hot-shingle set), not a shuffled one."""
+    plan = explain_str(
+        REGISTRY["dedup_ngram_jaccard"].run(spark, SF_DIR), "simple"
+    )
+    assert "LeftAnti, BuildRight" in plan, plan
