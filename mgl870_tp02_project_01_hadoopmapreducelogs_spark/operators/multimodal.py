@@ -39,9 +39,83 @@ def attach_binary(df: DataFrame, source_col: str, media_type: str = "text/plain"
     )
 
 
+def parse_media_header(payload: bytes) -> dict | None:
+    """Header-parse stdlib-decodable media formats — REAL parsing, no
+    codec libraries: PPM/PGM (P5/P6), BMP, PNG (IHDR), WAV. Returns
+    ``{media_type, width, height}`` (audio: width=n_frames,
+    height=n_channels) or None if the magic bytes match nothing."""
+    import struct
+
+    if payload[:2] in (b"P5", b"P6"):
+        try:
+            fields, i = [], 2
+            while len(fields) < 3:
+                while i < len(payload) and payload[i : i + 1].isspace():
+                    i += 1
+                if payload[i : i + 1] == b"#":  # comment line
+                    i = payload.index(b"\n", i) + 1
+                    continue
+                j = i
+                while j < len(payload) and not payload[j : j + 1].isspace():
+                    j += 1
+                fields.append(int(payload[i:j]))
+                i = j
+            return {
+                "media_type": "image/x-portable-graymap"
+                if payload[:2] == b"P5"
+                else "image/x-portable-pixmap",
+                "width": fields[0],
+                "height": fields[1],
+            }
+        except (ValueError, IndexError):
+            return None
+    if payload[:2] == b"BM" and len(payload) >= 26:
+        w, h = struct.unpack_from("<ii", payload, 18)
+        return {"media_type": "image/bmp", "width": w, "height": abs(h)}
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 24:
+        w, h = struct.unpack_from(">II", payload, 16)
+        return {"media_type": "image/png", "width": w, "height": h}
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        import io
+        import wave
+
+        try:
+            with wave.open(io.BytesIO(payload)) as wf:
+                return {
+                    "media_type": "audio/wav",
+                    "width": wf.getnframes(),
+                    "height": wf.getnchannels(),
+                }
+        except wave.Error:
+            return None
+    return None
+
+
+def encode_ppm(width: int, height: int, pixels: bytes) -> bytes:
+    """Build a binary P6 PPM payload (3 bytes/pixel RGB)."""
+    if len(pixels) != 3 * width * height:
+        raise ValueError("pixels must be 3*width*height bytes")
+    return b"P6\n%d %d\n255\n" % (width, height) + pixels
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
+    """FULL decode of a binary P6 PPM — stdlib only. Returns
+    (width, height, rgb_bytes)."""
+    hdr = parse_media_header(payload)
+    if hdr is None or hdr["media_type"] != "image/x-portable-pixmap":
+        raise ValueError("not a P6 PPM payload")
+    w, h = hdr["width"], hdr["height"]
+    body = payload[-3 * w * h :]
+    return w, h, body
+
+
 def decode_image(payload: bytes):
-    """The real decode step — stubbed: codec libs are not available
-    here. Pipelines swap this for PIL/torchvision/ffmpeg."""
+    """General image decode: PPM decodes natively (stdlib); other
+    formats need an image library (PIL) — gated, since codec libs are
+    not in this environment. Pipelines swap this for
+    PIL/torchvision/ffmpeg."""
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
     try:
         from PIL import Image  # noqa: F401
         import io
@@ -49,9 +123,32 @@ def decode_image(payload: bytes):
         return Image.open(io.BytesIO(payload))
     except ImportError as e:
         raise NotImplementedError(
-            "media decoding requires an image library (e.g. PIL); "
-            "not available in this environment"
+            "media decoding beyond PPM requires an image library "
+            "(e.g. PIL); not available in this environment"
         ) from e
+
+
+def media_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas header extraction over binary payloads: every
+    payload's magic bytes are parsed (real stdlib parsing for
+    PPM/PGM/BMP/PNG/WAV; unknown formats → NULLs)."""
+    out_schema = (
+        f"{id_col} long, media_type string, width long, height long"
+    )
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [parse_media_header(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "media_type": [m["media_type"] if m else None for m in metas],
+                    "width": [m["width"] if m else None for m in metas],
+                    "height": [m["height"] if m else None for m in metas],
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(parse, schema=out_schema)
 
 
 def _fake_features(payload: bytes) -> list[float]:

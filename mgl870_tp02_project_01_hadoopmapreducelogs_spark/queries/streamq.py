@@ -208,6 +208,38 @@ def multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_ppm_roundtrip",
+    """
+    SELECT doc_id, 'image/x-portable-pixmap' AS media_type,
+           1 + doc_id % 7 AS width, 1 + doc_id % 5 AS height
+    FROM documents
+    """,
+    doc="Multimodal decode round-trip with REAL stdlib parsing: per row "
+    "a binary P6 PPM payload is synthesized (dims derived from "
+    "doc_id), shipped through the Arrow-batched mapInPandas pipeline, "
+    "and header-parsed back (operators/multimodal.parse_media_header). "
+    "The oracle recomputes the dims arithmetically — proving the "
+    "binary encode→distribute→decode path end-to-end, no codec libs.",
+)
+def multimodal_ppm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                w, h = int(1 + d % 7), int(1 + d % 5)
+                pixels = bytes((i * 37 + int(d)) % 256 for i in range(3 * w * h))
+                payloads.append(multimodal.encode_ppm(w, h, pixels))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    with_payload = docs.mapInPandas(synth, "doc_id long, payload binary")
+    return multimodal.media_metadata(with_payload)
+
+
+@register(
     "multimodal_feature_extract",
     None,
     doc="Multimodal feature extraction: Arrow-batched mapInPandas over "

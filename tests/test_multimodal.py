@@ -36,3 +36,63 @@ def test_extract_features_plumbing(spark):
 def test_decode_is_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG fake")
+
+
+def test_parse_media_headers_stdlib_formats():
+    import io
+    import struct
+    import wave
+
+    from mgl870_tp02_project_01_hadoopmapreducelogs_spark.operators import multimodal
+
+    # P6 PPM (with a comment line) + full decode
+    ppm = b"P6\n# a comment\n4 3\n255\n" + bytes(range(36))
+    hdr = multimodal.parse_media_header(ppm)
+    assert hdr == {"media_type": "image/x-portable-pixmap", "width": 4, "height": 3}
+    w, h, body = multimodal.decode_ppm(ppm)
+    assert (w, h, body) == (4, 3, bytes(range(36)))
+
+    # P5 PGM
+    assert multimodal.parse_media_header(b"P5\n2 2\n255\n\x00\x01\x02\x03") == {
+        "media_type": "image/x-portable-graymap", "width": 2, "height": 2,
+    }
+
+    # BMP header (minimal: magic + offsets up to width/height at 18)
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 640, -480) + b"\x00" * 10
+    assert multimodal.parse_media_header(bmp) == {
+        "media_type": "image/bmp", "width": 640, "height": 480,
+    }
+
+    # PNG IHDR
+    png = b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR" + struct.pack(">II", 32, 16)
+    assert multimodal.parse_media_header(png) == {
+        "media_type": "image/png", "width": 32, "height": 16,
+    }
+
+    # WAV via the stdlib wave module
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(2)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(b"\x00\x00" * 2 * 100)
+    assert multimodal.parse_media_header(buf.getvalue()) == {
+        "media_type": "audio/wav", "width": 100, "height": 2,
+    }
+
+    # unknown magic -> None
+    assert multimodal.parse_media_header(b"hello world") is None
+
+
+def test_encode_decode_ppm_roundtrip_distributed(spark):
+    from mgl870_tp02_project_01_hadoopmapreducelogs_spark.operators import multimodal
+
+    rows = []
+    for d in range(20):
+        w, h = 1 + d % 4, 1 + d % 3
+        rows.append((d, multimodal.encode_ppm(w, h, bytes(3 * w * h))))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: (r.media_type, r.width, r.height)
+           for r in multimodal.media_metadata(df).collect()}
+    for d in range(20):
+        assert out[d] == ("image/x-portable-pixmap", 1 + d % 4, 1 + d % 3)
