@@ -80,12 +80,16 @@ def drainish_mapping(parsed: DataFrame, masked_col: str = "masked") -> DataFrame
        cluster contains >1 distinct token at that position;
     4. reassemble templates with an order-preserving array aggregation.
     """
+    # cached: referenced twice (consensus branch + mapping join), and
+    # bounded by DISTINCT-template cardinality, not corpus size — without
+    # the cache each branch re-executes the line-scale masked groupBy
     msk = (
         parsed.groupBy(F.col(masked_col).alias("masked"))
         .agg(F.count(F.lit(1)).alias("size"))
         .withColumn("toks", F.split(F.col("masked"), " "))
         .withColumn("n_toks", F.size("toks"))
         .withColumn("head", F.col("toks").getItem(0))
+        .cache()
     )
     toks = msk.select(
         "masked", "size", "n_toks", "head", F.posexplode("toks").alias("pos", "tok")

@@ -423,3 +423,119 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     hashes = simhash_fingerprints(docs).cache()
     return simhash_near_pairs(hashes, max_hamming=2)
+
+
+# --- within-document repetition (Gopher-style rep fraction) -------------------
+
+RAW_SHINGLES_SQL = r"""
+    SELECT doc_id, shingle FROM (
+        SELECT doc_id,
+               tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+                 AS shingle
+        FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\s+')) AS tok,
+                   unnest(generate_series(1,
+                       len(regexp_split_to_array(trim(text), '\s+')))) AS pos
+            FROM documents
+        )
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ) WHERE shingle IS NOT NULL
+"""
+
+
+@register(
+    "text_repetition_fraction",
+    f"""
+    SELECT doc_id,
+           ROUND(1.0 - count(DISTINCT shingle) / CAST(count(*) AS DOUBLE), 4)
+             AS rep_frac
+    FROM ({RAW_SHINGLES_SQL})
+    GROUP BY doc_id
+    """,
+    doc="Within-document repetition: fraction of 3-gram occurrences "
+    "that are duplicates (Gopher-style repetition filter for "
+    "training corpora) — 1 - distinct/total shingles per doc. One "
+    "aggregation over the exploded shingles, map-side combinable.",
+)
+def text_repetition_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir, distinct=False)
+    return sh.groupBy("doc_id").agg(
+        F.round(
+            1.0
+            - F.count_distinct("shingle") / F.count(F.lit(1)).cast("double"),
+            4,
+        ).alias("rep_frac")
+    )
+
+
+# --- composed quality filter ---------------------------------------------------
+
+#: quality-gate thresholds (C4/Gopher-flavored cheap filters)
+QF_MIN_TOKENS = 5
+QF_MAX_PUNCT = 0.3
+QF_MIN_STOPWORD = 0.01
+
+
+@register(
+    "text_quality_filter",
+    rf"""
+    SELECT doc_id,
+           (len(regexp_split_to_array(trim(text), '\s+')) >= {QF_MIN_TOKENS})
+           AND (CASE WHEN length(text) = 0 THEN 0.0
+                ELSE len(regexp_extract_all(text, '[^\w\s]'))
+                     / CAST(length(text) AS DOUBLE) END < {QF_MAX_PUNCT})
+           AND (CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) = 0
+                THEN 0.0
+                ELSE len(regexp_extract_all(lower(text),
+                         '\b(the|a|of|and|to|in|is|that|for|it)\b'))
+                     / CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                            AS DOUBLE)
+                END >= {QF_MIN_STOPWORD}) AS keep
+    FROM documents
+    """,
+    doc="Composed corpus quality gate: min token count AND punctuation "
+    "ratio below cap AND stopword ratio above floor — the cheap "
+    "heuristic keep/drop pass every training pipeline runs before "
+    "expensive dedup. Single codegen'd projection, no shuffle.",
+)
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    keep = (
+        (TX.token_count(t) >= QF_MIN_TOKENS)
+        & (TX.punct_ratio(t) < QF_MAX_PUNCT)
+        & (TX.stopword_ratio(t, "en") >= QF_MIN_STOPWORD)
+    )
+    return docs.select("doc_id", keep.alias("keep"))
+
+
+# --- benchmark contamination check ---------------------------------------------
+
+
+@register(
+    "text_contamination_check",
+    f"""
+    WITH sh AS ({SHINGLES_SQL}),
+    bench AS (SELECT shingle FROM sh WHERE doc_id % 50 = 0)
+    SELECT DISTINCT s.doc_id
+    FROM sh s JOIN bench b ON s.shingle = b.shingle
+    WHERE s.doc_id % 50 != 0
+    ORDER BY s.doc_id
+    """,
+    doc="Benchmark-contamination check: corpus documents sharing any "
+    "3-gram with the held-out set (doc_id % 50 = 0 stands in for the "
+    "eval benchmark) — a semi-join on the shingle inverted index, the "
+    "standard decontamination pass before training. At 100 TB the "
+    "bench side is tiny → broadcast semi-join, one corpus-side pass.",
+)
+def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir).cache()
+    bench = sh.filter(F.col("doc_id") % 50 == 0).select("shingle").distinct()
+    return (
+        sh.filter(F.col("doc_id") % 50 != 0)
+        .join(F.broadcast(bench), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .orderBy("doc_id")
+    )
