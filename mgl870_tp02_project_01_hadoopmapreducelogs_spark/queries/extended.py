@@ -492,3 +492,69 @@ def s4_s5_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(pq_back.exceptAll(csv_back))
         .agg(F.count(F.lit(1)).alias("n_divergent_rows"))
     )
+
+
+# --- moving-frame window stats -------------------------------------------------
+
+
+@register(
+    "window_moving_stats",
+    """
+    SELECT user_id, event_id,
+           CAST(SUM(mills) OVER w AS BIGINT) AS moving_sum,
+           MAX(mills) OVER w AS moving_max,
+           count(*) OVER w AS frame_n
+    FROM (SELECT user_id, event_id, ts,
+                 CAST(FLOOR(value*1000) AS BIGINT) AS mills
+          FROM events WHERE user_id <= 100)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+    doc="Moving-frame window aggregates (ROWS BETWEEN 4 PRECEDING AND "
+    "CURRENT ROW): running sum/max/count per key — the sliding-frame "
+    "surface SURVEY §2.8 notes the reference lacks. One shuffle on "
+    "the partition key, in-partition frame evaluation only.",
+)
+def window_moving_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") <= 100)
+    mills = F.floor(F.col("value") * 1000).alias("mills")
+    base = ev.select("user_id", "event_id", "ts", mills)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    return base.select(
+        "user_id",
+        "event_id",
+        F.sum("mills").over(w).alias("moving_sum"),
+        F.max("mills").over(w).alias("moving_max"),
+        F.count(F.lit(1)).over(w).alias("frame_n"),
+    )
+
+
+# --- explicit GROUPING SETS ----------------------------------------------------
+
+
+@register(
+    "groupingsets_mixed",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    doc="Explicit GROUPING SETS (neither rollup nor cube): chosen "
+    "subtotal combinations in one Expand + hash-aggregate pass — "
+    "completes the grouping-sets surface beyond rollup_region_nation "
+    "and cube_status_priority.",
+)
+def groupingsets_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
