@@ -122,6 +122,36 @@ def streaming_new_template_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_drain_mining",
+    None,
+    doc="T1(c) as a faithful ONLINE stream: Drain's prefix tree "
+    "decomposed onto the state store (leaf = state key, "
+    "applyInPandasWithState), similarity-merge within leaves, "
+    "change-feed emission collapsed to the live catalog. Rows-only: "
+    "similarity clustering is not SQL-expressible; invariants "
+    "(Σ size = line count, multi-batch convergence) are pytest-"
+    "covered (tests/test_streaming.py).",
+)
+def streaming_drain_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import mining_stream
+    from . import load_events_stream
+
+    msg = F.concat(
+        F.col("event_type"), F.lit(" user="), F.col("user_id").cast("string")
+    )
+    stream = load_events_stream(spark, sf_dir).select(
+        F.regexp_replace(msg, r"\b\d+\b", "<*>").alias("masked")
+    )
+    feed = mining_stream.drain_mining_stream(stream)
+    global _SINK_N
+    _SINK_N += 1
+    emissions = mining_stream.run_to_memory(
+        feed, f"drain_stream_{_SINK_N}", mode="append"
+    )
+    return mining_stream.latest_drain_catalog(emissions)
+
+
+@register(
     "streaming_sliding_counts",
     """
     SELECT ws AS window_start, count(*) AS n FROM (

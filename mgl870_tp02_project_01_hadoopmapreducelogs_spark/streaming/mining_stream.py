@@ -136,6 +136,114 @@ def new_template_feed_stream(parsed: DataFrame, masked_col: str = "masked") -> D
     )
 
 
+def drain_mining_stream(
+    parsed: DataFrame,
+    masked_col: str = "masked",
+    sim_th: float = 0.4,
+    max_clusters_per_leaf: int = 512,
+) -> DataFrame:
+    """T1(c) as a faithful ONLINE stream: Drain's fixed-depth tree,
+    decomposed onto the state store.
+
+    Drain routes a line by (token_count, first tokens) to a leaf, then
+    similarity-merges within the leaf (He et al. 2017). That routing
+    key IS a shuffle key: group the stream by the prefix
+    ``(token_count, head)`` and keep each leaf's cluster list as that
+    key's state — the tree becomes horizontally partitioned state, one
+    leaf per key, exactly the role drain3_state.bin played single-node.
+    Each micro-batch emits the leaf's updated clusters (latest emission
+    per (leaf, cluster_idx) wins — an upsert change feed).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.drain import DrainMiner
+
+    MASK = "<*>"
+
+    def update_leaf(key, pdfs, state: GroupState):
+        n_toks, head = key
+        # leaf state: parallel lists of (template, size)
+        if state.exists:
+            templates, sizes = state.get
+            clusters = [[t.split(" "), s] for t, s in zip(templates, sizes)]
+        else:
+            clusters = []
+        touched = False
+        for pdf in pdfs:
+            for msg in pdf[masked_col]:
+                toks = msg.split(" ")
+                best, best_sim = None, -1.0
+                for cl in clusters:
+                    s = DrainMiner._sim(cl[0], toks)
+                    if s > best_sim:
+                        best, best_sim = cl, s
+                if best is not None and (
+                    best_sim >= sim_th or len(clusters) >= max_clusters_per_leaf
+                ):
+                    if best_sim >= sim_th:
+                        best[0] = [
+                            x if x == y else MASK for x, y in zip(best[0], toks)
+                        ]
+                    best[1] += 1
+                else:
+                    clusters.append([list(toks), 1])
+                touched = True
+        if not touched:
+            return iter([])
+        state.update(
+            (
+                [" ".join(c[0]) for c in clusters],
+                [c[1] for c in clusters],
+            )
+        )
+        return iter(
+            [
+                pd.DataFrame(
+                    {
+                        "n_toks": [int(n_toks)] * len(clusters),
+                        "head": [head] * len(clusters),
+                        "cluster_idx": list(range(len(clusters))),
+                        "template": [" ".join(c[0]) for c in clusters],
+                        "size": [c[1] for c in clusters],
+                    }
+                )
+            ]
+        )
+
+    keyed = parsed.select(
+        F.size(F.split(F.col(masked_col), " ")).alias("n_toks"),
+        F.split(F.col(masked_col), " ").getItem(0).alias("head"),
+        masked_col,
+    )
+    return keyed.groupBy("n_toks", "head").applyInPandasWithState(
+        update_leaf,
+        outputStructType=(
+            "n_toks int, head string, cluster_idx int, template string, size long"
+        ),
+        stateStructType="templates array<string>, sizes array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def latest_drain_catalog(emissions: DataFrame) -> DataFrame:
+    """Collapse the drain change feed to the current catalog: the
+    latest emission per (leaf, cluster_idx) is the newest template/size
+    (sizes only grow, so max(size) identifies it)."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("n_toks", "head", "cluster_idx")
+        .orderBy(F.col("size").desc())
+    )
+    return (
+        emissions.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("template", "size")
+    )
+
+
 def write_catalog_stream(
     stream_df: DataFrame, path: str, checkpoint: str, mode: str = "complete"
 ):

@@ -83,3 +83,23 @@ def test_stream_catalog_sink_update_mode_merges(spark, log_dir, tmp_path):
     assert {(r.template, r.size) for r in back.collect()} == {
         (r.template, r.size) for r in batch.collect()
     }
+
+
+def test_streaming_drain_mining_invariants(spark, log_dir):
+    """Faithful online Drain as a stateful stream: every line lands in
+    exactly one leaf cluster across micro-batches (sum size = line
+    count), and leaves generalize at least as much as exact dedup."""
+    raw = mining_stream.read_log_stream(spark, log_dir, max_files_per_trigger=1)
+    parsed = mining_stream.parse_stream(raw).filter(F.col("masked").isNotNull())
+    feed = mining_stream.drain_mining_stream(parsed)
+    emissions = mining_stream.run_to_memory(feed, "drain_stream_test", mode="append")
+    catalog = mining_stream.latest_drain_catalog(emissions)
+    rows = catalog.collect()
+
+    batch_parsed = logs.parse_lines(logs.read_log_dir(spark, log_dir))
+    n_lines = batch_parsed.filter(F.col("masked").isNotNull()).count()
+    assert sum(r.size for r in rows) == n_lines
+    n_exact = mining.mine_exact(
+        batch_parsed.filter(F.col("masked").isNotNull())
+    ).count()
+    assert 0 < len(rows) <= n_exact
