@@ -101,12 +101,15 @@ _PRIORITY = [
     "text_detect_language", "text_fingerprint", "dedup_exact",
     "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_embedding_cosine",
     "sim_cosine_topk", "sim_knn_join", "sim_lsh_sign_buckets",
-    # (3) core previously-green coverage
+    # (2b) round-2 additions, oracle-backed, never driver-checked
+    "multimodal_ppm_roundtrip", "text_repetition_fraction",
+    "text_quality_filter", "text_contamination_check",
+    "window_moving_stats", "groupingsets_mixed",
+    # (3) core previously-green coverage (the rest of the round-1
+    # greens keep their r01 evidence; slots go to unproven queries)
     "f1_f4_preprocess_strip", "f5_mask_dynamic_tokens",
     "t1a_mine_templates", "t2_match_lines", "p2_p3_projection_drop",
-    "k1_k2_topk_by_magnitude", "a9_pearson_correlation",
-    "a10_correlation_pruning", "window_rank_analytics",
-    "setop_intersect_except", "asof_join_last_order", "join_left_semi",
+    "k1_k2_topk_by_magnitude",
 ]
 
 
