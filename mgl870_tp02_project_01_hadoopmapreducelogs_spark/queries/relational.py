@@ -717,3 +717,145 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select("user_id", "event_id", F.row_number().over(w).alias("rnk"))
         .filter(F.col("rnk") <= 3)
     )
+
+
+@register(
+    "tpch_q4_order_priority",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    )
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape (adapted to the synthetic schema: 'late' = "
+    "shipped >60 days after order date): EXISTS compiles to a left-"
+    "semi hash join on the order key before the priority aggregate — "
+    "no row explosion from multi-line orders.",
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    late = li.select("l_orderkey", "l_shipdate")
+    cond = (o.o_orderkey == late.l_orderkey) & (
+        late.l_shipdate > F.expr("o_orderdate + INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(late, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "tpch_q10_returned_items",
+    """
+    SELECT c.c_custkey, c.c_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: revenue lost to returned items per customer, "
+    "top 20. Fact-fact joins shuffle on their keys (AQE skew-split); "
+    "the final top-k is TakeOrderedAndProject, never a global sort.",
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum(rev), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q18_large_volume",
+    """
+    WITH big AS (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+    )
+    SELECT o.o_orderkey, ROUND(o.o_totalprice, 2) AS total_price,
+           ROUND(SUM(l.l_quantity), 2) AS sum_qty
+    FROM orders o
+    JOIN big b ON o.o_orderkey = b.l_orderkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, o.o_totalprice
+    """,
+    doc="TPC-H Q18 shape (large-volume orders): HAVING subquery becomes "
+    "an aggregate + semi-join-shaped inner join back to the facts — "
+    "both shuffles share the order-key partitioning, so AQE reuses "
+    "the exchange layout.",
+)
+def tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(li.alias("l"), F.col("l.l_orderkey") == o.o_orderkey)
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(F.round(F.sum("l.l_quantity"), 2).alias("sum_qty"))
+        .select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "tpch_q19_disjunctive_filter",
+    """
+    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 30)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity >= 20)
+    """,
+    doc="TPC-H Q19 shape: disjunction of conjunctive predicates across "
+    "both join sides. Catalyst splits the OR into per-side pushable "
+    "conjuncts (l_quantity >= 20 reaches the lineitem scan, brand/size "
+    "disjunction reaches the part scan) before the join evaluates the "
+    "full predicate.",
+)
+def tpch_q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    joined = li.join(p, li.l_partkey == p.p_partkey)
+    pred = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & (F.col("l_quantity") >= 30)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(10, 30)
+        & (F.col("l_quantity") >= 20)
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.filter(pred).agg(
+        F.round(F.sum(rev), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
