@@ -68,3 +68,15 @@ def test_jaccard_hot_shingle_filter_broadcasts(spark):
         REGISTRY["dedup_ngram_jaccard"].run(spark, SF_DIR), "simple"
     )
     assert "LeftAnti, BuildRight" in plan, plan
+
+
+def test_q19_disjunction_splits_into_pushable_conjuncts(spark):
+    """The OR-of-ANDs predicate must not block pushdown entirely:
+    Catalyst derives per-side filters (l_quantity >= 20 for lineitem,
+    the brand/size disjunction for part) that reach the scans."""
+    plan = explain_str(
+        REGISTRY["tpch_q19_disjunctive_filter"].run(spark, SF_DIR), "formatted"
+    )
+    assert "PushedFilters: [" in plan
+    # the lineitem side gets the derived quantity bound
+    assert "GreaterThanOrEqual(l_quantity,20" in plan, plan
