@@ -539,3 +539,59 @@ def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("doc_id")
     )
+
+
+# --- pair graph -> dedup groups (iterative connected components) ---------------
+
+
+@register(
+    "dedup_connected_components",
+    f"""
+    WITH RECURSIVE sh0 AS ({SHINGLES_SQL}),
+    sh AS (
+        SELECT * FROM sh0 WHERE shingle NOT IN (
+            SELECT shingle FROM sh0 GROUP BY shingle
+            HAVING count(*) > {SHINGLE_DF_CAP}
+        )
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b FROM cand
+        JOIN sizes na ON cand.doc_a = na.doc_id
+        JOIN sizes nb ON cand.doc_b = nb.doc_id
+        WHERE shared / CAST(na.n + nb.n - shared AS DOUBLE) >= 0.5
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (
+        SELECT a AS doc_id, LEAST(a, min(b)) AS component
+        FROM reach GROUP BY a
+    )
+    SELECT component, component AS keeper, count(*) AS n_docs
+    FROM comp GROUP BY component
+    """,
+    doc="Near-dup pairs → dedup GROUPS: iterative min-label propagation "
+    "(operators/graph.connected_components — one join+agg per round, "
+    "localCheckpoint lineage truncation, O(diameter) rounds) over the "
+    "Jaccard pair graph, one keeper per component. The oracle computes "
+    "the same components with a recursive CTE — a hard check on a "
+    "genuinely iterative distributed algorithm.",
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import graph
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    return graph.dedup_groups(pairs)

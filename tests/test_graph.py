@@ -1,0 +1,33 @@
+"""Iterative connected components (operators/graph.py): the pair→group
+collapse every near-dup dedup decision needs."""
+
+import pytest
+
+from mgl870_tp02_project_01_hadoopmapreducelogs_spark.operators import graph
+
+
+def test_components_multi_hop_chain(spark):
+    # chain 1-2-3-4 (diameter 3), pair 10-11, singleton edge 20-21
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (21, 20)],
+        "doc_a long, doc_b long",
+    )
+    comp = {
+        r.doc_id: r.component
+        for r in graph.connected_components(edges).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+    groups = {
+        r.component: (r.keeper, r.n_docs)
+        for r in graph.dedup_groups(edges).collect()
+    }
+    assert groups == {1: (1, 4), 10: (10, 2), 20: (20, 2)}
+
+
+def test_components_raise_when_iteration_budget_too_small(spark):
+    # a path of length 6 cannot converge in 1 round
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        graph.connected_components(edges, max_iter=1)
