@@ -287,6 +287,39 @@ def t4_cluster_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mining.mine_exact(parsed).agg(F.count(F.lit(1)).alias("n_clusters"))
 
 
+# --- S5: cross-run catalog accumulation ----------------------------------------
+
+
+@register(
+    "s5_catalog_accumulation",
+    TEMPLATES_SQL,
+    doc="S5 invariant, oracle-checked: mining two disjoint half-corpora "
+    "as separate 'runs' and accumulating the persisted catalogs "
+    "(sources/sinks.accumulate_catalog — the drain3_state.bin "
+    "accumulate-across-runs semantics, sizes 1,984,400 → 6,716,120 in "
+    "BASELINE.md) must equal one full rebuild. Oracle = the full-"
+    "corpus catalog SQL.",
+)
+def s5_catalog_accumulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import sinks
+
+    ev = load(spark, sf_dir, "events")
+    half = F.col("event_id") % 2
+    run1 = mining.mine_exact(
+        _message(ev.filter(half == 0)).select(
+            "event_id", P.mask(F.col("message")).alias("masked")
+        )
+    )
+    run2 = mining.mine_exact(
+        _message(ev.filter(half == 1)).select(
+            "event_id", P.mask(F.col("message")).alias("masked")
+        )
+    )
+    return sinks.accumulate_catalog(run1, run2).select(
+        "cluster_id", "size", "template"
+    )
+
+
 # --- T1(c): faithful Drain mining ---------------------------------------------
 
 
