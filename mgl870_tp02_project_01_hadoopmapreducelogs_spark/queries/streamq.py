@@ -18,12 +18,12 @@ from . import load, register
 _SINK_N = 0
 
 
-def _run_stream(stream_df, query_name: str) -> DataFrame:
+def _run_stream(stream_df, query_name: str, mode: str = "complete") -> DataFrame:
     global _SINK_N
     _SINK_N += 1
     name = f"{query_name}_{_SINK_N}"
     q = (
-        stream_df.writeStream.outputMode("complete")
+        stream_df.writeStream.outputMode(mode)
         .format("memory")
         .queryName(name)
         .start()
@@ -176,6 +176,61 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _run_stream(stream, "sliding_counts")
     return out.select(F.col("w.start").alias("window_start"), "n")
+
+
+@register(
+    "streaming_stream_stream_join",
+    """
+    SELECT e.user_id, e.event_id AS purchase_event, v.event_id AS view_event
+    FROM events e JOIN events v
+      ON e.user_id = v.user_id
+     AND e.event_type = 'purchase' AND v.event_type = 'view'
+     AND v.ts BETWEEN e.ts - INTERVAL 10 MINUTE AND e.ts
+    """,
+    doc="Stream-stream inner join (purchases joined to the same user's "
+    "views in the preceding 10 minutes): both sides are watermarked "
+    "streams, the time-range predicate bounds join state so expired "
+    "rows are evicted — the attribution-join shape. Batch SQL oracle "
+    "proves stream/batch parity.",
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import load_events_stream
+
+    purchases = (
+        load_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_event"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "30 minutes")
+    )
+    views = (
+        load_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_event"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "30 minutes")
+    )
+    joined = purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("v_ts") <= F.col("p_ts")),
+        "inner",
+    )
+    out = _run_stream(
+        joined.select(
+            F.col("p_user").alias("user_id"), "purchase_event", "view_event"
+        ),
+        "stream_stream_join",
+        mode="append",
+    )
+    return out
 
 
 @register(
