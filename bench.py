@@ -44,6 +44,8 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "session_window_native",
     "t1b_drainish_mining",
+    "text_contamination_check",
+    "dedup_connected_components",
 ]
 
 
@@ -57,8 +59,12 @@ def main() -> None:
     spark = get_spark(app_name="bench")
 
     def run(name: str) -> float:
-        df = REGISTRY[name].run(spark, sf_dir)
+        # the timer covers query CONSTRUCTION too: iterative operators
+        # (connected components) execute their convergence loop eagerly
+        # during construction, and excluding it would under-report them;
+        # for lazy plans construction adds only analysis milliseconds
         t0 = time.time()
+        df = REGISTRY[name].run(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         return time.time() - t0
 

@@ -37,10 +37,14 @@ def connected_components(
     no label changes or ``max_iter`` (raises if not converged — a
     silent partial answer would corrupt the dedup decision).
     """
+    # materialize the (small, pair-count-bounded) edge list ONCE: it is
+    # re-joined every iteration, and without truncation each round would
+    # re-execute the full upstream pair-generation pipeline
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        .localCheckpoint()
     )
     labels = (
         sym.select(F.col("a").alias("doc_id"))

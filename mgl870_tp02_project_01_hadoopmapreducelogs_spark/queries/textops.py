@@ -595,3 +595,29 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     return graph.dedup_groups(pairs)
+
+
+# --- corpus-level statistics (mixture weighting input) ------------------------
+
+
+@register(
+    "corpus_stats_by_language",
+    r"""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+             AS total_tokens,
+           ROUND(AVG(length(text)), 2) AS avg_chars
+    FROM documents GROUP BY lang
+    """,
+    doc="Corpus statistics per language: doc counts, token totals, mean "
+    "length — the inputs to training-mixture weighting. One hash "
+    "aggregate with map-side partials over a codegen'd projection.",
+)
+def corpus_stats_by_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(TX.token_count(F.col("text"))).alias("total_tokens"),
+        F.round(F.avg(F.length("text")), 2).alias("avg_chars"),
+    )
