@@ -343,3 +343,31 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             "feature_sum"
         ),
     )
+
+
+@register(
+    "streaming_dedup_exact",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    doc="Streaming exact deduplication: dropDuplicatesWithinWatermark "
+    "keeps the first row per (user_id, event_type) key and expires key "
+    "state once the watermark passes the key's event time — bounded "
+    "state for an unbounded stream, unlike a plain dropDuplicates, "
+    "which retains every key forever. The training-pipeline shape: "
+    "dedup an incoming document/event firehose by content fingerprint "
+    "without ever holding the full key set. Output is projected to the "
+    "key columns so the batch DISTINCT oracle is exact (which "
+    "non-key columns survive is first-arrival-dependent by design).",
+)
+def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import load_events_stream
+
+    stream = (
+        load_events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    out = _run_stream(stream, "dedup_exact_stream", mode="append")
+    return out.distinct()

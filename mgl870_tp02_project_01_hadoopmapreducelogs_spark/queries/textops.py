@@ -621,3 +621,166 @@ def corpus_stats_by_language(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(TX.token_count(F.col("text"))).alias("total_tokens"),
         F.round(F.avg(F.length("text")), 2).alias("avg_chars"),
     )
+
+
+# --- vocabulary / mixture / packing (training-pipeline layer) -----------------
+
+
+@register(
+    "text_vocab_topk",
+    r"""
+    SELECT token, cnt, doc_freq FROM (
+        SELECT token, count(*) AS cnt,
+               count(DISTINCT doc_id) AS doc_freq
+        FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+                     AS token
+            FROM documents
+        )
+        GROUP BY token
+    )
+    ORDER BY cnt DESC, token
+    LIMIT 100
+    """,
+    doc="Vocabulary induction: top-100 whitespace tokens by term "
+    "frequency (ties broken lexically) with document frequency. "
+    "explode -> hash aggregate; map-side partial aggregation collapses "
+    "each partition to its distinct tokens, so the shuffle carries "
+    "O(partitions x vocab), never O(corpus tokens). The final top-k is "
+    "TakeOrdered over the vocab-sized aggregate.",
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"),
+    )
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.col("cnt").desc(), "token")
+        .limit(100)
+    )
+
+
+# per-language keep-thresholds on the first 8 hex chars of md5(doc_id):
+# lexicographic hex compare == uniform-hash compare, identical in both
+# engines. 'en' is downsampled to ~25%; every other language kept whole
+# ('g0...' sorts above any hex digit). The classic mixture-reweighting
+# step of a training-data pipeline, made deterministic and seedless.
+_SAMPLE_THRESH = [("en", "40000000")]
+_SAMPLE_DEFAULT = "g0000000"
+
+
+@register(
+    "text_sample_stratified",
+    f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+          < CASE lang WHEN 'en' THEN '{_SAMPLE_THRESH[0][1]}'
+                      ELSE '{_SAMPLE_DEFAULT}' END
+    """,
+    doc="Stratified deterministic sampling (mixture reweighting): keep a "
+    "per-language fraction of documents by comparing a content-stable "
+    "md5 hash against the language's keep-threshold. Map-only, "
+    "seedless, reproducible across runs/engines/cluster sizes — the "
+    "property Bernoulli sampling cannot give. Reference anchor: the "
+    "pipeline's notion of run-stable artifacts (process_logs_v10.py "
+    "persisted-state design); here applied to corpus curation.",
+)
+def text_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    thresh = F.when(F.col("lang") == "en", F.lit(_SAMPLE_THRESH[0][1])).otherwise(
+        F.lit(_SAMPLE_DEFAULT)
+    )
+    u = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    return docs.filter(u < thresh).select("doc_id", "lang")
+
+
+@register(
+    "text_pack_sequences",
+    r"""
+    SELECT doc_id, lang, n_tokens,
+           CAST(FLOOR(CAST(start_off AS DOUBLE) / 2048) AS BIGINT) AS pack_id
+    FROM (
+        SELECT doc_id, lang, n_tokens,
+               CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS start_off
+        FROM (
+            SELECT doc_id, lang,
+                   CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                     AS n_tokens
+            FROM documents
+        )
+    )
+    """,
+    doc="Sequence packing (concat-and-chunk): concatenate each "
+    "language's documents in doc_id order and assign every document "
+    "the 2048-token context window its first token lands in. One "
+    "cumulative-sum window PARTITIONED BY lang — parallel across "
+    "language streams, no global sort; at 100 TB repartition the "
+    "stream by (lang, shard) first and pack per shard.",
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        TX.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_off")
+    return toks.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor(start.cast("double") / 2048).cast("long").alias("pack_id"),
+    )
+
+
+@register(
+    "text_length_quantiles",
+    """
+    SELECT lang,
+           ROUND(qs[1], 4) AS p25, ROUND(qs[2], 4) AS p50,
+           ROUND(qs[3], 4) AS p75, ROUND(qs[4], 4) AS p95,
+           n_docs
+    FROM (
+        SELECT lang,
+               quantile_cont(n_chars, [0.25, 0.5, 0.75, 0.95]) AS qs,
+               count(*) AS n_docs
+        FROM documents GROUP BY lang
+    )
+    ORDER BY lang
+    """,
+    doc="Per-language document-length quantiles (exact, linearly "
+    "interpolated — identical definition to DuckDB quantile_cont). "
+    "Exact percentile is a full sort per group; for the 100 TB path "
+    "swap in approx_percentile (t-digest, mergeable partial "
+    "aggregation) and widen the assertion band.",
+)
+def text_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    qs = F.expr("percentile(n_chars, array(0.25D, 0.5D, 0.75D, 0.95D))")
+    return (
+        docs.groupBy("lang")
+        .agg(qs.alias("qs"), F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            "lang",
+            F.round(F.col("qs")[0], 4).alias("p25"),
+            F.round(F.col("qs")[1], 4).alias("p50"),
+            F.round(F.col("qs")[2], 4).alias("p75"),
+            F.round(F.col("qs")[3], 4).alias("p95"),
+            "n_docs",
+        )
+        .orderBy("lang")
+    )
