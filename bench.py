@@ -46,6 +46,9 @@ HEADLINE = [
     "t1b_drainish_mining",
     "text_contamination_check",
     "dedup_connected_components",
+    "tpch_q8_market_share",
+    "text_vocab_topk",
+    "text_pack_sequences",
 ]
 
 
