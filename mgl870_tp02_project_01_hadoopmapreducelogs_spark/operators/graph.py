@@ -46,33 +46,38 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    # fold the first propagation round into label init: every vertex
+    # appears as `a` in the symmetric edge list, so one aggregate gives
+    # label(v) = min(v, min over neighbors) — the state after round 1
     labels = (
-        sym.select(F.col("a").alias("doc_id"))
-        .distinct()
-        .withColumn("component", F.col("doc_id"))
+        sym.groupBy(F.col("a").alias("doc_id"))
+        .agg(F.least(F.col("a"), F.min("b")).alias("component"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
-        # candidate label per vertex: min of own label and neighbors'
+    for _ in range(max_iter - 1):
+        # candidate label per vertex: min of own label and neighbors'.
+        # `old` rides along in the materialized frame so convergence is
+        # a filter-count scan over checkpointed blocks, not a second
+        # shuffle join per round.
         neighbor = (
             sym.join(labels, sym.b == labels.doc_id)
             .select(F.col("a").alias("doc_id"), "component")
         )
         new_labels = (
-            labels.unionByName(neighbor)
+            labels.select("doc_id", "component")
+            .unionByName(neighbor)
             .groupBy("doc_id")
             .agg(F.min("component").alias("component"))
+            .join(
+                labels.select("doc_id", F.col("component").alias("old")),
+                "doc_id",
+            )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
+        changed = new_labels.filter(F.col("component") != F.col("old")).count()
         labels = new_labels
         if changed == 0:
-            return labels
+            return labels.select("doc_id", "component")
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
 
