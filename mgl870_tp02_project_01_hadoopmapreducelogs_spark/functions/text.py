@@ -115,10 +115,21 @@ def fingerprint(col: Column) -> Column:
 def word_shingles(col: Column, k: int = 3) -> Column:
     """k-word shingles as an array<string> — input to MinHash/Jaccard
     dedup. Built with transform over a token index sequence (no UDF).
+
+    The tokenized array is bound once as a lambda variable (the
+    one-element-transform let idiom); referencing the split expression
+    inline would re-run normalize+split for every slice position —
+    O(tokens^2) per row.
     """
-    toks = F.split(normalize_text(col), " ")
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+
+    def shingles(toks: Column) -> Column:
+        n = F.size(toks)
+        idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+        return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+        )
+
+    bound = F.transform(
+        F.array(F.split(normalize_text(col), " ")), lambda toks: shingles(toks)
     )
+    return F.get(bound, 0)
