@@ -50,6 +50,45 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def spread(df: DataFrame, est_partitions: int) -> DataFrame:
+    """Repartition up to the session's default parallelism when the
+    scan yields fewer partitions — use BEFORE a CPU-heavy per-row chain
+    (regex masking, shingle explode).
+
+    The testdata tables are single-row-group parquet, and a parquet
+    split can't go below row-group granularity, so the scan (and every
+    narrow transformation fused onto it) otherwise runs on ONE core no
+    matter how wide the chain is. On a real multi-file / multi-row-group
+    input ``est_partitions`` exceeds the core count and this is a no-op
+    — the shuffle is only paid exactly when the alternative is idling
+    the cluster. ``est_partitions`` comes from ``load(...)`` file sizes
+    (cheap stat) rather than ``df.rdd`` (which pays a plan-to-RDD
+    conversion per call).
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if est_partitions < target:
+        return df.repartition(target)
+    return df
+
+
+def scan_partitions(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Estimated parquet scan splits for a testdata table: Spark plans
+    ceil(bytes / maxPartitionBytes) splits per file (fewer effective
+    ones if row groups are coarser — a conservative overestimate is
+    fine here)."""
+    import math
+    import os
+
+    path = f"{sf_dir}/{name}.parquet"
+    size = os.path.getsize(path) if os.path.isfile(path) else sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(path)
+        for f in fs
+    )
+    mpb = int(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").rstrip("b"))
+    return max(1, math.ceil(size / mpb))
+
+
 def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming variant of ``load('events')`` — same ns→µs handling."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from ..functions import preprocess as P
 from ..operators import mining
-from . import load, register
+from . import load, register, scan_partitions, spread
 
 # --- shared line synthesis (Spark + SQL kept textually adjacent) -----------
 
@@ -94,7 +94,11 @@ TEMPLATES_SQL = f"""
 
 
 def _masked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
+    # spread() before the 15-regex mask chain: the single-row-group
+    # testdata scan cannot split, and the chain is the CPU hog
+    ev = spread(
+        load(spark, sf_dir, "events"), scan_partitions(spark, sf_dir, "events")
+    )
     return _message(ev).select(
         "event_id", P.mask(F.col("message")).alias("masked")
     )

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
-from . import load, register
+from . import load, register, scan_partitions, spread
 
 # --- token counting -----------------------------------------------------------
 
@@ -170,7 +170,11 @@ def _doc_shingles(
     consumer is idempotent to duplicates (MinHash: min over a multiset
     equals min over its set).
     """
-    docs = load(spark, sf_dir, "documents")
+    # spread() before the tokenize+explode chain (single-row-group scan)
+    docs = spread(
+        load(spark, sf_dir, "documents"),
+        scan_partitions(spark, sf_dir, "documents"),
+    )
     # Materialize the token array as an attribute BEFORE the transform
     # lambda: an inline split() expression is re-evaluated for every
     # slice position (O(tokens^2) per doc — measured 6x slower at
