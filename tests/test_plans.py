@@ -80,3 +80,15 @@ def test_q19_disjunction_splits_into_pushable_conjuncts(spark):
     assert "PushedFilters: [" in plan
     # the lineitem side gets the derived quantity bound
     assert "GreaterThanOrEqual(l_quantity,20" in plan, plan
+
+
+def test_embedding_dedup_scores_in_buckets_not_pair_join(spark):
+    """The near-pair rescorer must be the per-bucket gram path: one
+    hash exchange on (band_id, bucket) feeding FlatMapGroupsInPandas —
+    no per-pair join materializing candidates through a shuffle."""
+    plan = explain_str(
+        REGISTRY["dedup_embedding_cosine"].run(spark, SF_DIR), "simple"
+    )
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
