@@ -49,6 +49,7 @@ HEADLINE = [
     "tpch_q8_market_share",
     "text_vocab_topk",
     "text_pack_sequences",
+    "pipeline_corpus_curation",
 ]
 
 

@@ -184,3 +184,60 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(id_col, "payload").mapInPandas(featurize, schema=out_schema)
+
+
+def resize_ppm(payload: bytes, factor: int = 2) -> bytes:
+    """REAL image resize, stdlib+numpy only: decode a P6 PPM, box-
+    average by an integer factor (the mean of each factor×factor tile),
+    re-encode. The shape every thumbnail/preprocess stage has — swap
+    the codec for PIL/ffmpeg in production, keep the Spark plumbing."""
+    import numpy as np
+
+    w, h, body = decode_ppm(payload)
+    a = np.frombuffer(body, dtype=np.uint8).reshape(h, w, 3)
+    if h < factor or w < factor:
+        # factor exceeds a dimension: collapse to a single mean pixel
+        out = a.reshape(1, -1, 3).mean(axis=1, keepdims=True).astype(np.uint8)
+        oh = ow = 1
+    else:
+        oh, ow = h // factor, w // factor
+        out = (
+            a[: oh * factor, : ow * factor, :]
+            .reshape(oh, factor, ow, factor, 3)
+            .mean(axis=(1, 3))
+            .astype(np.uint8)
+        )
+    return encode_ppm(ow, oh, out.tobytes())
+
+
+def split_ppm_frames(payload: bytes) -> list[bytes]:
+    """Split a 'video' payload — concatenated fixed-shape binary P6
+    frames — into its frames. Pure header arithmetic, no codecs."""
+    frames = []
+    i = 0
+    while i < len(payload):
+        hdr = parse_media_header(payload[i : i + 64])
+        if hdr is None:
+            raise ValueError(f"bad frame header at offset {i}")
+        w, h = hdr["width"], hdr["height"]
+        # header ends after the maxval line: find 3rd whitespace-delimited
+        # field end, then one whitespace byte
+        j, fields = 2 + i, 0
+        while fields < 3:
+            while payload[j : j + 1].isspace():
+                j += 1
+            while not payload[j : j + 1].isspace():
+                j += 1
+            fields += 1
+        j += 1  # the single whitespace after maxval
+        end = j + 3 * w * h
+        frames.append(payload[i:end])
+        i = end
+    return frames
+
+
+def sample_frames(payload: bytes, stride: int = 2) -> list[bytes]:
+    """Frame sampling: every ``stride``-th frame of a concatenated-PPM
+    video payload (the decode→sample→re-emit stage of a video
+    pipeline)."""
+    return split_ppm_frames(payload)[::stride]

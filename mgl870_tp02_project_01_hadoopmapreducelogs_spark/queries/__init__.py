@@ -144,11 +144,12 @@ _PRIORITY = [
     "multimodal_ppm_roundtrip", "text_repetition_fraction",
     "text_quality_filter", "text_contamination_check",
     "window_moving_stats", "groupingsets_mixed",
-    # (3) core previously-green coverage (the rest of the round-1
-    # greens keep their r01 evidence; slots go to unproven queries)
-    "f1_f4_preprocess_strip", "f5_mask_dynamic_tokens",
-    "t1a_mine_templates", "t2_match_lines", "p2_p3_projection_drop",
-    "k1_k2_topk_by_magnitude",
+    "pipeline_corpus_curation", "multimodal_resize",
+    "multimodal_frame_sample",
+    # (3) core previously-green queries whose code CHANGED this round
+    # (spread() in the masking path) — re-prove them; unchanged greens
+    # (f1_f4, p2_p3, k1_k2) keep their r01 evidence
+    "f5_mask_dynamic_tokens", "t1a_mine_templates", "t2_match_lines",
 ]
 
 

@@ -325,6 +325,106 @@ def multimodal_ppm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_resize",
+    """
+    SELECT doc_id,
+           4 + doc_id % 5 AS in_w, 3 + doc_id % 4 AS in_h,
+           (4 + doc_id % 5) // 2 AS out_w, (3 + doc_id % 4) // 2 AS out_h,
+           CAST(3 + length(CAST((4 + doc_id % 5) // 2 AS VARCHAR)) + 1
+                  + length(CAST((3 + doc_id % 4) // 2 AS VARCHAR)) + 1 + 4
+                  + 3 * ((4 + doc_id % 5) // 2) * ((3 + doc_id % 4) // 2)
+                AS BIGINT) AS out_bytes,
+           doc_id % 256 AS mean_rgb
+    FROM documents
+    """,
+    doc="REAL image resize through the distributed pipeline: per row a "
+    "P6 PPM is synthesized (dims + constant fill derived from doc_id), "
+    "box-downsampled 2x by operators/multimodal.resize_ppm (numpy tile "
+    "mean) inside Arrow-batched mapInPandas, re-encoded, and its "
+    "output dims / byte length / mean pixel re-measured from the "
+    "DECODED result. The oracle recomputes all of it arithmetically "
+    "from doc_id — wrong resize math, wrong re-encode, or wrong "
+    "byte-shape all break the match. Map-only: no shuffle.",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def synth_resize(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 4 + d % 5, 3 + d % 4
+                fill = d % 256
+                payload = multimodal.encode_ppm(w, h, bytes([fill] * (3 * w * h)))
+                out = multimodal.resize_ppm(payload, 2)
+                ow, oh, body = multimodal.decode_ppm(out)
+                mean = round(sum(body) / len(body)) if body else 0
+                rows.append((d, w, h, ow, oh, len(out), mean))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "in_w", "in_h", "out_w", "out_h",
+                    "out_bytes", "mean_rgb",
+                ],
+            )
+
+    return docs.mapInPandas(
+        synth_resize,
+        "doc_id long, in_w long, in_h long, out_w long, out_h long, "
+        "out_bytes long, mean_rgb long",
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+    SELECT doc_id,
+           2 + doc_id % 4 AS n_frames,
+           (2 + doc_id % 4 + 1) // 2 AS n_sampled,
+           CAST(35 * (2 + doc_id % 4) AS BIGINT) AS in_bytes,
+           CAST(35 * ((2 + doc_id % 4 + 1) // 2) AS BIGINT) AS out_bytes
+    FROM documents
+    """,
+    doc="Video frame sampling: per row a 'video' payload (2-5 "
+    "concatenated 4x2 P6 frames, 35 bytes each) is synthesized, split "
+    "into frames by header arithmetic (operators/multimodal."
+    "split_ppm_frames) and every 2nd frame kept — the decode -> "
+    "frame-sample -> re-emit stage of a video preprocessing pipeline, "
+    "inside Arrow-batched mapInPandas. Oracle recomputes frame and "
+    "byte counts from doc_id. Map-only: no shuffle.",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def synth_sample(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 2 + d % 4
+                vid = b"".join(
+                    multimodal.encode_ppm(4, 2, bytes([(d + i) % 256] * 24))
+                    for i in range(n)
+                )
+                kept = multimodal.sample_frames(vid, 2)
+                rows.append((d, n, len(kept), len(vid), sum(len(f) for f in kept)))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_frames", "n_sampled", "in_bytes", "out_bytes"],
+            )
+
+    return docs.mapInPandas(
+        synth_sample,
+        "doc_id long, n_frames long, n_sampled long, in_bytes long, out_bytes long",
+    )
+
+
+@register(
     "multimodal_feature_extract",
     None,
     doc="Multimodal feature extraction: Arrow-batched mapInPandas over "

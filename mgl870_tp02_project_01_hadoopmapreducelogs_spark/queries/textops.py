@@ -489,11 +489,9 @@ QF_MIN_TOKENS = 5
 QF_MAX_PUNCT = 0.3
 QF_MIN_STOPWORD = 0.01
 
-
-@register(
-    "text_quality_filter",
-    rf"""
-    SELECT doc_id,
+#: the keep predicate, shared by the standalone gate query and the
+#: composed curation pipeline oracle
+QF_KEEP_SQL = rf"""
            (len(regexp_split_to_array(trim(text), '\s+')) >= {QF_MIN_TOKENS})
            AND (CASE WHEN length(text) = 0 THEN 0.0
                 ELSE len(regexp_extract_all(text, '[^\w\s]'))
@@ -504,9 +502,13 @@ QF_MIN_STOPWORD = 0.01
                          '\b(the|a|of|and|to|in|is|that|for|it)\b'))
                      / CAST(len(regexp_split_to_array(trim(text), '\s+'))
                             AS DOUBLE)
-                END >= {QF_MIN_STOPWORD}) AS keep
-    FROM documents
-    """,
+                END >= {QF_MIN_STOPWORD})
+"""
+
+
+@register(
+    "text_quality_filter",
+    f"SELECT doc_id, {QF_KEEP_SQL} AS keep FROM documents",
     doc="Composed corpus quality gate: min token count AND punctuation "
     "ratio below cap AND stopword ratio above floor — the cheap "
     "heuristic keep/drop pass every training pipeline runs before "
@@ -794,6 +796,95 @@ def text_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("qs")[2], 4).alias("p75"),
             F.round(F.col("qs")[3], 4).alias("p95"),
             "n_docs",
+        )
+        .orderBy("lang")
+    )
+
+
+# --- composed end-to-end curation pipeline -------------------------------------
+
+
+@register(
+    "pipeline_corpus_curation",
+    f"""
+    WITH kept AS (
+        SELECT doc_id, lang, text FROM documents WHERE {QF_KEEP_SQL}
+    ),
+    fp AS (
+        SELECT doc_id, lang, text, md5({NORM_SQL}) AS fp FROM kept
+    ),
+    keepers AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fp),
+    ded AS (SELECT f.* FROM fp f JOIN keepers k ON f.doc_id = k.doc_id),
+    sh AS ({SHINGLES_SQL}),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+    contam AS (
+        SELECT DISTINCT s.doc_id FROM sh s JOIN bench b ON s.shingle = b.shingle
+        WHERE s.doc_id % 50 != 0
+    ),
+    clean AS (
+        SELECT * FROM ded
+        WHERE doc_id % 50 != 0
+          AND doc_id NOT IN (SELECT doc_id FROM contam)
+    ),
+    sampled AS (
+        SELECT * FROM clean
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+              < CASE lang WHEN 'en' THEN '{_SAMPLE_THRESH[0][1]}'
+                          ELSE '{_SAMPLE_DEFAULT}' END
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+             AS total_tokens,
+           CAST((CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+')))
+                 AS BIGINT) + 2047) // 2048 AS BIGINT) AS n_packs
+    FROM sampled GROUP BY lang ORDER BY lang
+    """,
+    doc="END-TO-END training-data curation: quality gate (map-only "
+    "predicate) -> exact dedup (one shuffle on content fingerprint) -> "
+    "benchmark decontamination (broadcast semi-join on the shingle "
+    "inverted index) -> deterministic stratified mixture sampling "
+    "(map-only hash threshold) -> per-language corpus summary with "
+    "2048-token pack counts. Composes the standalone operators "
+    "(text_quality_filter, dedup_exact, text_contamination_check, "
+    "text_sample_stratified, text_pack_sequences) into the pipeline a "
+    "training run actually executes; every stage is either map-only or "
+    "a single keyed shuffle, so the composition inherits each stage's "
+    "100 TB story. Oracle mirrors the whole chain in one WITH block.",
+)
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    keep = (
+        (TX.token_count(t) >= QF_MIN_TOKENS)
+        & (TX.punct_ratio(t) < QF_MAX_PUNCT)
+        & (TX.stopword_ratio(t, "en") >= QF_MIN_STOPWORD)
+    )
+    kept = docs.filter(keep).select("doc_id", "lang", "text")
+    fp = kept.withColumn("fp", TX.fingerprint(t))
+    keepers = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    ded = fp.join(keepers, "doc_id", "left_semi")
+    contam = text_contamination_check(spark, sf_dir).select("doc_id")
+    clean = ded.filter(F.col("doc_id") % 50 != 0).join(
+        F.broadcast(contam), "doc_id", "left_anti"
+    )
+    thresh = F.when(F.col("lang") == "en", F.lit(_SAMPLE_THRESH[0][1])).otherwise(
+        F.lit(_SAMPLE_DEFAULT)
+    )
+    u = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    sampled = clean.filter(u < thresh)
+    total = F.sum(TX.token_count(t).cast("long"))
+    return (
+        sampled.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            total.alias("total_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "total_tokens",
+            F.expr("(total_tokens + 2047) div 2048").alias("n_packs"),
         )
         .orderBy("lang")
     )

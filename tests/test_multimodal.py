@@ -96,3 +96,28 @@ def test_encode_decode_ppm_roundtrip_distributed(spark):
            for r in multimodal.media_metadata(df).collect()}
     for d in range(20):
         assert out[d] == ("image/x-portable-pixmap", 1 + d % 4, 1 + d % 3)
+
+
+def test_resize_ppm_box_average():
+    # 4x2 image, left half 10s, right half 30s -> 2x1 output of tile means
+    row = bytes([10] * 6 + [30] * 6)
+    p = multimodal.encode_ppm(4, 2, row + row)
+    out = multimodal.resize_ppm(p, 2)
+    w, h, body = multimodal.decode_ppm(out)
+    assert (w, h) == (2, 1)
+    assert list(body) == [10, 10, 10, 30, 30, 30]
+
+
+def test_resize_factor_larger_than_image_collapses_to_one_pixel():
+    p = multimodal.encode_ppm(2, 1, bytes([8, 8, 8, 12, 12, 12]))
+    out = multimodal.resize_ppm(p, 4)
+    w, h, body = multimodal.decode_ppm(out)
+    assert (w, h) == (1, 1)
+    assert list(body) == [10, 10, 10]
+
+
+def test_split_and_sample_frames():
+    vid = b"".join(multimodal.encode_ppm(4, 2, bytes([i] * 24)) for i in range(5))
+    frames = multimodal.split_ppm_frames(vid)
+    assert [multimodal.decode_ppm(f)[2][0] for f in frames] == [0, 1, 2, 3, 4]
+    assert [multimodal.decode_ppm(f)[2][0] for f in multimodal.sample_frames(vid, 2)] == [0, 2, 4]
