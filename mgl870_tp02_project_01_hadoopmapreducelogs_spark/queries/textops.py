@@ -340,6 +340,48 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_minhash_groups",
+    f"""
+    WITH RECURSIVE sig AS ({_minhash_sig_sql()}),
+    bands AS ({_bands_sql()}),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band_id = b.band_id AND a.band = b.band
+                    AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (
+        SELECT a AS doc_id, LEAST(a, min(b)) AS component
+        FROM reach GROUP BY a
+    )
+    SELECT component, component AS keeper, count(*) AS n_docs
+    FROM comp GROUP BY component
+    """,
+    doc="The dedup composition an actual 100 TB run executes: MinHash-"
+    "LSH candidate pairs (sub-quadratic banding, the scale path — NOT "
+    "the exact-Jaccard inverted index) collapsed into dedup groups by "
+    "iterative min-label propagation (operators/graph."
+    "connected_components). One keeper per transitive near-dup "
+    "cluster. Oracle: the same LSH banding feeding a recursive CTE.",
+)
+def dedup_minhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import graph
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    return graph.dedup_groups(pairs)
+
+
 # --- SimHash (rows-only: 64-bit bit-vote hashing not portably SQL-expressible) -----------
 
 

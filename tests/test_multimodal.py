@@ -121,3 +121,9 @@ def test_split_and_sample_frames():
     frames = multimodal.split_ppm_frames(vid)
     assert [multimodal.decode_ppm(f)[2][0] for f in frames] == [0, 1, 2, 3, 4]
     assert [multimodal.decode_ppm(f)[2][0] for f in multimodal.sample_frames(vid, 2)] == [0, 2, 4]
+
+
+def test_split_frames_rejects_malformed_payload():
+    vid = multimodal.encode_ppm(4, 2, bytes(24)) + b"garbage-not-a-frame"
+    with pytest.raises(ValueError):
+        multimodal.split_ppm_frames(vid)
