@@ -54,30 +54,34 @@ def connected_components(
         .agg(F.least(F.col("a"), F.min("b")).alias("component"))
         .localCheckpoint()
     )
+
+    # convergence without a per-round join against the old labels:
+    # labels are per-vertex non-increasing under min-propagation, so
+    # the graph is at fixpoint iff the global label sum stops moving.
+    # Exact decimal(38) sum — no int64 overflow at any vertex count —
+    # and partializable, where the old-vs-new equi-join it replaces
+    # shuffled the full vertex set every round.
+    def label_sum(df: DataFrame):
+        return df.agg(
+            F.sum(F.col("component").cast("decimal(38,0)"))
+        ).collect()[0][0]
+
+    prev = label_sum(labels)
     for _ in range(max_iter - 1):
-        # candidate label per vertex: min of own label and neighbors'.
-        # `old` rides along in the materialized frame so convergence is
-        # a filter-count scan over checkpointed blocks, not a second
-        # shuffle join per round.
         neighbor = (
             sym.join(labels, sym.b == labels.doc_id)
             .select(F.col("a").alias("doc_id"), "component")
         )
-        new_labels = (
-            labels.select("doc_id", "component")
-            .unionByName(neighbor)
+        labels = (
+            labels.unionByName(neighbor)
             .groupBy("doc_id")
             .agg(F.min("component").alias("component"))
-            .join(
-                labels.select("doc_id", F.col("component").alias("old")),
-                "doc_id",
-            )
             .localCheckpoint()
         )
-        changed = new_labels.filter(F.col("component") != F.col("old")).count()
-        labels = new_labels
-        if changed == 0:
-            return labels.select("doc_id", "component")
+        cur = label_sum(labels)
+        if cur == prev:
+            return labels
+        prev = cur
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
 

@@ -229,10 +229,14 @@ SHINGLE_DF_CAP = 50
     """,
     doc="N-gram Jaccard near-dup detection: 3-word shingles, stop-"
     "shingle df-filter (document frequency > SHINGLE_DF_CAP dropped "
-    "via broadcast anti-join — bounds self-join fan-out at scale), "
-    "candidate pairs via shingle equi-join (inverted index), Jaccard "
-    "≥ 0.5 over the filtered shingle sets. Oracle applies the same "
-    "df-filter, so results match exactly.",
+    "via broadcast anti-join), candidate pairs from a grouped "
+    "inverted index — groupBy(shingle).collect_list then map-side "
+    "pair expansion over the (≤ DF_CAP-sized) posting list, which "
+    "shuffles the shingle table ONCE where a self-join shuffles it "
+    "twice and materializes the join. The df-cap stays count-first "
+    "(partializable) so no unbounded posting list is ever collected. "
+    "Jaccard ≥ 0.5 over the filtered shingle sets. Oracle applies "
+    "the same df-filter, so results match exactly.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh0 = _doc_shingles(spark, sf_dir).cache()
@@ -242,13 +246,28 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") > SHINGLE_DF_CAP)
         .select("shingle")
     )
-    sh = sh0.join(F.broadcast(hot), "shingle", "left_anti").cache()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    sh = sh0.join(F.broadcast(hot), "shingle", "left_anti")
+    # posting lists are bounded by the df-cap, so collect_list is
+    # memory-safe; sorting makes the in-list expansion emit each
+    # unordered pair exactly once (x before y ⇔ x < y)
+    grouped = (
+        sh.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+        .cache()
+    )
+    sizes = (
+        grouped.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pair = F.expr(
+        "explode(flatten(transform(docs, (x, i) ->"
+        " transform(slice(docs, i + 2, size(docs)),"
+        " y -> struct(x AS doc_a, y AS doc_b)))))"
+    )
     pairs = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        grouped.select(pair.alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
