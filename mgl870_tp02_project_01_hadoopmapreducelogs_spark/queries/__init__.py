@@ -37,16 +37,21 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read a testdata table. ``events.ts`` is written as parquet
-    TIMESTAMP(NANOS), which Spark's vectorized reader rejects; read it
-    as a long (legacy conf) and truncate ns→µs exactly like DuckDB does.
+    """Read a testdata table. ``events.ts`` has been generated both as
+    parquet TIMESTAMP(NANOS) (which Spark's vectorized reader rejects —
+    read as long via the legacy conf and truncate ns→µs exactly like
+    DuckDB does) and as plain TIMESTAMP(MICROS) (native read). Detect
+    which from the loaded dtype so either vintage works.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -94,6 +99,8 @@ def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     from pyspark.sql import functions as F
 
+    from pyspark.sql import types as T
+
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # readStream requires a directory path: scan sf_dir with a glob
     stream = (
@@ -101,7 +108,13 @@ def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(raw_schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(raw_schema["ts"].dataType, T.TimestampNTZType):
+        # watermarks require TIMESTAMP (TZ-aware); session tz is pinned
+        # to UTC so the instant is unchanged
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 # importing the modules populates REGISTRY

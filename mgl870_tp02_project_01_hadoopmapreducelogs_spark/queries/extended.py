@@ -84,8 +84,10 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # microsecond precision: ts.cast('long') truncates to seconds, so a
     # true gap in (1800.0, 1801.0) s could disagree with the oracle's
-    # full-precision interval comparison
-    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    # full-precision interval comparison. unix_micros needs TIMESTAMP;
+    # the cast from NTZ is instant-preserving under the UTC session tz.
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = micros - F.lag(micros).over(w)
     is_start = F.when(
         gap.isNull() | (gap > SESSION_GAP_MIN * 60 * 1_000_000), 1
     ).otherwise(0)
