@@ -1089,3 +1089,404 @@ def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice") / F.lit(7.0), 2).alias("avg_yearly")
         )
     )
+
+
+# --- TPC-H completion block: the 8 remaining query shapes, adapted ----------
+# The synthetic schema has no partsupp table and no shipmode/commitdate/
+# receiptdate columns, so q2/q9/q11/q16/q20 derive the part<->supplier
+# relationship from lineitem and q12/q21 use date arithmetic / returnflag
+# as the lateness marker. The defining OPERATOR SHAPE of each query —
+# correlated min subquery, scalar-subquery HAVING, semi/anti-join chain,
+# decorrelated EXISTS — is preserved exactly.
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    """
+    WITH cost AS (
+        SELECT l_partkey, l_suppkey,
+               MIN(l_extendedprice / l_quantity) AS unit_cost
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s.s_name, n.n_name, p.p_partkey, p.p_name, c.unit_cost
+    FROM part p
+    JOIN cost c ON c.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = c.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE p.p_size = 15 AND p.p_type = 'PROMO' AND r.r_name = 'ASIA'
+      AND c.unit_cost = (
+        SELECT MIN(c2.unit_cost) FROM cost c2
+        JOIN supplier s2 ON s2.s_suppkey = c2.l_suppkey
+        JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+        JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+        WHERE c2.l_partkey = p.p_partkey AND r2.r_name = 'ASIA')
+    """,
+    doc="TPC-H Q2 shape (min-cost supplier per part): the correlated "
+    "MIN subquery is decorrelated into a per-part MIN aggregate joined "
+    "back on partkey — the plan Catalyst would produce from the "
+    "correlated form, written explicitly. The part<->supplier relation "
+    "and unit cost come from lineitem (no partsupp in this schema). "
+    "MIN over doubles is order-independent, so no rounding is needed "
+    "for the equality. Region/nation dims broadcast; the only shuffles "
+    "are the two aggregates on (partkey[, suppkey]).",
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "PROMO")
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    # suppliers in the target region (broadcast chain: region -> nation)
+    s_asia = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    asia_cost = cost.join(
+        F.broadcast(s_asia), cost.l_suppkey == F.col("s_suppkey")
+    )
+    best = asia_cost.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+        F.min("unit_cost").alias("best_cost")
+    )
+    return (
+        asia_cost.join(
+            best,
+            (asia_cost.l_partkey == best.b_partkey)
+            & (asia_cost.unit_cost == best.best_cost),
+        )
+        .join(F.broadcast(p), asia_cost.l_partkey == p.p_partkey)
+        .select("s_name", "n_name", "p_partkey", "p_name", "unit_cost")
+    )
+
+
+@register(
+    "tpch_q9_product_profit",
+    """
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)
+                     - 0.1 * p.p_retailprice * l.l_quantity), 2) AS sum_profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY n.n_name, CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT)
+    """,
+    doc="TPC-H Q9 shape (product-type profit by nation and year): "
+    "five-way join with a LIKE filter on the part dim and a derived "
+    "grouping key. Supply cost is proxied as 0.1*p_retailprice (no "
+    "partsupp). part/supplier/nation broadcast; orders<->lineitem is "
+    "the only big join, shuffled on orderkey.",
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders")
+    n = load(spark, sf_dir, "nation")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.1) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+    )
+
+
+@register(
+    "tpch_q11_important_stock",
+    """
+    WITH pv AS (
+        SELECT l.l_partkey,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                             AS BIGINT)) AS BIGINT) AS value_cents
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name = 'NATION_0'
+        GROUP BY l.l_partkey
+    )
+    SELECT l_partkey, ROUND(value_cents / 100.0, 2) AS part_value
+    FROM pv
+    WHERE 1000 * value_cents > (SELECT CAST(SUM(value_cents) AS BIGINT) FROM pv)
+    """,
+    doc="TPC-H Q11 shape (important stock): per-part value filtered "
+    "against a global-total scalar subquery (HAVING > fraction of "
+    "SUM over the whole aggregate). Values are integer-ized to cents "
+    "BEFORE summing so both the per-part and global sums are exact "
+    "integer arithmetic — the threshold comparison (0.1% of total) is "
+    "deterministic in both engines, no float-order sensitivity. The "
+    "scalar total is a one-row broadcast cross join, not a window.",
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_0")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    pv = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(cents).alias("value_cents"))
+    )
+    total = pv.agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        pv.join(F.broadcast(total))
+        .filter(F.lit(1000) * F.col("value_cents") > F.col("total_cents"))
+        .select(
+            "l_partkey",
+            F.round(F.col("value_cents") / 100.0, 2).alias("part_value"),
+        )
+    )
+
+
+@register(
+    "tpch_q12_late_shipments",
+    """
+    SELECT l.l_returnflag,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    GROUP BY l.l_returnflag
+    """,
+    doc="TPC-H Q12 shape (late shipments by mode): fact-fact equi-join "
+    "with a cross-table date predicate (shipped >90 days after order "
+    "— no commitdate/receiptdate in this schema) and conditional "
+    "aggregation by priority class, grouped by returnflag standing in "
+    "for shipmode. The date predicate can't be pushed below the join "
+    "(references both sides) but the scan still prunes columns.",
+)
+def tpch_q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q16_supplier_cnt",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 5, 10, 15, 20, 25)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+    doc="TPC-H Q16 shape (supplier count by part attributes): "
+    "NOT IN excluded-supplier subquery (left anti join against the "
+    "tiny bad-supplier set, broadcast), dim filter with negated and "
+    "IN-list predicates, then COUNT(DISTINCT) grouped by three part "
+    "attributes. The distinct-aggregate expands to a two-phase "
+    "shuffle (dedup on group+suppkey, then count) — bounded by "
+    "|parts|x|suppliers|, not lineitem.",
+)
+def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25)
+    )
+    bad = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "tpch_q20_excess_suppliers",
+    """
+    SELECT s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_suppkey IN (
+        SELECT l.l_suppkey
+        FROM lineitem l
+        WHERE l.l_partkey IN (
+            SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+          AND l.l_shipdate >= DATE '1997-01-01'
+          AND l.l_shipdate < DATE '1998-01-01'
+        GROUP BY l.l_suppkey, l.l_partkey
+        HAVING SUM(l.l_quantity) > 50)
+    """,
+    doc="TPC-H Q20 shape (suppliers with excess stock of target "
+    "parts): nested IN subqueries decorrelated into a semi-join "
+    "chain — part-name semi-join prunes lineitem, a grouped HAVING "
+    "on (suppkey, partkey) finds heavy shippers, and the supplier "
+    "table is semi-joined against the surviving suppkeys. Quantities "
+    "are integer-valued doubles, so SUM is exact and the >50 "
+    "threshold is deterministic.",
+)
+def tpch_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    small = load(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small%")
+    ).select("p_partkey")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    heavy = (
+        li.join(F.broadcast(small), li.l_partkey == small.p_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(F.broadcast(heavy), s.s_suppkey == heavy.l_suppkey, "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_name", "n_name")
+    )
+
+
+@register(
+    "tpch_q21_waiting_suppliers",
+    """
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND n.n_name = 'NATION_3'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    """,
+    doc="TPC-H Q21 shape (suppliers who kept orders waiting): the "
+    "EXISTS / NOT EXISTS pair over the same fact table becomes a "
+    "left-semi plus left-anti self-join on orderkey with a suppkey "
+    "inequality — the sole-blame pattern (another supplier "
+    "participated, no other supplier also failed). Returnflag 'R' "
+    "stands in for the late-delivery predicate (no receipt/commit "
+    "dates in this schema). Both self-join sides prune to two "
+    "columns before shuffling on orderkey.",
+)
+def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    l1 = li.filter(F.col("l_returnflag") == "R").alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .alias("l3")
+    )
+    cand = (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        cand.join(o, F.col("l1.l_orderkey") == o.o_orderkey, "left_semi")
+        .join(
+            s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey, "left_semi"),
+            F.col("l1.l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@register(
+    "tpch_q22_sales_opportunity",
+    """
+    SELECT CAST(c.c_nationkey % 10 AS BIGINT) AS cntrycode,
+           COUNT(*) AS numcust,
+           ROUND(SUM(c.c_acctbal), 2) AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (
+        SELECT AVG(c2.c_acctbal) FROM customer c2 WHERE c2.c_acctbal > 0)
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderpriority = '1-URGENT')
+    GROUP BY CAST(c.c_nationkey % 10 AS BIGINT)
+    """,
+    doc="TPC-H Q22 shape (global sales opportunity): scalar AVG "
+    "subquery as the balance threshold (broadcast one-row cross "
+    "join), anti join against orders (customers with no urgent "
+    "orders — every customer has SOME order in this data), grouped "
+    "by a derived country code. The threshold compare is on raw "
+    "doubles: AVG differs between engines only in the last ulp and "
+    "acctbals are 2-decimal values, so no boundary ties in practice.",
+)
+def tpch_q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    urgent = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(urgent, c.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy((F.col("c_nationkey") % 10).cast("long").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
