@@ -92,3 +92,47 @@ def test_embedding_dedup_scores_in_buckets_not_pair_join(spark):
     assert "FlatMapGroupsInPandas" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" not in plan, plan
+
+
+def test_q2_decorrelated_min_broadcasts_dims(spark):
+    """Q2's correlated-MIN decorrelation: supplier/nation/region prune
+    via broadcast; the only shuffles are the two partkey aggregates."""
+    df = REGISTRY["tpch_q2_min_cost_supplier"].run(spark, SF_DIR)
+    rep = plan_report(df)
+    assert rep["has_broadcast_join"]
+    assert not rep["has_python_udf"]
+
+
+def test_q16_not_in_plans_as_broadcast_anti_join(spark):
+    """The NOT IN excluded-supplier subquery must become a broadcast
+    left-anti join, not a per-row subquery or a shuffled join."""
+    plan = explain_str(
+        REGISTRY["tpch_q16_supplier_cnt"].run(spark, SF_DIR), "simple"
+    )
+    assert "LeftAnti, BuildRight" in plan.replace("BroadcastHashJoin ", "BHJ ") or (
+        "LeftAnti" in plan and "Broadcast" in plan
+    ), plan
+
+
+def test_q21_exists_pair_is_semi_plus_anti(spark):
+    """EXISTS / NOT EXISTS over the same fact must plan as one left-semi
+    and one left-anti self-join on orderkey — no cartesian product."""
+    plan = explain_str(
+        REGISTRY["tpch_q21_waiting_suppliers"].run(spark, SF_DIR), "simple"
+    )
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q22_scalar_avg_is_broadcast_not_window(spark):
+    """The scalar AVG threshold must arrive as a one-row broadcast
+    (cross) join — never an unpartitioned window over customer. (The
+    plan's one Exchange SinglePartition is the final step of the
+    scalar aggregate itself — one row per partition — which is fine.)"""
+    plan = explain_str(
+        REGISTRY["tpch_q22_sales_opportunity"].run(spark, SF_DIR), "simple"
+    )
+    assert "Window" not in plan, plan
+    assert "Broadcast" in plan
+    assert "LeftAnti" in plan
