@@ -949,3 +949,194 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- chunking (context-window preparation) ------------------------------------
+
+CHUNK_SIZE = 32
+CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
+
+
+@register(
+    "text_chunk_documents",
+    rf"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+        FROM documents
+    ),
+    starts AS (
+        SELECT doc_id, arr,
+               unnest(generate_series(1, len(arr), {CHUNK_STRIDE})) AS s
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST(s AS BIGINT) AS start_tok,
+           CAST(len(arr[s : least(s + {CHUNK_SIZE} - 1, len(arr))]) AS BIGINT)
+             AS chunk_tokens,
+           array_to_string(arr[s : least(s + {CHUNK_SIZE} - 1, len(arr))], ' ')
+             AS chunk_text
+    FROM starts
+    """,
+    doc=f"Document chunking for context-window preparation: tokenize, "
+    f"then emit overlapping {CHUNK_SIZE}-token windows every "
+    f"{CHUNK_STRIDE} tokens (the sliding-window packing step before "
+    "tokenizer/embedding stages). Pure Catalyst — split + sequence + "
+    "explode + slice, map-only with no shuffle; output size is "
+    "O(corpus tokens x overlap factor), linear at 100 TB.",
+)
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    arr = F.split(F.trim(F.col("text")), r"\s+")
+    toks = docs.select("doc_id", arr.alias("arr"))
+    starts = toks.select(
+        "doc_id",
+        "arr",
+        F.explode(
+            F.sequence(F.lit(1), F.size("arr"), F.lit(CHUNK_STRIDE))
+        ).alias("s"),
+    )
+    chunk = F.slice(F.col("arr"), F.col("s"), F.lit(CHUNK_SIZE))
+    return starts.select(
+        "doc_id",
+        F.col("s").cast("long").alias("start_tok"),
+        F.size(chunk).cast("long").alias("chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+# --- PII masking ---------------------------------------------------------------
+
+# the synthetic corpus carries no PII, so each row gets a DETERMINISTIC
+# doc_id-derived suffix (email, IPv4, phone) appended identically in both
+# engines — the masking chain itself is what's under test
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\+\d[\d-]{7,}"
+
+
+@register(
+    "text_mask_pii",
+    rf"""
+    WITH payload AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                    || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+                    || ' call +1-555-' || CAST(1000000 + doc_id AS VARCHAR)
+                 AS raw
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(raw, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_IP}', '<IP>', 'g'),
+             '{_PII_PHONE}', '<PHONE>', 'g') AS masked,
+           CAST(len(regexp_extract_all(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(raw, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                 '{_PII_IP}', '<IP>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g'),
+             '<(EMAIL|IP|PHONE)>')) AS BIGINT) AS n_pii
+    FROM payload
+    """,
+    doc="PII masking for corpus curation: email -> IPv4 -> phone regex "
+    "chain (ordered so the IP pass cannot eat phone digits), the "
+    "curation-time extension of the reference's F5 masking layer "
+    "(process_logs_v10.py:24-37). Map-only codegen'd projection; the "
+    "masked-token census rides the same pass. PII is planted "
+    "deterministically from doc_id since the synthetic corpus has "
+    "none — both engines construct and mask the identical payload.",
+)
+def text_mask_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."),
+        (F.col("doc_id") % 100).cast("string"),
+        F.lit(" call +1-555-"),
+        (F.col("doc_id") + 1000000).cast("string"),
+    )
+    masked = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(raw, _PII_EMAIL, "<EMAIL>"), _PII_IP, "<IP>"
+        ),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        masked.alias("masked"),
+        F.size(F.regexp_extract_all(masked, F.lit("<(EMAIL|IP|PHONE)>")))
+        .cast("long")
+        .alias("n_pii"),
+    )
+
+
+# --- TF-IDF ---------------------------------------------------------------------
+
+
+@register(
+    "text_tfidf_topk",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.token,
+               ROUND(tf * ln(n_docs / CAST(df AS DOUBLE)), 4) AS tfidf
+        FROM tf JOIN df USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, tfidf FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rn
+        FROM scored)
+    WHERE rn <= 3
+    """,
+    doc="TF-IDF keyword extraction: top-3 terms per document. Term "
+    "frequencies shuffle on (doc_id, token); document frequencies are "
+    "a vocab-sized aggregate broadcast back onto the tf table; the "
+    "per-doc top-k is a window over doc-sized groups (parallel by "
+    "doc_id, never a global sort). Ranking uses the ROUNDED score so "
+    "ulp-level ln() differences between engines cannot flip ranks; "
+    "remaining ties break lexically.",
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"),
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df").cast("double")),
+                4,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "token", "tfidf")
+    )

@@ -324,3 +324,41 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_pairs(
         emb, bands=DEDUP_BANDS, bits=DEDUP_BITS, threshold=DEDUP_COS_TH
     )
+
+
+# --- per-label centroids (embedding-space diagnostics) ------------------------
+
+
+@register(
+    "sim_label_centroids",
+    """
+    SELECT label,
+           CAST(pos AS BIGINT) AS pos,
+           ROUND(AVG(v), 5) AS centroid_val,
+           COUNT(*) AS n
+    FROM (
+        SELECT label,
+               unnest(embedding) AS v,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings
+    )
+    GROUP BY label, pos
+    """,
+    doc="Per-label embedding centroids (the class-prototype pass of "
+    "embedding-space diagnostics / IVF seeding): posexplode the "
+    "vector column and hash-aggregate per (label, dimension). One "
+    "shuffle on a (|labels| x dim)-sized key space with map-side "
+    "partials — O(n x dim) work, centroid table is tiny at any "
+    "corpus scale. 1-based dimension index to match SQL "
+    "generate_subscripts.",
+)
+def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos0", "v"))
+        .groupBy("label", (F.col("pos0") + 1).cast("long").alias("pos"))
+        .agg(
+            F.round(F.avg("v"), 5).alias("centroid_val"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

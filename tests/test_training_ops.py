@@ -67,3 +67,67 @@ def test_streaming_dedup_matches_batch_distinct(spark):
         for r in ev.select("user_id", "event_type").distinct().collect()
     }
     assert got == want
+
+
+def test_chunking_covers_every_token_with_overlap(spark):
+    """Every token position lands in >=1 chunk; consecutive chunks of a
+    long doc overlap by exactly size-stride tokens; no chunk exceeds
+    the window size."""
+    from mgl870_tp02_project_01_hadoopmapreducelogs_spark.queries.textops import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+    )
+
+    chunks = REGISTRY["text_chunk_documents"].run(spark, SF_DIR)
+    docs = REGISTRY["text_token_count"].run(spark, SF_DIR)
+    got = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.max(F.col("start_tok") + F.col("chunk_tokens") - 1).alias("covered"),
+            F.max("chunk_tokens").alias("max_chunk"),
+            F.count(F.lit(1)).alias("n_chunks"),
+        )
+        .join(docs.select("doc_id", "n_tokens"), "doc_id")
+        .collect()
+    )
+    assert got, "no chunks produced"
+    for r in got:
+        assert r.covered == r.n_tokens, f"doc {r.doc_id} tail not covered"
+        assert r.max_chunk <= CHUNK_SIZE
+        # starts are 1, 1+stride, ... -> count is ceil(n/stride)
+        assert r.n_chunks == -(-r.n_tokens // CHUNK_STRIDE)
+
+
+def test_pii_masking_catches_all_planted_pii(spark):
+    """The planted email/IP/phone suffix must be fully masked — no raw
+    @example.com, dotted-quad, or +1-555 survives; every row counts
+    exactly the 3 planted items (corpus text itself has no PII)."""
+    out = REGISTRY["text_mask_pii"].run(spark, SF_DIR)
+    assert out.filter(F.col("masked").contains("@example.com")).count() == 0
+    assert out.filter(F.col("masked").rlike(r"\d+\.\d+\.\d+\.\d+")).count() == 0
+    assert out.filter(F.col("masked").contains("+1-555")).count() == 0
+    assert out.filter(F.col("n_pii") != 3).count() == 0
+
+
+def test_tfidf_topk_is_per_doc_and_positive(spark):
+    out = REGISTRY["text_tfidf_topk"].run(spark, SF_DIR).collect()
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    for doc, rows in per_doc.items():
+        assert len(rows) <= 3
+        # a token appearing in EVERY doc has idf=0 and cannot be a top
+        # term unless the doc has <3 distinct rarer tokens
+        assert all(r.tfidf >= 0 for r in rows)
+
+
+def test_label_centroids_shape_and_bounds(spark):
+    emb_dim = 64
+    out = REGISTRY["sim_label_centroids"].run(spark, SF_DIR)
+    rows = out.collect()
+    labels = {r.label for r in rows}
+    assert all(1 <= r.pos <= emb_dim for r in rows)
+    assert len(rows) == len(labels) * emb_dim
+    # every centroid coordinate must lie within the data's value range
+    lo, hi = -2.0, 2.0
+    assert all(lo <= r.centroid_val <= hi for r in rows)
