@@ -50,6 +50,11 @@ HEADLINE = [
     "text_vocab_topk",
     "text_pack_sequences",
     "pipeline_corpus_curation",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q21_waiting_suppliers",
+    "range_join_event_pairs",
+    "text_chunk_documents",
+    "text_tfidf_topk",
 ]
 
 

@@ -560,3 +560,59 @@ def groupingsets_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
     )
+
+
+# --- range (band) join --------------------------------------------------------
+
+RANGE_JOIN_WINDOW_S = 600  # pair events of a user within 10 minutes
+
+
+@register(
+    "range_join_event_pairs",
+    f"""
+    SELECT a.user_id, count(*) AS n_pairs
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_id < b.event_id
+     AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= {RANGE_JOIN_WINDOW_S} * 1000000::BIGINT
+    GROUP BY a.user_id
+    """,
+    doc="Range (band) self-join: count same-user event pairs within a "
+    f"{RANGE_JOIN_WINDOW_S}-second band. A naive theta-join is "
+    "O(n² per user); this buckets time into band-width intervals and "
+    "probes only (bucket-1, bucket, bucket+1) — each qualifying pair "
+    "lands in EXACTLY one probe (the right row's own bucket), so no "
+    "dedup pass is needed. One equi-shuffle on (user_id, bucket); "
+    "per-bucket fan-out is bounded by event rate x band width, not "
+    "by history length. The standard interval-join decomposition "
+    "(same trick as the streaming watermarked join's state bound).",
+)
+def range_join_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    width_us = RANGE_JOIN_WINDOW_S * 1_000_000
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    right = ev.select(
+        F.col("user_id").alias("r_user"),
+        F.col("event_id").alias("r_event"),
+        F.col("us").alias("r_us"),
+        F.floor(F.col("us") / width_us).alias("r_bucket"),
+    )
+    b = F.floor(F.col("us") / width_us)
+    left = ev.select(
+        "user_id",
+        "event_id",
+        "us",
+        F.explode(F.array(b - 1, b, b + 1)).alias("probe"),
+    )
+    pairs = left.join(
+        right,
+        (F.col("user_id") == F.col("r_user"))
+        & (F.col("probe") == F.col("r_bucket"))
+        & (F.col("event_id") < F.col("r_event"))
+        & (F.abs(F.col("us") - F.col("r_us")) <= width_us),
+    )
+    return pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs"))
