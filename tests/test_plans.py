@@ -136,3 +136,14 @@ def test_q22_scalar_avg_is_broadcast_not_window(spark):
     assert "Window" not in plan, plan
     assert "Broadcast" in plan
     assert "LeftAnti" in plan
+
+
+def test_range_join_is_equi_hash_join_on_bucket(spark):
+    """The band join must hash-join on (user, time-bucket) with the
+    range predicate as a residual — never a nested-loop theta join."""
+    plan = explain_str(
+        REGISTRY["range_join_event_pairs"].run(spark, SF_DIR), "simple"
+    )
+    assert "HashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
