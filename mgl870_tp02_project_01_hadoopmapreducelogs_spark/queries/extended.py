@@ -616,3 +616,57 @@ def range_join_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.abs(F.col("us") - F.col("r_us")) <= width_us),
     )
     return pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+# --- data-quality audit -------------------------------------------------------
+
+
+@register(
+    "dq_referential_audit",
+    """
+    SELECT
+      (SELECT count(*) FROM lineitem) AS n_lineitem,
+      (SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (
+          SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        AS n_orphan_lineitems,
+      (SELECT count(*) FROM (
+          SELECT o_orderkey FROM orders GROUP BY o_orderkey
+          HAVING count(*) > 1)) AS n_dup_orderkeys,
+      (SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+        AS n_null_custkeys,
+      (SELECT count(*) FROM orders o
+        WHERE NOT EXISTS (
+          SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        AS n_orphan_orders
+    """,
+    doc="Data-quality audit: referential orphans (anti joins on both "
+    "fact->dim edges), duplicate primary keys (grouped HAVING), and "
+    "null foreign keys — the validation pass a pipeline runs before "
+    "training-data export. Each check is one shuffle (anti join or "
+    "aggregate) over pruned single-column scans; the five scalar "
+    "results assemble on the driver into one row.",
+)
+def dq_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n_lineitem = li.count()
+    n_orphan_li = li.select("l_orderkey").join(
+        o.select("o_orderkey"), li.l_orderkey == o.o_orderkey, "left_anti"
+    ).count()
+    n_dup_ok = (
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    n_null_ck = o.filter(F.col("o_custkey").isNull()).count()
+    n_orphan_o = o.select("o_custkey").join(
+        c.select("c_custkey"), o.o_custkey == c.c_custkey, "left_anti"
+    ).count()
+    return spark.createDataFrame(
+        [(n_lineitem, n_orphan_li, n_dup_ok, n_null_ck, n_orphan_o)],
+        "n_lineitem long, n_orphan_lineitems long, n_dup_orderkeys long, "
+        "n_null_custkeys long, n_orphan_orders long",
+    )
