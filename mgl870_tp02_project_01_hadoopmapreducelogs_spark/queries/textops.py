@@ -1140,3 +1140,59 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "token", "tfidf")
     )
+
+
+# --- temperature-based mixture resampling -------------------------------------
+
+# keep probability (n_min / n_lang)^(1/2): the alpha=0.5 "temperature"
+# that pulls the language mixture toward balance without upsampling.
+# Materialized as a 32-bit hex threshold against the md5 doc hash, so
+# the decision is deterministic and seedless in both engines; sqrt is
+# IEEE correctly-rounded, so the threshold byte-matches across engines.
+
+
+@register(
+    "text_sample_temperature",
+    r"""
+    WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    mn AS (SELECT min(n) AS n_min FROM counts),
+    thresh AS (
+        SELECT lang, printf('%08x',
+            CAST(floor(sqrt(n_min / CAST(n AS DOUBLE)) * 4294967295)
+                 AS BIGINT)) AS h
+        FROM counts CROSS JOIN mn
+    )
+    SELECT d.lang, count(*) AS n_kept
+    FROM documents d JOIN thresh t USING (lang)
+    WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < t.h
+    GROUP BY d.lang
+    """,
+    doc="Temperature-based mixture resampling (alpha=0.5): per-language "
+    "keep probability (n_min/n_lang)^0.5 computed FROM the data (one "
+    "tiny aggregate), converted to a 32-bit hex threshold and broadcast "
+    "back onto the corpus as a map-only hash-compare — the "
+    "generalization of text_sample_stratified from hardcoded to "
+    "data-derived rates. No RNG, no seed, identical keep-set on every "
+    "run and engine; scales as one aggregate + one broadcast join.",
+)
+def text_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    n_min = counts.agg(F.min("n").alias("n_min"))
+    thresh = counts.join(F.broadcast(n_min)).select(
+        "lang",
+        F.format_string(
+            "%08x",
+            F.floor(
+                F.sqrt(F.col("n_min") / F.col("n").cast("double"))
+                * F.lit(4294967295.0)
+            ).cast("long"),
+        ).alias("h"),
+    )
+    u = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    return (
+        docs.join(F.broadcast(thresh), "lang")
+        .filter(u < F.col("h"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )

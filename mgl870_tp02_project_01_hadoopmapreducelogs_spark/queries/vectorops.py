@@ -362,3 +362,114 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+# --- int8 scalar quantization + approximate top-k -----------------------------
+
+
+@register(
+    "sim_quantized_topk",
+    """
+    WITH vals AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    stats AS (
+        SELECT pos, min(v) AS mn, max(v) AS mx FROM vals GROUP BY pos
+    ),
+    deq AS (
+        SELECT vec_id, vals.pos,
+               CASE WHEN mx = mn THEN mn
+                    ELSE mn + ((CAST(round((v - mn) / (mx - mn) * 255)
+                                     AS INTEGER) - 128) + 128)
+                         / 255.0 * (mx - mn)
+               END AS dv
+        FROM vals JOIN stats ON vals.pos = stats.pos
+    ),
+    dots AS (
+        SELECT a.vec_id,
+               SUM(a.dv * q.dv) AS dot,
+               sqrt(SUM(a.dv * a.dv)) AS na
+        FROM deq a
+        JOIN (SELECT pos, dv FROM deq WHERE vec_id = 0) q
+          ON a.pos = q.pos
+        WHERE a.vec_id != 0
+        GROUP BY a.vec_id
+    ),
+    qn AS (SELECT sqrt(SUM(dv * dv)) AS nq FROM deq WHERE vec_id = 0)
+    SELECT vec_id, ROUND(dot / (na * nq), 4) AS qcos
+    FROM dots CROSS JOIN qn
+    ORDER BY qcos DESC, vec_id
+    LIMIT 10
+    """,
+    doc="Int8 scalar quantization + approximate top-k (4x vector "
+    "compression for ANN shortlisting): per-dimension (min, max) from "
+    "one tiny aggregate (dim-sized, collected like a model and inlined "
+    "as literal arrays), each element mapped to round((v-mn)/(mx-mn)"
+    "*255)-128, then cosine on the DEQUANTIZED values so both engines "
+    "score the identical reconstruction. Quantize+score is one "
+    "map-only pass over the corpus + TakeOrdered; recall vs the exact "
+    "ranking is pytest-pinned. The compression/shortlist stage of a "
+    "production vector pipeline (rescore survivors with sim_cosine_"
+    "topk's exact path).",
+)
+def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    stats = (
+        emb.select(F.posexplode("e").alias("pos0", "v"))
+        .groupBy("pos0")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .collect()
+    )  # dim-sized (64 rows): model-scale driver state, like IVF centroids
+    mn = [r.mn for r in sorted(stats, key=lambda r: r.pos0)]
+    mx = [r.mx for r in sorted(stats, key=lambda r: r.pos0)]
+    mn_a = F.array(*[F.lit(x) for x in mn])
+    mx_a = F.array(*[F.lit(x) for x in mx])
+
+    def dequant(col):
+        # zip (v, mn, mx) per position via index-aware transform
+        return F.transform(
+            col,
+            lambda v, i: F.when(
+                F.element_at(mx_a, i + 1) == F.element_at(mn_a, i + 1),
+                F.element_at(mn_a, i + 1),
+            ).otherwise(
+                F.element_at(mn_a, i + 1)
+                + (
+                    (
+                        F.round(
+                            (v - F.element_at(mn_a, i + 1))
+                            / (
+                                F.element_at(mx_a, i + 1)
+                                - F.element_at(mn_a, i + 1)
+                            )
+                            * 255
+                        ).cast("int")
+                        - 128
+                    )
+                    + 128
+                )
+                / F.lit(255.0)
+                * (F.element_at(mx_a, i + 1) - F.element_at(mn_a, i + 1))
+            ),
+        )
+
+    dq = emb.select("vec_id", dequant(F.col("e")).alias("dv"))
+    dq = dq.withColumn("nrm", _norm(F.col("dv")))
+    q = dq.filter(F.col("vec_id") == 0).select(
+        F.col("dv").alias("qv"), F.col("nrm").alias("nq")
+    )
+    qcos = F.round(
+        _cos_pre(F.col("dv"), F.col("qv"), F.col("nrm"), F.col("nq")), 4
+    )
+    return (
+        dq.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", qcos.alias("qcos"))
+        .orderBy(F.col("qcos").desc(), "vec_id")
+        .limit(10)
+    )

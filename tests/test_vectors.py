@@ -3,6 +3,9 @@ import math
 from pyspark.sql import functions as F
 
 from mgl870_tp02_project_01_hadoopmapreducelogs_spark.functions import vectors as V
+from mgl870_tp02_project_01_hadoopmapreducelogs_spark.queries import REGISTRY
+
+SF_DIR = "/root/testdata/sf0.001"
 
 
 def _pairs(spark, a, b, expr):
@@ -51,3 +54,17 @@ def test_embedding_near_pairs_finds_planted_dups(spark):
     pairs = {(r.vec_a, r.vec_b): r.cos for r in out.collect()}
     assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
     assert all(p == (0, 1) for p in pairs)
+
+
+def test_quantized_topk_recall_vs_exact(spark):
+    """Int8 quantization is a shortlist stage: its top-10 must recover
+    most of the exact cosine top-10 (measured 9/10 at sf0.001, 10/10 at
+    sf0.01; pinned at >=7 to absorb data regeneration)."""
+    exact = {
+        r.vec_id for r in REGISTRY["sim_cosine_topk"].run(spark, SF_DIR).collect()
+    }
+    quant = {
+        r.vec_id
+        for r in REGISTRY["sim_quantized_topk"].run(spark, SF_DIR).collect()
+    }
+    assert len(exact & quant) >= 7, (exact, quant)
