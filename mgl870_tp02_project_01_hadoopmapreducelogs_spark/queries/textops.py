@@ -484,14 +484,51 @@ def simhash_near_pairs(hashes: DataFrame, max_hamming: int = 2) -> DataFrame:
     )
 
 
+# DuckDB lacks hex->int, so the oracle extracts each of the 32 hash bits
+# straight from the md5 hex digits: bit i lives in hex char 8 - i//4,
+# bit (i % 4) of that digit's value. Verified equal to the integer
+# conversion bit-for-bit. The oracle then brute-forces ALL O(n^2) pairs
+# with bit_count(xor) — a different algorithm than the Spark side's
+# 1-bit-neighbor probing, which makes the equality a real check of the
+# probing's completeness guarantee, not a mirror of its code.
+_SIMHASH_BIT = (
+    "((strpos('0123456789abcdef', substr(s, {j}, 1)) - 1) // {w}) % 2"
+)
+_SIMHASH_VOTES = ", ".join(
+    "SUM(2 * ({b}) - 1) AS v{i}".format(
+        b=_SIMHASH_BIT.format(j=8 - i // 4, w=2 ** (i % 4)), i=i
+    )
+    for i in range(32)
+)
+_SIMHASH_VALUE = " + ".join(
+    f"(CASE WHEN v{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+    for i in range(32)
+)
+SIMHASH_PAIRS_SQL = rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        FROM documents
+    ),
+    hashed AS (SELECT doc_id, substr(md5(tok), 1, 8) AS s FROM toks),
+    votes AS (SELECT doc_id, {_SIMHASH_VOTES} FROM hashed GROUP BY doc_id),
+    sims AS (SELECT doc_id, {_SIMHASH_VALUE} AS simhash FROM votes)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+"""
+
+
 @register(
     "dedup_simhash",
-    None,
+    SIMHASH_PAIRS_SQL,
     doc="SimHash near-dup: 32-bit bit-vote fingerprint from md5(token) "
     "bits, 1-bit-neighbor bucket probing (33 keys/doc) — finds every "
-    "pair at hamming ≤ 2 sub-quadratically. Rows-only check (bit "
-    "arithmetic diverges across engines); the probing guarantee is "
-    "pytest-covered with planted 1-bit and 2-bit flips.",
+    "pair at hamming ≤ 2 sub-quadratically. The DuckDB oracle "
+    "recomputes the fingerprints from the md5 hex digits and "
+    "brute-forces ALL pairs, so the check proves the probing loses "
+    "nothing; planted 1-bit/2-bit flips are pytest-covered too.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
