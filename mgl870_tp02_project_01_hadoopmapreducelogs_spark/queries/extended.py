@@ -670,3 +670,48 @@ def dq_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_lineitem long, n_orphan_lineitems long, n_dup_orderkeys long, "
         "n_null_custkeys long, n_orphan_orders long",
     )
+
+
+# --- rate anomaly (monitoring surface) ----------------------------------------
+
+
+@register(
+    "stats_hourly_rate_anomaly",
+    """
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               count(*) AS n
+        FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    stats AS (
+        SELECT event_type, AVG(n) AS mu, stddev_samp(n) AS sigma
+        FROM hourly GROUP BY event_type
+    )
+    SELECT h.event_type, h.hour, h.n,
+           ROUND((h.n - s.mu) / s.sigma, 4) AS z
+    FROM hourly h JOIN stats s ON h.event_type = s.event_type
+    WHERE s.sigma > 0 AND abs((h.n - s.mu) / s.sigma) > 2
+    """,
+    doc="Hourly event-rate anomaly detection: per-type hourly counts, "
+    "per-type mean/stddev over hours, flag |z| > 2 — the monitoring "
+    "query a log pipeline runs continuously (the batch twin of the "
+    "streaming tumbling-window counts). Two hash aggregates; the "
+    "per-type stats table is type-cardinality-sized and broadcasts "
+    "back onto the hourly counts. The z threshold compares unrounded "
+    "doubles: engine ulp differences only matter if a z sits within "
+    "~1e-13 of 2.0, which the continuous-valued counts never do.",
+)
+def stats_hourly_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = hourly.groupBy("event_type").agg(
+        F.avg("n").alias("mu"), F.stddev_samp("n").alias("sigma")
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .filter((F.col("sigma") > 0) & (F.abs(z) > 2))
+        .select("event_type", "hour", "n", F.round(z, 4).alias("z"))
+    )
