@@ -1233,3 +1233,110 @@ def text_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_kept"))
     )
+
+
+# --- unigram LM scoring (perplexity-style quality) ----------------------------
+
+
+@register(
+    "text_unigram_logprob",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+        FROM documents
+    ),
+    total AS (SELECT count(*) AS n_total FROM toks),
+    unigram AS (
+        SELECT token, count(*) AS cnt FROM toks GROUP BY token
+    )
+    SELECT t.doc_id,
+           ROUND(AVG(ln(u.cnt / CAST(n_total AS DOUBLE))), 4)
+             AS avg_logprob
+    FROM toks t
+    JOIN unigram u ON t.token = u.token
+    CROSS JOIN total
+    GROUP BY t.doc_id
+    """,
+    doc="Unigram language-model scoring: corpus unigram distribution "
+    "(one vocab-sized aggregate) joined back onto the token stream, "
+    "mean log-probability per document — the cheap stand-in for the "
+    "perplexity quality filters used on training corpora (docs with "
+    "unusually low average logprob are off-distribution). The unigram "
+    "table broadcasts; scoring is one shuffle on doc_id. AVG of logs "
+    "is rounded AFTER aggregation; ulp-level ln() differences wash "
+    "out at 4 decimals.",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"),
+    )
+    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    unigram = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        toks.join(F.broadcast(unigram), "token")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.avg(F.log(F.col("cnt") / F.col("n_total").cast("double"))), 4
+            ).alias("avg_logprob")
+        )
+    )
+
+
+# --- OOV rate vs induced vocabulary -------------------------------------------
+
+OOV_VOCAB_K = 100
+
+
+@register(
+    "text_oov_rate",
+    rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+        FROM documents
+    ),
+    vocab AS (
+        SELECT token FROM (
+            SELECT token, count(*) AS cnt FROM toks GROUP BY token
+            ORDER BY cnt DESC, token LIMIT {OOV_VOCAB_K})
+    )
+    SELECT t.doc_id,
+           CAST(count(*) FILTER (WHERE v.token IS NULL) AS BIGINT) AS n_oov,
+           ROUND(count(*) FILTER (WHERE v.token IS NULL)
+                 / CAST(count(*) AS DOUBLE), 4) AS oov_rate
+    FROM toks t LEFT JOIN vocab v ON t.token = v.token
+    GROUP BY t.doc_id
+    """,
+    doc=f"Out-of-vocabulary analysis: induce a top-{OOV_VOCAB_K} "
+    "vocabulary (deterministic count-then-lexical tie-break), then "
+    "per-document OOV token count and rate via a broadcast left join "
+    "— the tokenizer-coverage check run before committing to a vocab. "
+    "Vocab induction is the text_vocab_topk aggregate; the apply side "
+    "is map-only against the broadcast vocab.",
+)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"),
+    )
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "token")
+        .limit(OOV_VOCAB_K)
+        .select(F.col("token").alias("v_token"))
+    )
+    joined = toks.join(
+        F.broadcast(vocab), toks.token == vocab.v_token, "left"
+    )
+    oov = F.sum(F.when(F.col("v_token").isNull(), 1).otherwise(0))
+    return joined.groupBy("doc_id").agg(
+        oov.cast("long").alias("n_oov"),
+        F.round(oov / F.count(F.lit(1)).cast("double"), 4).alias("oov_rate"),
+    )
