@@ -179,6 +179,40 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_static_enrichment",
+    """
+    SELECT date_trunc('hour', e.ts) AS hour_start,
+           c.c_mktsegment,
+           count(*) AS n
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+    doc="Stream-static join: the unbounded event stream enriched with "
+    "the static customer dim (re-read/broadcast per micro-batch — the "
+    "standard dimension-enrichment shape; no state store needed on "
+    "the static side), then a watermarked tumbling count per market "
+    "segment. Batch SQL oracle proves stream/batch parity.",
+)
+def streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import load, load_events_stream
+
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    stream = (
+        load_events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .join(F.broadcast(cust), F.col("user_id") == F.col("c_custkey"))
+        .groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("c_mktsegment")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = _run_stream(stream, "static_enrichment")
+    return out.select(
+        F.col("w.start").alias("hour_start"), "c_mktsegment", "n"
+    )
+
+
+@register(
     "streaming_stream_stream_join",
     """
     SELECT e.user_id, e.event_id AS purchase_event, v.event_id AS view_event
