@@ -25,6 +25,21 @@ def write_csv(df: DataFrame, path: str, single_file: bool = True) -> None:
     out.write.mode("overwrite").option("header", True).csv(path)
 
 
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> None:
+    """Hive-style partitioned Parquet sink (``path/col=value/...``).
+
+    The 100-TB layout lever: a downstream filter on a partition column
+    becomes directory-listing pruning (``PartitionFilters`` in the scan,
+    non-matching partitions never opened) — the engine-native
+    generalization of the reference's filename predicate P1, which
+    pruned at listing time too (process_logs_v10.py:96). Keep partition
+    cardinality bounded (lang, date, event class — not doc_id): each
+    value is a directory, and tiny partitions defeat the scan."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
 def write_catalog(catalog: DataFrame, path: str) -> None:
     """S5 — persist the template catalog as Parquet (replaces
     drain3_state.bin, process_logs_v10.py:39-40)."""

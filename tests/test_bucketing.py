@@ -29,3 +29,28 @@ def test_cobucketed_join_plans_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS t_bucket_left")
         spark.sql("DROP TABLE IF EXISTS t_bucket_right")
+
+
+def test_partitioned_sink_prunes_partitions(spark, tmp_path):
+    """A filter on the partition column of a partitionBy() sink must
+    become directory pruning (PartitionFilters on the scan), so
+    non-matching partitions are never opened — the layout-level
+    analogue of the P1 filename predicate."""
+    from mgl870_tp02_project_01_hadoopmapreducelogs_spark.queries import load
+    from mgl870_tp02_project_01_hadoopmapreducelogs_spark.sources import sinks
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    path = str(tmp_path / "docs_by_lang")
+    sinks.write_partitioned(docs, path, ["lang"])
+
+    from mgl870_tp02_project_01_hadoopmapreducelogs_spark.plans.audit import (
+        explain_str,
+    )
+
+    back = spark.read.parquet(path).filter(F.col("lang") == "en")
+    plan = explain_str(back, "formatted")
+    assert "PartitionFilters: [" in plan
+    assert "lang" in plan.split("PartitionFilters:")[1].split("]")[0], plan
+    # values round-trip for the selected partition
+    want = docs.filter(F.col("lang") == "en").count()
+    assert back.count() == want
