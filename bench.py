@@ -55,6 +55,8 @@ HEADLINE = [
     "range_join_event_pairs",
     "text_chunk_documents",
     "text_tfidf_topk",
+    "dedup_simhash",
+    "sim_quantized_topk",
 ]
 
 
