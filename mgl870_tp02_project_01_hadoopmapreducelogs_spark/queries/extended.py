@@ -715,3 +715,84 @@ def stats_hourly_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("sigma") > 0) & (F.abs(z) > 2))
         .select("event_type", "hour", "n", F.round(z, 4).alias("z"))
     )
+
+
+# --- full-outer reconciliation ------------------------------------------------
+
+
+@register(
+    "join_full_outer_reconcile",
+    """
+    WITH e AS (SELECT user_id, count(*) AS n_events FROM events
+               GROUP BY user_id),
+    o AS (SELECT o_custkey, count(*) AS n_orders FROM orders
+          GROUP BY o_custkey)
+    SELECT COALESCE(e.user_id, o.o_custkey) AS id,
+           COALESCE(n_events, 0) AS n_events,
+           COALESCE(n_orders, 0) AS n_orders,
+           CASE WHEN e.user_id IS NULL THEN 'orders_only'
+                WHEN o.o_custkey IS NULL THEN 'events_only'
+                ELSE 'both' END AS presence
+    FROM e FULL OUTER JOIN o ON e.user_id = o.o_custkey
+    """,
+    doc="Full-outer reconciliation between two keyed aggregates (the "
+    "snapshot-diff shape: which ids exist on one side only, and the "
+    "per-side totals). Completes the join-type surface next to "
+    "inner/left/semi/anti. Both sides pre-aggregate before the join, "
+    "so the full-outer shuffle carries one row per key, not raw "
+    "facts.",
+)
+def join_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    j = e.join(o, e.user_id == o.o_custkey, "full_outer")
+    return j.select(
+        F.coalesce(e.user_id, o.o_custkey).alias("id"),
+        F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+        F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+        F.when(e.user_id.isNull(), "orders_only")
+        .when(o.o_custkey.isNull(), "events_only")
+        .otherwise("both")
+        .alias("presence"),
+    )
+
+
+# --- deterministic ordered collect --------------------------------------------
+
+
+@register(
+    "agg_ordered_collect",
+    """
+    SELECT user_id,
+           array_to_string(
+             (array_agg(event_type ORDER BY ts, event_id))[1:3], ',')
+             AS first3_types
+    FROM events GROUP BY user_id
+    """,
+    doc="Deterministic ordered collect: each user's first three event "
+    "types by time. collect_list has NO deterministic order under "
+    "shuffles, so the Spark side collects (ts, event_id, event_type) "
+    "structs and array_sort's them (struct sort = lexicographic by "
+    "field position, and event_id breaks ts ties) before slicing — "
+    "the correct idiom for order-sensitive aggregation; mirrors SQL "
+    "array_agg(... ORDER BY). Bounded by per-key cardinality like any "
+    "collect; for unbounded keys use the windowed top-k instead.",
+)
+def agg_ordered_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    structs = F.collect_list(F.struct("ts", "event_id", "event_type"))
+    first3 = F.array_join(
+        F.slice(
+            F.transform(F.array_sort(structs), lambda s: s.event_type), 1, 3
+        ),
+        ",",
+    )
+    return ev.groupBy("user_id").agg(first3.alias("first3_types"))
