@@ -48,11 +48,14 @@ def connected_components(
     )
     # fold the first propagation round into label init: every vertex
     # appears as `a` in the symmetric edge list, so one aggregate gives
-    # label(v) = min(v, min over neighbors) — the state after round 1
+    # label(v) = min(v, min over neighbors) — the state after round 1.
+    # Lazy checkpoint: the convergence-sum action below both
+    # materializes the truncated lineage AND computes the sum — one job
+    # per round where an eager checkpoint + separate collect paid two.
     labels = (
         sym.groupBy(F.col("a").alias("doc_id"))
         .agg(F.least(F.col("a"), F.min("b")).alias("component"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     # convergence without a per-round join against the old labels:
@@ -76,7 +79,7 @@ def connected_components(
             labels.unionByName(neighbor)
             .groupBy("doc_id")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         cur = label_sum(labels)
         if cur == prev:
