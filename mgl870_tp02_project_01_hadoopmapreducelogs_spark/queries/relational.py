@@ -1145,7 +1145,17 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("s_suppkey", "s_name", "n_name")
     )
-    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+    # push the (selective) part filter BELOW the cost aggregate: cost is
+    # keyed by l_partkey, so a partkey semi-join commutes with the
+    # groupBy — the agg then reads only the selected parts' lines
+    # instead of all of lineitem, and both consumers of `cost` (the
+    # per-part best and the final probe) share the one small exchange
+    li_sel = li.join(
+        F.broadcast(p.select("p_partkey")),
+        li.l_partkey == F.col("p_partkey"),
+        "left_semi",
+    )
+    cost = li_sel.groupBy("l_partkey", "l_suppkey").agg(
         F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
     )
     asia_cost = cost.join(
