@@ -57,6 +57,7 @@ HEADLINE = [
     "text_tfidf_topk",
     "dedup_simhash",
     "sim_quantized_topk",
+    "dedup_anchor_containment",
 ]
 
 

@@ -158,11 +158,12 @@ _PRIORITY = [
     "text_quality_filter", "text_contamination_check",
     "window_moving_stats", "groupingsets_mixed",
     "pipeline_corpus_curation", "multimodal_resize",
-    "multimodal_frame_sample",
+    "multimodal_frame_sample", "dedup_anchor_containment",
     # (3) core previously-green queries whose code CHANGED this round
     # (spread() in the masking path) — re-prove them; unchanged greens
-    # (f1_f4, p2_p3, k1_k2) keep their r01 evidence
-    "f5_mask_dynamic_tokens", "t1a_mine_templates", "t2_match_lines",
+    # (f1_f4, p2_p3, k1_k2, t2 — t2's only change is the f5/t1a-covered
+    # _masked helper) keep their r01 evidence
+    "f5_mask_dynamic_tokens", "t1a_mine_templates",
 ]
 
 

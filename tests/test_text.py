@@ -107,3 +107,36 @@ def test_simhash_fingerprint_deterministic(spark):
     assert rows[1] == rows[2]
     assert 0 <= rows[1] < 2 ** 32
     assert rows[1] != rows[3]
+
+
+def test_anchor_containment_catches_embedded_doc(spark, tmp_path):
+    """A short doc embedded verbatim in a long one: symmetric Jaccard
+    dilutes to ~|B|/|A| (below its 0.5 gate) while anchor containment
+    |A∩B|/min sees ~1.0. Content-defined sampling must keep the shared
+    span's anchors identical in both docs."""
+    import random
+
+    from mgl870_tp02_project_01_hadoopmapreducelogs_spark.queries import textops
+
+    rng = random.Random(5)
+    vocab = [f"w{i:03d}" for i in range(400)]
+    long_doc = " ".join(rng.choice(vocab) for _ in range(240))
+    span = " ".join(long_doc.split()[100:140])  # 40-token contiguous span
+    short_doc = span + " zz1 zz2"
+    other = " ".join(rng.choice(vocab) for _ in range(120))
+    df = spark.createDataFrame(
+        [(0, long_doc, "en", "s", len(long_doc)),
+         (1, short_doc, "en", "s", len(short_doc)),
+         (2, other, "en", "s", len(other))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    out = textops.dedup_anchor_containment(spark, str(tmp_path))
+    pairs = {(r.doc_a, r.doc_b): r.containment for r in out.collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 0.9
+    assert not any(2 in p for p in pairs)
+    jac = {
+        (r.doc_a, r.doc_b)
+        for r in textops.dedup_ngram_jaccard(spark, str(tmp_path)).collect()
+    }
+    assert (0, 1) not in jac  # the case symmetric Jaccard misses
