@@ -245,7 +245,11 @@ def latest_drain_catalog(emissions: DataFrame) -> DataFrame:
 
 
 def write_catalog_stream(
-    stream_df: DataFrame, path: str, checkpoint: str, mode: str = "complete"
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    mode: str = "complete",
+    available_now: bool = False,
 ):
     """S5 streaming sink: checkpointed foreachBatch persistence of the
     template catalog to Parquet (the drain3_state.bin replacement).
@@ -277,9 +281,13 @@ def write_catalog_stream(
             out = spark.createDataFrame(out.collect(), out.schema)
         out.write.mode("overwrite").parquet(path)
 
-    return (
+    writer = (
         stream_df.writeStream.outputMode(mode)
         .option("checkpointLocation", checkpoint)
         .foreachBatch(sink)
-        .start()
     )
+    if available_now:
+        # one-shot catch-up: process every file not yet recorded in the
+        # checkpoint, emit, and stop — the CLI's incremental-run trigger
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

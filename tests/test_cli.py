@@ -52,3 +52,26 @@ def test_cli_mines_and_accumulates_state(spark, tmp_path):
     assert {r["Template"] for r in rows2} == {r["Template"] for r in rows1}
     # chart data extracted at the viz edge
     assert (out2 / "failure_distribution.csv").exists()
+
+
+def test_cli_stream_incremental_catchup(spark, tmp_path):
+    """--stream: the checkpoint remembers consumed files; a second run
+    processes ONLY the new file and the state store accumulates."""
+    corpus = tmp_path / "logs"
+    _write_corpus(corpus)
+    state = tmp_path / "state"
+    out1, out2 = tmp_path / "s1", tmp_path / "s2"
+
+    assert run([str(corpus), "--out", str(out1), "--state", str(state),
+                "--stream"]) == 0
+    assert sum(int(r["Size"]) for r in _matrix_rows(out1)) == 120
+
+    extra = corpus / "application_0001" / "container_0001_01_000099.log"
+    with open(extra, "w") as f:
+        for i in range(10):
+            f.write(f"2024-11-20 14:00:{i:02d},000 WARN [main] a.b.C: Novel event {i}\n")
+    assert run([str(corpus), "--out", str(out2), "--state", str(state),
+                "--stream"]) == 0
+    rows = _matrix_rows(out2)
+    assert sum(int(r["Size"]) for r in rows) == 130
+    assert any(r["Template"] == "Novel event <*>" for r in rows)
