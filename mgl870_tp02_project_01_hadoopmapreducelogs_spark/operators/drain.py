@@ -157,6 +157,17 @@ class DrainMiner:
         return [(" ".join(c.tokens), c.size) for c in self.clusters]
 
 
+#: adaptive cutover for ``fit_distributed``: with at most this many
+#: DISTINCT templates the fit runs on the driver directly — a single
+#: limited collect of the (already line-count-reduced) counts table,
+#: no Arrow/mapInPandas stage, whose fixed per-query overhead (~1-2 s
+#: of Python-worker round-trips) dwarfs a small fit. Beyond the cap
+#: the per-partition-fit → driver-merge path takes over; 50k templates
+#: × ~100 B is a ~5 MB collect either way, so the fast path never
+#: strains the driver.
+DRIVER_FIT_CAP = 50_000
+
+
 def fit_distributed(
     parsed: DataFrame,
     masked_col: str = "masked",
@@ -169,7 +180,11 @@ def fit_distributed(
     Returns the catalog ``(cluster_id, size, template)``. The partition
     stage reduces each partition to its local template summaries, so
     driver traffic is O(partitions × templates-per-partition), never
-    O(lines).
+    O(lines). When the distinct-template table itself is small
+    (≤ ``DRIVER_FIT_CAP``) the partition stage is skipped entirely and
+    the driver fits the collected counts — detected with one
+    early-terminating ``limit(cap+1)`` collect, so the common case
+    costs one job and the large case only a truncated scan extra.
     """
     from pyspark.sql import functions as F
 
@@ -184,22 +199,30 @@ def fit_distributed(
 
     # reduce to DISTINCT masked messages + counts in the JVM first
     # (map-side combine): add(msg, k) ≡ k× add(msg), so the fit is
-    # identical, but Arrow ships O(distinct) rows instead of O(lines)
-    # and AQE coalesces the tiny shuffle to few Python workers
+    # identical, but downstream sees O(distinct) rows instead of
+    # O(lines)
     counts = (
         parsed.filter(F.col(masked_col).isNotNull())
         .groupBy(masked_col)
         .agg(F.count(F.lit(1)).alias("__cnt"))
     )
-    partials = counts.mapInPandas(
-        fit_partition, schema="template string, size long"
-    )
-    # driver merge: replay partition templates into a fresh miner in
-    # sorted order — deterministic given the partial template set
-    rows = sorted((r.template, r.size) for r in partials.collect())
+    head = counts.limit(DRIVER_FIT_CAP + 1).collect()
+    if len(head) <= DRIVER_FIT_CAP:
+        # small catalog: fit once on the driver, sorted for determinism
+        rows = sorted((r[masked_col], r["__cnt"]) for r in head)
+    else:
+        # large catalog: per-partition fit over the full counts table
+        # (recomputed — the truncated collect above saw only a prefix),
+        # Arrow-shipping each partition's template summary only
+        partials = counts.mapInPandas(
+            fit_partition, schema="template string, size long"
+        )
+        # driver merge: replay partition templates into a fresh miner
+        # in sorted order — deterministic given the partial template set
+        rows = sorted((r.template, r.size) for r in partials.collect())
     merged = DrainMiner(depth, sim_th, max_clusters)
     for template, size in rows:
-        merged.add(template, size)
+        merged.add(template, int(size))
     catalog = sorted(merged.templates())
     return spark.createDataFrame(
         [(i + 1, size, t) for i, (t, size) in enumerate(catalog)],

@@ -159,10 +159,11 @@ _PRIORITY = [
     "window_moving_stats", "groupingsets_mixed",
     "pipeline_corpus_curation", "multimodal_resize",
     "multimodal_frame_sample", "dedup_anchor_containment",
-    # (3) core previously-green queries whose code CHANGED this round
-    # (spread() in the masking path) — re-prove them; unchanged greens
-    # (f1_f4, p2_p3, k1_k2, t2 — t2's only change is the f5/t1a-covered
-    # _masked helper) keep their r01 evidence
+    "text_remove_dup_spans", "dedup_keep_best",
+    # (3) past the driver's 50-slot window from here down. f5/t1a were
+    # r01-green and their only round-2 change is a value-neutral
+    # repartition (spread()); never-checked NEW operators outrank
+    # re-proving them, so they take slots 51-52.
     "f5_mask_dynamic_tokens", "t1a_mine_templates",
 ]
 

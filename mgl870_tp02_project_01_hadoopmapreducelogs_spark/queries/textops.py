@@ -1433,3 +1433,188 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         oov.cast("long").alias("n_oov"),
         F.round(oov / F.count(F.lit(1)).cast("double"), 4).alias("oov_rate"),
     )
+
+
+# --- C4-style cross-document duplicate-span removal ---------------------------
+
+#: span length (tokens) for cross-document duplicate-span removal. C4
+#: removed any three-SENTENCE span occurring more than once in the
+#: corpus (Raffel et al. 2020 §2.2); on token streams the analogous
+#: guard is a fixed token window — long enough that natural collisions
+#: are rare, short enough to catch partial/embedded duplication that
+#:  document-level dedup misses.
+DUP_SPAN_K = 8
+
+
+@register(
+    "text_remove_dup_spans",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      FROM documents
+    ), spanpos AS (
+      SELECT doc_id, t,
+             unnest(generate_series(1, len(t) - {DUP_SPAN_K} + 1)) AS pos
+      FROM toks WHERE len(t) >= {DUP_SPAN_K}
+    ), spanh AS (
+      SELECT doc_id, pos,
+             md5(array_to_string(t[pos:pos+{DUP_SPAN_K - 1}], ' ')) AS h
+      FROM spanpos
+    ), dup AS (
+      SELECT h, min(doc_id) AS keeper FROM spanh
+      GROUP BY h HAVING count(*) > 1
+    ), rm AS (
+      SELECT s.doc_id,
+             unnest(generate_series(s.pos, s.pos + {DUP_SPAN_K - 1})) AS cp
+      FROM spanh s JOIN dup d ON s.h = d.h AND s.doc_id <> d.keeper
+    ), cov AS (
+      SELECT doc_id, list(DISTINCT cp) AS cov FROM rm GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.t) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(len(c.cov), 0) AS BIGINT) AS n_removed,
+           COALESCE(array_to_string(list_filter(t.t,
+               (x, i) -> c.cov IS NULL OR NOT list_contains(c.cov, i)),
+               ' '), '') AS cleaned
+    FROM toks t LEFT JOIN cov c USING (doc_id)
+    """,
+    doc=f"C4-style duplicate-span removal (Raffel et al. 2020 §2.2): "
+    f"any {DUP_SPAN_K}-token span occurring more than once corpus-wide "
+    "is removed from every document except the smallest doc_id "
+    "(deterministic keeper; within-doc repeats in the keeper stay). "
+    "Spans are md5 keys over materialized token-array slices; the "
+    "duplicated-span detection is one groupBy(h) with map-side "
+    "partials; covered positions are re-exploded and subtracted with "
+    "a higher-order array filter — no UDF, no pivot, and the only "
+    "corpus-sized shuffles are keyed by span hash and doc_id. At "
+    "100 TB the md5 would swap for xxhash64 (engine-internal, "
+    "cheaper); md5 is kept so DuckDB reproduces the keys "
+    "bit-for-bit.",
+)
+def text_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(
+        load(spark, sf_dir, "documents"),
+        scan_partitions(spark, sf_dir, "documents"),
+    )
+    # token array materialized ONCE as an attribute (see _doc_shingles:
+    # an inline split() would re-evaluate per slice position)
+    tokdf = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    )
+    n = F.size("toks")
+    k = DUP_SPAN_K
+    spanh = tokdf.filter(n >= k).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.md5(
+                        F.concat_ws(" ", F.slice(F.col("toks"), i, k))
+                    ).alias("h"),
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.pos", "s.h")
+    dup = (
+        spanh.groupBy("h")
+        .agg(F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") > 1)
+        .select("h", "keeper")
+    )
+    rm = (
+        spanh.join(dup, "h")
+        .filter(F.col("doc_id") != F.col("keeper"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+            ).alias("cp"),
+        )
+    )
+    cov = rm.groupBy("doc_id").agg(F.collect_set("cp").alias("cov"))
+    out = tokdf.join(cov, "doc_id", "left")
+    keep = lambda t, i: F.coalesce(  # noqa: E731
+        ~F.array_contains(F.col("cov"), i + F.lit(1)), F.lit(True)
+    )
+    return out.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.coalesce(F.size("cov"), F.lit(0)).cast("long").alias("n_removed"),
+        F.array_join(F.filter("toks", keep), " ").alias("cleaned"),
+    )
+
+
+# --- quality-aware representative selection over near-dup groups --------------
+
+
+@register(
+    "dedup_keep_best",
+    f"""
+    WITH RECURSIVE sig AS ({_minhash_sig_sql()}),
+    bands AS ({_bands_sql()}),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band_id = b.band_id AND a.band = b.band
+                    AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (
+        SELECT a AS doc_id, LEAST(a, min(b)) AS component
+        FROM reach GROUP BY a
+    ),
+    scored AS (
+        SELECT d.doc_id,
+               COALESCE(c.component, d.doc_id) AS component,
+               CAST(len(regexp_split_to_array(trim(d.text), '\\s+'))
+                    AS BIGINT) AS n_tokens
+        FROM documents d LEFT JOIN comp c USING (doc_id)
+    )
+    SELECT doc_id, component, n_tokens,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY component
+               ORDER BY n_tokens DESC, doc_id) = 1 AS INT) AS kept
+    FROM scored
+    """,
+    doc="Representative selection: the dedup DECISION a curation run "
+    "ships — MinHash-LSH near-dup groups (connected components), then "
+    "per group keep the single best document (here: most tokens, "
+    "doc_id tie-break; singletons keep themselves). The components "
+    "table is pair-bounded (tiny vs the corpus) so the corpus join is "
+    "a broadcast; the ranking window partitions by component — group-"
+    "sized, never corpus-sized. Replaces keep-min-id dedup with the "
+    "quality-aware policy real pipelines use.",
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators import graph
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    comp = graph.connected_components(pairs)
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.join(F.broadcast(comp), "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+        TX.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_tokens").desc(), "doc_id"
+    )
+    return scored.select(
+        "doc_id",
+        "component",
+        "n_tokens",
+        (F.row_number().over(w) == 1).cast("int").alias("kept"),
+    )

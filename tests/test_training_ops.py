@@ -131,3 +131,55 @@ def test_label_centroids_shape_and_bounds(spark):
     # every centroid coordinate must lie within the data's value range
     lo, hi = -2.0, 2.0
     assert all(lo <= r.centroid_val <= hi for r in rows)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_remove_dup_spans_planted_span(spark):
+    """A shared 8-token span is removed from every doc except the
+    smallest doc_id; unique text survives untouched; a doc shorter
+    than the span length is never modified."""
+    from mgl870_tp02_project_01_hadoopmapreducelogs_spark.queries import textops
+
+    span = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, f"unique one {span} tail one"),
+        (2, f"other words here {span} and more padding tokens"),
+        (3, "completely different text with nothing shared at all ok"),
+        (4, "tiny doc"),
+    ]
+    docs = _docs(spark, rows)
+    import mgl870_tp02_project_01_hadoopmapreducelogs_spark.queries.textops as T
+
+    orig_load, orig_spread = T.load, T.spread
+    T.load = lambda s, d, n: docs
+    T.spread = lambda df, p: df
+    try:
+        out = {r.doc_id: r for r in T.text_remove_dup_spans(spark, "x").collect()}
+    finally:
+        T.load, T.spread = orig_load, orig_spread
+    # doc 1 is the keeper: unchanged
+    assert out[1].cleaned == rows[0][1]
+    assert out[1].n_removed == 0
+    # doc 2 loses exactly the 8 span tokens, order of the rest intact
+    assert out[2].cleaned == "other words here and more padding tokens"
+    assert out[2].n_removed == 8
+    # untouched docs
+    assert out[3].n_removed == 0 and out[3].cleaned == rows[2][1]
+    assert out[4].n_removed == 0 and out[4].cleaned == "tiny doc"
+
+
+def test_keep_best_picks_longest_per_component(spark):
+    out = REGISTRY["dedup_keep_best"].run(spark, SF_DIR).collect()
+    by_comp = {}
+    for r in out:
+        by_comp.setdefault(r.component, []).append(r)
+    # exactly one kept doc per component, and it's the longest
+    for comp, rs in by_comp.items():
+        kept = [r for r in rs if r.kept == 1]
+        assert len(kept) == 1
+        assert kept[0].n_tokens == max(r.n_tokens for r in rs)
+    # every document appears exactly once
+    assert len(out) == spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
