@@ -45,6 +45,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # CollectLimit's incremental scaling (try 1 partition, grow by
+        # scaleUpFactor) turns a bounded ``limit(n).collect()`` over a
+        # shuffled input into several SEQUENTIAL jobs — measured ~2 s
+        # of pure scheduling on the Drain catalog-size probe. Fetch all
+        # partitions in one parallel job instead; the limit still
+        # bounds what reaches the driver.
+        .config("spark.sql.limit.initialNumPartitions", str(shuffle_partitions))
     )
     if extra_conf:
         for k, v in extra_conf.items():
