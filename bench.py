@@ -58,6 +58,8 @@ HEADLINE = [
     "dedup_simhash",
     "sim_quantized_topk",
     "dedup_anchor_containment",
+    "text_remove_dup_spans",
+    "dedup_keep_best",
 ]
 
 

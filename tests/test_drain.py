@@ -122,3 +122,16 @@ def test_distributed_fit_and_match_invariants(spark, log_dir):
     matched = drain.match_distributed(parsed, catalog)
     assert matched.filter(F.col("cluster_id").isNull()).count() == 0
     assert matched.count() == n_lines
+
+
+def test_distributed_fit_large_catalog_path(spark, log_dir, monkeypatch):
+    """Force the mapInPandas partial-fit path (normally only taken past
+    DRIVER_FIT_CAP distinct templates) and pin that it preserves the
+    fit invariants — the adaptive fast path must not leave the scale
+    path untested."""
+    monkeypatch.setattr(drain, "DRIVER_FIT_CAP", 1)
+    parsed = logs.parse_lines(logs.read_log_dir(spark, log_dir))
+    catalog = drain.fit_distributed(parsed, depth=4, sim_th=0.4)
+    rows = catalog.collect()
+    assert sum(r.size for r in rows) == parsed.count()
+    assert sorted(r.cluster_id for r in rows) == list(range(1, len(rows) + 1))
