@@ -22,6 +22,38 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: adaptive cutover: an edge list with at most this many pairs is
+#: union-found on the driver in one pass (microseconds) instead of
+#: paying O(diameter) distributed rounds of per-job scheduling — the
+#: same shape as ``drain.DRIVER_FIT_CAP``. Detection is one
+#: early-terminating ``limit(cap+1)`` collect of the (already
+#: pair-bounded) edge list; past the cap the distributed min-label
+#: loop below takes over unchanged. 500k edges × 16 B ≈ 8 MB collect.
+DRIVER_CC_CAP = 500_000
+
+
+def _driver_union_find(pairs: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Path-compressed union-find; returns (doc_id, min-reachable-id)
+    rows for every vertex in ``pairs`` — identical semantics to the
+    distributed min-label propagation."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by MIN id so the root IS the canonical keeper
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return [(v, find(v)) for v in parent]
+
 
 def connected_components(
     edges: DataFrame,
@@ -35,13 +67,24 @@ def connected_components(
     an edge, where ``component`` is the minimum doc_id transitively
     reachable (the canonical keeper id). Deterministic; iterates until
     no label changes or ``max_iter`` (raises if not converged — a
-    silent partial answer would corrupt the dedup decision).
+    silent partial answer would corrupt the dedup decision). Edge lists
+    under ``DRIVER_CC_CAP`` skip the loop entirely and union-find on
+    the driver.
     """
-    # materialize the (small, pair-count-bounded) edge list ONCE: it is
+    dedup_edges = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).distinct()
+    head = dedup_edges.limit(DRIVER_CC_CAP + 1).collect()
+    if len(head) <= DRIVER_CC_CAP:
+        rows = _driver_union_find(sorted((r.a, r.b) for r in head))
+        return edges.sparkSession.createDataFrame(
+            rows, "doc_id long, component long"
+        )
+    # materialize the (pair-count-bounded) edge list ONCE: it is
     # re-joined every iteration, and without truncation each round would
     # re-execute the full upstream pair-generation pipeline
     sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        dedup_edges
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
         .localCheckpoint()

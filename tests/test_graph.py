@@ -24,10 +24,29 @@ def test_components_multi_hop_chain(spark):
     assert groups == {1: (1, 4), 10: (10, 2), 20: (20, 2)}
 
 
-def test_components_raise_when_iteration_budget_too_small(spark):
-    # a path of length 6 cannot converge in 1 round
+def test_components_raise_when_iteration_budget_too_small(spark, monkeypatch):
+    # a path of length 6 cannot converge in 1 round; force the
+    # distributed loop (small edge lists normally take the driver
+    # union-find, which has no iteration budget)
+    monkeypatch.setattr(graph, "DRIVER_CC_CAP", 0)
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(6)], "doc_a long, doc_b long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         graph.connected_components(edges, max_iter=1)
+
+
+def test_components_distributed_path_matches_driver_path(spark, monkeypatch):
+    # same multi-hop graph through both paths → identical components
+    rows = [(i, i + 1) for i in range(6)] + [(10, 20), (20, 30), (50, 40)]
+    edges = spark.createDataFrame(rows, "doc_a long, doc_b long")
+    fast = {
+        (r.doc_id, r.component)
+        for r in graph.connected_components(edges).collect()
+    }
+    monkeypatch.setattr(graph, "DRIVER_CC_CAP", 0)
+    dist = {
+        (r.doc_id, r.component)
+        for r in graph.connected_components(edges).collect()
+    }
+    assert fast == dist
