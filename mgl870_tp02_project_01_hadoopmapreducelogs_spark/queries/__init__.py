@@ -159,7 +159,7 @@ _PRIORITY = [
     "window_moving_stats", "groupingsets_mixed",
     "pipeline_corpus_curation", "multimodal_resize",
     "multimodal_frame_sample", "dedup_anchor_containment",
-    "text_remove_dup_spans", "dedup_keep_best",
+    "text_remove_dup_spans", "streaming_minhash_dedup", "dedup_keep_best",
     # (3) past the driver's 50-slot window from here down. f5/t1a were
     # r01-green and their only round-2 change is a value-neutral
     # repartition (spread()); never-checked NEW operators outrank

@@ -505,3 +505,133 @@ def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _run_stream(stream, "dedup_exact_stream", mode="append")
     return out.distinct()
+
+
+# --- streaming near-dup dedup (MinHash-LSH with band-bucket state) -----------
+
+
+def load_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``load('documents')`` — the incoming-corpus
+    firehose a curation pipeline dedups incrementally."""
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def minhash_bands_rowwise(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, band_id, band) via PER-ROW higher-order expressions —
+    no explode/groupBy, so it runs STATELESS on a stream (a streaming
+    groupBy(doc_id) would never finalize in append mode without a
+    watermark, and documents carry no event time).
+
+    Bit-identical to the batch ``dedup_minhash_lsh`` signatures: same
+    shingles (3-token windows of the raw whitespace split), same
+    ``min(md5(shingle || '#j'))`` minhashes (min over a multiset ≡ min
+    over its set), same ``md5(concat(band hashes))`` bucket keys.
+    """
+    from .textops import BAND_SIZE, N_HASHES
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    with_sh = docs.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(1, size(split(trim({t}), '\\\\s+')) - 2),"
+            " i -> concat_ws(' ', slice(split(trim({t}), '\\\\s+'), i, 3)))".format(
+                t=text_col
+            )
+        ).alias("shingles"),
+    ).filter(F.size(toks) >= 3)
+    sig = [
+        F.array_min(
+            F.transform(
+                F.col("shingles"),
+                lambda s, j=j: F.md5(F.concat(s, F.lit(f"#{j}"))),
+            )
+        ).alias(f"s{j}")
+        for j in range(N_HASHES)
+    ]
+    with_sig = with_sh.select("doc_id", *sig)
+    band_cols = [
+        F.md5(
+            F.concat(*[F.col(f"s{b * BAND_SIZE + j}") for j in range(BAND_SIZE)])
+        ).alias(f"band{b}")
+        for b in range(N_HASHES // BAND_SIZE)
+    ]
+    stack = ", ".join(f"{b}, band{b}" for b in range(N_HASHES // BAND_SIZE))
+    return with_sig.select("doc_id", *band_cols).selectExpr(
+        "doc_id",
+        f"stack({N_HASHES // BAND_SIZE}, {stack}) AS (band_id, band)",
+    )
+
+
+def minhash_dedup_stream(bands: DataFrame) -> DataFrame:
+    """Custom stateful operator: per LSH band bucket, state is the
+    minimum doc_id ever seen. A document is flagged duplicate in a
+    bucket iff the bucket already has an occupant from an earlier
+    micro-batch (first-arrival-wins, the only causal option on an
+    unbounded stream) or a smaller doc_id in the same batch (min-id-
+    wins, which makes a single-batch run equal the batch oracle).
+    State per bucket is ONE long — bounded by bucket cardinality, not
+    corpus size.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def flag_bucket(key, pdfs, state: GroupState):
+        ids = []
+        for pdf in pdfs:
+            ids.extend(int(x) for x in pdf["doc_id"])
+        prior = state.get[0] if state.exists else None
+        lo = min(ids)
+        out = [
+            (d, 1 if (prior is not None or d > lo) else 0) for d in ids
+        ]
+        new_min = lo if prior is None else min(lo, prior)
+        state.update((new_min,))
+        yield pd.DataFrame(out, columns=["doc_id", "is_dup"])
+
+    return bands.groupBy("band_id", "band").applyInPandasWithState(
+        flag_bucket,
+        outputStructType="doc_id long, is_dup int",
+        stateStructType="min_id long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _minhash_dedup_oracle() -> str:
+    from .textops import _bands_sql, _minhash_sig_sql
+
+    return f"""
+    WITH sig AS ({_minhash_sig_sql()}),
+    bands AS ({_bands_sql()})
+    SELECT b.doc_id,
+           max(CASE WHEN b2.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS is_dup
+    FROM bands b LEFT JOIN bands b2
+      ON b.band_id = b2.band_id AND b.band = b2.band
+     AND b2.doc_id < b.doc_id
+    GROUP BY b.doc_id
+    """
+
+
+@register(
+    "streaming_minhash_dedup",
+    _minhash_dedup_oracle(),
+    doc="Streaming near-duplicate dedup: per-row MinHash signatures "
+    "(higher-order array exprs — stateless, no watermark needed), LSH "
+    "band buckets keyed into applyInPandasWithState holding one long "
+    "(min doc_id) per bucket, duplicate flags aggregated per doc. The "
+    "incremental twin of dedup_minhash_lsh: new corpus batches dedup "
+    "against ALL previously seen documents with state bounded by "
+    "bucket count. Single-batch run ≡ the batch min-id rule, which "
+    "the DuckDB oracle checks value-for-value; cross-batch "
+    "first-arrival-wins is pinned by pytest.",
+)
+def streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bands = minhash_bands_rowwise(load_documents_stream(spark, sf_dir))
+    flags = minhash_dedup_stream(bands)
+    out = _run_stream(flags, "minhash_dedup_stream", mode="append")
+    return out.groupBy("doc_id").agg(F.max("is_dup").alias("is_dup"))

@@ -103,3 +103,51 @@ def test_streaming_drain_mining_invariants(spark, log_dir):
         batch_parsed.filter(F.col("masked").isNotNull())
     ).count()
     assert 0 < len(rows) <= n_exact
+
+
+def test_streaming_minhash_dedup_first_arrival_wins(spark, tmp_path):
+    """Cross-batch semantics: a bucket occupied in an earlier micro-
+    batch flags ALL later arrivals as duplicates — even one with a
+    smaller doc_id (first-arrival-wins; within one batch min-id wins,
+    which is what the DuckDB oracle checks)."""
+    from mgl870_tp02_project_01_hadoopmapreducelogs_spark.queries.streamq import (
+        minhash_bands_rowwise,
+        minhash_dedup_stream,
+        _run_stream,
+    )
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other = "one two three four five six seven eight nine ten eleven"
+    # file a (processed first): the near-dup with the LARGER id
+    spark.createDataFrame([(10, text)], "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(str(tmp_path / "in"))
+    import os, glob, shutil
+    part = glob.glob(str(tmp_path / "in" / "part-*.parquet"))[0]
+    os.rename(part, str(tmp_path / "in" / "a.parquet"))
+    spark.createDataFrame(
+        [(1, text), (2, other)], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(str(tmp_path / "in"))
+    part = [
+        p
+        for p in glob.glob(str(tmp_path / "in" / "part-*.parquet"))
+    ][0]
+    os.rename(part, str(tmp_path / "in" / "b.parquet"))
+
+    schema = "doc_id long, text string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / "in"))
+    )
+    flags = minhash_dedup_stream(minhash_bands_rowwise(stream))
+    out = _run_stream(flags, "mh_dedup_test", mode="append")
+    res = {
+        r.doc_id: r.is_dup
+        for r in out.groupBy("doc_id").agg(F.max("is_dup").alias("is_dup")).collect()
+    }
+    # a.parquet (doc 10) listed before b.parquet → doc 10 keeps, doc 1
+    # (same text, smaller id, later batch) is flagged duplicate
+    assert res[10] == 0
+    assert res[1] == 1
+    assert res[2] == 0  # unrelated text: own buckets, never a dup
