@@ -160,6 +160,7 @@ _PRIORITY = [
     "pipeline_corpus_curation", "multimodal_resize",
     "multimodal_frame_sample", "dedup_anchor_containment",
     "text_remove_dup_spans", "streaming_minhash_dedup", "dedup_keep_best",
+    "dedup_lsh_recall", "join_fuzzy_match",
     # (3) past the driver's 50-slot window from here down. f5/t1a were
     # r01-green and their only round-2 change is a value-neutral
     # repartition (spread()); never-checked NEW operators outrank

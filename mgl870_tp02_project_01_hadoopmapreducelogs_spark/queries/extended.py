@@ -796,3 +796,68 @@ def agg_ordered_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         ",",
     )
     return ev.groupBy("user_id").agg(first3.alias("first3_types"))
+
+
+# --- fuzzy entity-match join (data-cleaning surface) --------------------------
+
+
+@register(
+    "join_fuzzy_match",
+    """
+    WITH dirty AS (
+        SELECT n_nationkey AS true_key,
+               substr(n_name, 1, n_nationkey % 6)
+                 || substr(n_name, 2 + n_nationkey % 6) AS dirty_name
+        FROM nation
+    ),
+    cand AS (
+        SELECT d.true_key, d.dirty_name, c.n_name AS matched_name,
+               CAST(levenshtein(d.dirty_name, c.n_name) AS BIGINT) AS dist
+        FROM dirty d
+        JOIN nation c
+          ON abs(length(d.dirty_name) - length(c.n_name)) <= 1
+         AND levenshtein(d.dirty_name, c.n_name) <= 2
+    )
+    SELECT true_key, dirty_name, matched_name, dist
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY true_key, dirty_name
+            ORDER BY dist, matched_name) AS rn
+        FROM cand
+    ) WHERE rn = 1
+    """,
+    doc="Fuzzy entity-match join (data cleaning): dirty names — one "
+    "character deterministically dropped from each nation name — are "
+    "matched back to the canonical dimension via a length-blocked "
+    "broadcast join, Levenshtein <= 2 predicate, and best-match "
+    "ranking (min distance, name tie-break). The dimension is "
+    "broadcast so the corpus side never shuffles; at 100 TB the "
+    "blocking key (length bucket; soundex/prefix for natural names) "
+    "bounds per-row candidate fan-out, and the ranking window "
+    "partitions per dirty row — never corpus-wide.",
+)
+def join_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nat = load(spark, sf_dir, "nation")
+    p = F.col("n_nationkey") % 6  # drop position inside the alpha prefix
+    dirty = nat.select(
+        F.col("n_nationkey").alias("true_key"),
+        F.concat(
+            F.expr("substr(n_name, 1, n_nationkey % 6)"),
+            F.expr("substr(n_name, 2 + n_nationkey % 6)"),
+        ).alias("dirty_name"),
+    )
+    clean = nat.select(F.col("n_name").alias("matched_name"))
+    dist = F.levenshtein(F.col("dirty_name"), F.col("matched_name"))
+    cand = dirty.join(
+        F.broadcast(clean),
+        (
+            F.abs(F.length("dirty_name") - F.length("matched_name")) <= 1
+        )
+        & (dist <= 2),
+    ).select("true_key", "dirty_name", "matched_name", dist.cast("long").alias("dist"))
+    w = Window.partitionBy("true_key", "dirty_name").orderBy("dist", "matched_name")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

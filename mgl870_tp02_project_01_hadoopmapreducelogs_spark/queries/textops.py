@@ -1618,3 +1618,72 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         (F.row_number().over(w) == 1).cast("int").alias("kept"),
     )
+
+
+# --- LSH parameter self-audit: banding recall vs exact Jaccard ----------------
+
+
+@register(
+    "dedup_lsh_recall",
+    f"""
+    WITH sh0 AS ({SHINGLES_SQL}),
+    sh AS (
+        SELECT * FROM sh0 WHERE shingle NOT IN (
+            SELECT shingle FROM sh0 GROUP BY shingle
+            HAVING count(*) > {SHINGLE_DF_CAP}
+        )
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    truth AS (
+        SELECT doc_a, doc_b FROM cand
+        JOIN sizes na ON cand.doc_a = na.doc_id
+        JOIN sizes nb ON cand.doc_b = nb.doc_id
+        WHERE shared / CAST(na.n + nb.n - shared AS DOUBLE) >= 0.5
+    ),
+    sig AS ({_minhash_sig_sql()}),
+    bands AS ({_bands_sql()}),
+    lsh AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band_id = b.band_id AND a.band = b.band
+                    AND a.doc_id < b.doc_id
+    )
+    SELECT (SELECT count(*) FROM truth) AS n_true,
+           (SELECT count(*) FROM lsh) AS n_candidates,
+           (SELECT count(*) FROM truth t
+             JOIN lsh l ON t.doc_a = l.doc_a AND t.doc_b = l.doc_b) AS n_hit,
+           ROUND((SELECT count(*) FROM truth t
+                   JOIN lsh l ON t.doc_a = l.doc_a AND t.doc_b = l.doc_b)
+                 / CAST(GREATEST((SELECT count(*) FROM truth), 1) AS DOUBLE),
+                 4) AS recall
+    """,
+    doc="LSH parameter self-audit: recall of the MinHash banding's "
+    "candidate pairs against the exact-Jaccard (≥ 0.5, df-capped "
+    "shingles) ground truth — the measurement a production dedup run "
+    "executes before trusting its band/row configuration at full "
+    "corpus scale. Both pair sets are engine queries already; the "
+    "audit is two joins and a scalar aggregate on pair-bounded "
+    "(not corpus-bounded) tables.",
+)
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    truth = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    lsh = dedup_minhash_lsh(spark, sf_dir)
+    hit = truth.join(lsh, ["doc_a", "doc_b"])
+    row = (
+        truth.agg(F.count(F.lit(1)).alias("n_true"))
+        .crossJoin(lsh.agg(F.count(F.lit(1)).alias("n_candidates")))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+    )
+    return row.select(
+        "n_true",
+        "n_candidates",
+        "n_hit",
+        F.round(F.col("n_hit") / F.greatest(F.col("n_true"), F.lit(1)).cast("double"), 4).alias(
+            "recall"
+        ),
+    )
