@@ -60,6 +60,7 @@ HEADLINE = [
     "dedup_anchor_containment",
     "text_remove_dup_spans",
     "dedup_keep_best",
+    "pipeline_c4_style",
 ]
 
 

@@ -156,11 +156,11 @@ _PRIORITY = [
     # (2b) round-2 additions, oracle-backed, never driver-checked
     "multimodal_ppm_roundtrip", "text_repetition_fraction",
     "text_quality_filter", "text_contamination_check",
-    "window_moving_stats", "groupingsets_mixed",
+    "window_moving_stats", "pipeline_c4_style",
     "pipeline_corpus_curation", "multimodal_resize",
     "multimodal_frame_sample", "dedup_anchor_containment",
     "text_remove_dup_spans", "streaming_minhash_dedup", "dedup_keep_best",
-    "dedup_lsh_recall", "join_fuzzy_match",
+    "dedup_lsh_recall", "join_fuzzy_match", "groupingsets_mixed",
     # (3) past the driver's 50-slot window from here down. f5/t1a were
     # r01-green and their only round-2 change is a value-neutral
     # repartition (spread()); never-checked NEW operators outrank

@@ -1496,10 +1496,21 @@ def text_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "documents"),
         scan_partitions(spark, sf_dir, "documents"),
     )
+    return remove_dup_spans(docs)
+
+
+def remove_dup_spans(
+    docs: DataFrame, carry_cols: list[str] | None = None
+) -> DataFrame:
+    """Core of C4-style duplicate-span removal over any ``(doc_id,
+    text, …)`` DataFrame; ``carry_cols`` pass through untouched (e.g.
+    ``lang`` for a downstream per-language summary). Returns
+    ``(doc_id, *carry, n_tokens, n_removed, cleaned)``."""
+    carry = carry_cols or []
     # token array materialized ONCE as an attribute (see _doc_shingles:
     # an inline split() would re-evaluate per slice position)
     tokdf = docs.select(
-        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+        "doc_id", *carry, F.split(F.trim(F.col("text")), r"\s+").alias("toks")
     )
     n = F.size("toks")
     k = DUP_SPAN_K
@@ -1540,6 +1551,7 @@ def text_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "doc_id",
+        *carry,
         F.size("toks").cast("long").alias("n_tokens"),
         F.coalesce(F.size("cov"), F.lit(0)).cast("long").alias("n_removed"),
         F.array_join(F.filter("toks", keep), " ").alias("cleaned"),
@@ -1686,4 +1698,96 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_hit") / F.greatest(F.col("n_true"), F.lit(1)).cast("double"), 4).alias(
             "recall"
         ),
+    )
+
+
+# --- C4-style end-to-end curation (quality -> span dedup -> exact dedup) ------
+
+_C4_NORM = (
+    r"trim(regexp_replace(regexp_replace(lower(ctext), '[^\w\s]', '', 'g'),"
+    r" '\s+', ' ', 'g'))"
+)
+
+
+@register(
+    "pipeline_c4_style",
+    rf"""
+    WITH kept AS (
+      SELECT doc_id, lang, text FROM documents WHERE {QF_KEEP_SQL}
+    ), toks AS (
+      SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS t
+      FROM kept
+    ), spanpos AS (
+      SELECT doc_id, t,
+             unnest(generate_series(1, len(t) - {DUP_SPAN_K} + 1)) AS pos
+      FROM toks WHERE len(t) >= {DUP_SPAN_K}
+    ), spanh AS (
+      SELECT doc_id, pos,
+             md5(array_to_string(t[pos:pos+{DUP_SPAN_K - 1}], ' ')) AS h
+      FROM spanpos
+    ), dup AS (
+      SELECT h, min(doc_id) AS keeper FROM spanh
+      GROUP BY h HAVING count(*) > 1
+    ), rm AS (
+      SELECT s.doc_id,
+             unnest(generate_series(s.pos, s.pos + {DUP_SPAN_K - 1})) AS cp
+      FROM spanh s JOIN dup d ON s.h = d.h AND s.doc_id <> d.keeper
+    ), cov AS (
+      SELECT doc_id, list(DISTINCT cp) AS cov FROM rm GROUP BY doc_id
+    ), cleaned AS (
+      SELECT t.doc_id, t.lang,
+             CAST(len(t.t) AS BIGINT) AS n_tokens_in,
+             CAST(COALESCE(len(c.cov), 0) AS BIGINT) AS n_removed,
+             COALESCE(array_to_string(list_filter(t.t,
+                 (x, i) -> c.cov IS NULL OR NOT list_contains(c.cov, i)),
+                 ' '), '') AS ctext
+      FROM toks t LEFT JOIN cov c USING (doc_id)
+    ), deduped AS (
+      SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY md5({_C4_NORM}) ORDER BY doc_id) AS rn
+      FROM cleaned
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_quality_kept,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_after_dedup,
+           CAST(SUM(n_removed) AS BIGINT) AS tokens_removed,
+           CAST(SUM(CASE WHEN rn = 1 THEN n_tokens_in - n_removed ELSE 0 END)
+             AS BIGINT) AS tokens_final
+    FROM deduped GROUP BY lang
+    """,
+    doc="C4-style end-to-end curation (Raffel et al. 2020 §2.2, the "
+    "actual C4 recipe): heuristic quality gate → cross-document "
+    "duplicate-span removal over the surviving docs → exact dedup of "
+    "the CLEANED text (fingerprint keep-min) → per-language corpus "
+    "summary. Composes the standalone operators (text_quality_filter, "
+    "remove_dup_spans, dedup_exact) into one plan: map-only gate, one "
+    "shuffle per dedup stage (span hash / doc_id / fingerprint), "
+    "summary agg partial+final. The whole chain is one Catalyst plan — "
+    "nothing materializes between stages.",
+)
+def pipeline_c4_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = spread(
+        load(spark, sf_dir, "documents"),
+        scan_partitions(spark, sf_dir, "documents"),
+    )
+    t = F.col("text")
+    kept = docs.filter(
+        (TX.token_count(t) >= QF_MIN_TOKENS)
+        & (TX.punct_ratio(t) < QF_MAX_PUNCT)
+        & (TX.stopword_ratio(t, "en") >= QF_MIN_STOPWORD)
+    ).select("doc_id", "lang", "text")
+    cleaned = remove_dup_spans(kept, carry_cols=["lang"])
+    w = Window.partitionBy(TX.fingerprint(F.col("cleaned"))).orderBy("doc_id")
+    deduped = cleaned.withColumn("rn", F.row_number().over(w))
+    first = (F.col("rn") == 1).cast("long")
+    return deduped.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_quality_kept"),
+        F.sum(first).alias("n_after_dedup"),
+        F.sum("n_removed").alias("tokens_removed"),
+        F.sum(
+            first * (F.col("n_tokens") - F.col("n_removed"))
+        ).alias("tokens_final"),
     )
