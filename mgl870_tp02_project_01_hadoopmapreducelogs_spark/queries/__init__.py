@@ -161,6 +161,7 @@ _PRIORITY = [
     "multimodal_frame_sample", "dedup_anchor_containment",
     "text_remove_dup_spans", "streaming_minhash_dedup", "dedup_keep_best",
     "dedup_lsh_recall", "join_fuzzy_match", "groupingsets_mixed",
+    "ml_correlation_pruner", "ml_split_deterministic",
     # (3) past the driver's 50-slot window from here down. f5/t1a were
     # r01-green and their only round-2 change is a value-neutral
     # repartition (spread()); never-checked NEW operators outrank

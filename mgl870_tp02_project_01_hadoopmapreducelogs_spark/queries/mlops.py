@@ -135,10 +135,49 @@ def ml_random_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ml_correlation_pruner",
-    None,
+    rf"""
+    WITH w AS (
+        SELECT window_id,
+               SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS n_click,
+               SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS n_error,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+               SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS n_signup,
+               SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS n_view,
+               SUM(v) AS sum_value
+        FROM ({_WINDOWED_SQL})
+        GROUP BY window_id
+    ),
+    c AS (
+        SELECT corr(CAST(n_click AS DOUBLE), CAST(n_error AS DOUBLE)) AS c_0_1,
+           corr(CAST(n_click AS DOUBLE), CAST(n_purchase AS DOUBLE)) AS c_0_2,
+           corr(CAST(n_error AS DOUBLE), CAST(n_purchase AS DOUBLE)) AS c_1_2,
+           corr(CAST(n_click AS DOUBLE), CAST(n_signup AS DOUBLE)) AS c_0_3,
+           corr(CAST(n_error AS DOUBLE), CAST(n_signup AS DOUBLE)) AS c_1_3,
+           corr(CAST(n_purchase AS DOUBLE), CAST(n_signup AS DOUBLE)) AS c_2_3,
+           corr(CAST(n_click AS DOUBLE), CAST(n_view AS DOUBLE)) AS c_0_4,
+           corr(CAST(n_error AS DOUBLE), CAST(n_view AS DOUBLE)) AS c_1_4,
+           corr(CAST(n_purchase AS DOUBLE), CAST(n_view AS DOUBLE)) AS c_2_4,
+           corr(CAST(n_signup AS DOUBLE), CAST(n_view AS DOUBLE)) AS c_3_4,
+           corr(CAST(n_click AS DOUBLE), CAST(sum_value AS DOUBLE)) AS c_0_5,
+           corr(CAST(n_error AS DOUBLE), CAST(sum_value AS DOUBLE)) AS c_1_5,
+           corr(CAST(n_purchase AS DOUBLE), CAST(sum_value AS DOUBLE)) AS c_2_5,
+           corr(CAST(n_signup AS DOUBLE), CAST(sum_value AS DOUBLE)) AS c_3_5,
+           corr(CAST(n_view AS DOUBLE), CAST(sum_value AS DOUBLE)) AS c_4_5
+        FROM w
+    )
+    SELECT 'n_click' AS kept FROM c
+        UNION ALL SELECT 'n_error' AS kept FROM c WHERE NOT (COALESCE(abs(c_0_1) > 0.9, FALSE))
+        UNION ALL SELECT 'n_purchase' AS kept FROM c WHERE NOT (COALESCE(abs(c_0_2) > 0.9, FALSE) OR COALESCE(abs(c_1_2) > 0.9, FALSE))
+        UNION ALL SELECT 'n_signup' AS kept FROM c WHERE NOT (COALESCE(abs(c_0_3) > 0.9, FALSE) OR COALESCE(abs(c_1_3) > 0.9, FALSE) OR COALESCE(abs(c_2_3) > 0.9, FALSE))
+        UNION ALL SELECT 'n_view' AS kept FROM c WHERE NOT (COALESCE(abs(c_0_4) > 0.9, FALSE) OR COALESCE(abs(c_1_4) > 0.9, FALSE) OR COALESCE(abs(c_2_4) > 0.9, FALSE) OR COALESCE(abs(c_3_4) > 0.9, FALSE))
+        UNION ALL SELECT 'sum_value' AS kept FROM c WHERE NOT (COALESCE(abs(c_0_5) > 0.9, FALSE) OR COALESCE(abs(c_1_5) > 0.9, FALSE) OR COALESCE(abs(c_2_5) > 0.9, FALSE) OR COALESCE(abs(c_3_5) > 0.9, FALSE) OR COALESCE(abs(c_4_5) > 0.9, FALSE))
+    """,
     doc="M9: correlation-pruning selector at threshold 0.9 on the "
     "windowed features (process_logs_v10.py:325-328) — emits kept "
-    "columns. (The oracle-checked variant is a10_correlation_pruning.)",
+    "columns. Oracle: the same upper-triangle any-earlier-column rule "
+    "written out over DuckDB corr() pairs (NULL-safe like the numpy "
+    "NaN skip), so the pruning DECISION — not just the correlation "
+    "values (a10) — is driver-checked.",
 )
 def ml_correlation_pruner(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _windowed(spark, sf_dir)
@@ -193,3 +232,40 @@ def ml_pca_anomaly_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _windowed(spark, sf_dir)
     scored = anomaly.pca_reconstruction_error(df, FEATURES, k=2, contamination=0.1)
     return scored.groupBy("is_anomaly").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "ml_split_deterministic",
+    f"""
+    WITH w AS (
+        SELECT window_id,
+               MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS label
+        FROM ({_WINDOWED_SQL})
+        GROUP BY window_id
+    )
+    SELECT CASE WHEN substr(md5(CAST(window_id AS VARCHAR)), 1, 2) < '33'
+                THEN 'test' ELSE 'train' END AS split,
+           label,
+           CAST(count(*) AS BIGINT) AS n
+    FROM w GROUP BY 1, 2
+    """,
+    doc="M1 scale-path variant: DETERMINISTIC hash split — a row is "
+    "'test' iff the first md5 byte of its window_id is < 0x33 "
+    "(~19.9%). Unlike seeded distributed sampling (engine- and "
+    "partitioning-specific RNG, ml_stratified_split_counts), the "
+    "assignment is a pure function of the key: reproducible across "
+    "engines, runs, cluster sizes, and data relayouts — which is why "
+    "production pipelines hash-split. Fully oracle-checked, including "
+    "per-class counts.",
+)
+def ml_split_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _windowed(spark, sf_dir)
+    split = F.when(
+        F.substring(F.md5(F.col("window_id").cast("string")), 1, 2) < "33",
+        "test",
+    ).otherwise("train")
+    return (
+        df.select(split.alias("split"), F.col("label").cast("int").alias("label"))
+        .groupBy("split", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
