@@ -95,13 +95,21 @@ def streaming_template_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_new_template_feed",
-    None,
+    """
+    SELECT regexp_replace(
+             event_type || ' user=' || CAST(user_id AS VARCHAR),
+             '\\b\\d+\\b', '<*>', 'g') AS template,
+           CAST(count(*) AS BIGINT) AS first_size
+    FROM events GROUP BY 1
+    """,
     doc="T3 as a custom stateful streaming operator "
     "(applyInPandasWithState): emit each template exactly once on "
     "first sighting, running totals in the state store (the "
-    "distributed drain3_state.bin). Rows-only: stateful emission "
-    "order is not SQL-expressible; exactly-once invariants are "
-    "pytest-covered (tests/test_streaming.py).",
+    "distributed drain3_state.bin). In the driver's single-batch run "
+    "every first sighting carries the full corpus count, so the feed "
+    "equals the batch GROUP BY oracle value-for-value; cross-batch "
+    "emit-once/first-batch-count semantics are pytest-covered "
+    "(tests/test_streaming.py).",
 )
 def streaming_new_template_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import mining_stream
