@@ -552,15 +552,21 @@ def minhash_bands_rowwise(docs: DataFrame, text_col: str = "text") -> DataFrame:
             )
         ).alias("shingles"),
     ).filter(F.size(toks) >= 3)
-    sig = [
-        F.array_min(
+    def _minhash(j: int):
+        # closure, NOT a default-arg lambda: a two-parameter lambda
+        # (`lambda s, j=j`) is treated by transform() as an
+        # (element, index) function — the "salt" would silently bind
+        # to the index column and the hash family would change with
+        # every plan compilation (caught by the oracle as intermittent
+        # flag flips)
+        return F.array_min(
             F.transform(
                 F.col("shingles"),
-                lambda s, j=j: F.md5(F.concat(s, F.lit(f"#{j}"))),
+                lambda s: F.md5(F.concat(s, F.lit(f"#{j}"))),
             )
-        ).alias(f"s{j}")
-        for j in range(N_HASHES)
-    ]
+        )
+
+    sig = [_minhash(j).alias(f"s{j}") for j in range(N_HASHES)]
     with_sig = with_sh.select("doc_id", *sig)
     band_cols = [
         F.md5(
