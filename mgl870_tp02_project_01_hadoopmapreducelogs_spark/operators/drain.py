@@ -185,6 +185,23 @@ def fit_distributed(
     the driver fits the collected counts — detected with one
     early-terminating ``limit(cap+1)`` collect, so the common case
     costs one job and the large case only a truncated scan extra.
+
+    PATH DIVERGENCE (explicit, not merely a count-weighting argument):
+    the two paths are NOT bit-equivalent. The small path fits one miner
+    over all distinct messages in sorted order; the large path fits one
+    miner per partition and then replays each partition's local
+    TEMPLATES (already wildcarded) into the merge miner, so a corpus
+    crossing the cap can see a discontinuous catalog change — templates
+    that would have stayed separate under a single fit may merge once
+    partial templates (containing ``<*>``) are replayed. Both paths
+    satisfy the same invariants (sum of sizes = line count; every line
+    matches some template at ``sim_th``), which is what the oracle and
+    ``test_drain.py`` pin; the canonical bit-stable catalog for parity
+    comparisons is T1a's exact mining, not this operator. If bit-stable
+    catalogs across data scale matter to a deployment, pin the path by
+    setting ``DRIVER_FIT_CAP`` to 0 (always distributed) or a value
+    above the largest expected distinct count (always single-fit)
+    rather than relying on the data-dependent cutover.
     """
     from pyspark.sql import functions as F
 

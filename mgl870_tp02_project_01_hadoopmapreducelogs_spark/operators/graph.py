@@ -25,11 +25,14 @@ from pyspark.sql import functions as F
 #: adaptive cutover: an edge list with at most this many pairs is
 #: union-found on the driver in one pass (microseconds) instead of
 #: paying O(diameter) distributed rounds of per-job scheduling — the
-#: same shape as ``drain.DRIVER_FIT_CAP``. Detection is one
-#: early-terminating ``limit(cap+1)`` collect of the (already
-#: pair-bounded) edge list; past the cap the distributed min-label
-#: loop below takes over unchanged. 500k edges × 16 B ≈ 8 MB collect.
-DRIVER_CC_CAP = 500_000
+#: same shape as ``drain.DRIVER_FIT_CAP``. Detection is a ``count()``
+#: over the once-materialized edge list (never a speculative collect),
+#: so an over-cap graph pays no wasted transfer. The cap is sized for
+#: PySpark Row overhead (~1-2 KB/Row on the driver heap, not the 16 B
+#: payload): 100k edges ≈ low hundreds of MB worst case, comfortably
+#: inside the 8 GB driver. Past the cap the distributed min-label loop
+#: below takes over unchanged.
+DRIVER_CC_CAP = 100_000
 
 
 def _driver_union_find(pairs: list[tuple[int, int]]) -> list[tuple[int, int]]:
@@ -71,21 +74,25 @@ def connected_components(
     under ``DRIVER_CC_CAP`` skip the loop entirely and union-find on
     the driver.
     """
-    dedup_edges = edges.select(
-        F.col(src).alias("a"), F.col(dst).alias("b")
-    ).distinct()
-    head = dedup_edges.limit(DRIVER_CC_CAP + 1).collect()
-    if len(head) <= DRIVER_CC_CAP:
-        rows = _driver_union_find(sorted((r.a, r.b) for r in head))
+    # materialize the (pair-count-bounded) distinct edge list ONCE:
+    # the size probe, the driver fast path, and every distributed
+    # iteration all read these blocks — the upstream pair-generation
+    # pipeline executes exactly once either way
+    dedup_edges = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    if dedup_edges.count() <= DRIVER_CC_CAP:
+        rows = _driver_union_find(
+            sorted((r.a, r.b) for r in dedup_edges.collect())
+        )
         return edges.sparkSession.createDataFrame(
             rows, "doc_id long, component long"
         )
-    # materialize the (pair-count-bounded) edge list ONCE: it is
-    # re-joined every iteration, and without truncation each round would
-    # re-execute the full upstream pair-generation pipeline
     sym = (
         dedup_edges
-        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .unionByName(dedup_edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
         .localCheckpoint()
     )

@@ -542,16 +542,24 @@ def minhash_bands_rowwise(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """
     from .textops import BAND_SIZE, N_HASHES
 
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    with_sh = docs.select(
-        "doc_id",
-        F.expr(
-            "transform(sequence(1, size(split(trim({t}), '\\\\s+')) - 2),"
-            " i -> concat_ws(' ', slice(split(trim({t}), '\\\\s+'), i, 3)))".format(
-                t=text_col
-            )
-        ).alias("shingles"),
-    ).filter(F.size(toks) >= 3)
+    # mirror the batch _doc_shingles ordering: materialize toks, FILTER
+    # size>=3, THEN build shingles — so short docs can never reach the
+    # sequence(1, size-2) expression (which would be a descending
+    # sequence through 0 and a runtime slice error) regardless of
+    # whether Catalyst pushes the predicate below the projection
+    with_sh = (
+        docs.select(
+            "doc_id", F.split(F.trim(F.col(text_col)), r"\s+").alias("toks")
+        )
+        .filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(sequence(1, size(toks) - 2),"
+                " i -> concat_ws(' ', slice(toks, i, 3)))"
+            ).alias("shingles"),
+        )
+    )
     def _minhash(j: int):
         # closure, NOT a default-arg lambda: a two-parameter lambda
         # (`lambda s, j=j`) is treated by transform() as an

@@ -107,3 +107,36 @@ def test_pca_reconstruction_error_anomaly(spark):
     scored = anomaly.pca_reconstruction_error(df, ["a", "b", "c"], k=1)
     top = scored.orderBy(F.col("anomaly_score").desc()).select("id").first().id
     assert top == 200
+
+
+def test_pruner_threshold_has_margin_at_checked_scales(spark):
+    """Guard for the ml_correlation_pruner DRIVER oracle: the pruning
+    DECISION is compared through an abs(corr)>0.9 threshold computed
+    independently by Spark and DuckDB. A pair whose true correlation
+    sits near 0.9 could flip between engines (different float summation
+    order), so assert every feature pair's |corr| keeps a healthy
+    margin from the threshold at the scales the driver checks."""
+    from mgl870_tp02_project_01_hadoopmapreducelogs_spark.queries.mlops import (
+        FEATURES,
+        _windowed,
+    )
+
+    eps = 0.02
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        df = _windowed(spark, sf_dir)
+        corrs = df.agg(
+            *[
+                F.corr(F.col(a).cast("double"), F.col(b).cast("double")).alias(
+                    f"{a}__{b}"
+                )
+                for i, a in enumerate(FEATURES)
+                for b in FEATURES[i + 1 :]
+            ]
+        ).first()
+        for pair, c in corrs.asDict().items():
+            if c is None:
+                continue
+            assert abs(abs(c) - 0.9) > eps, (
+                f"{pair} |corr|={abs(c):.4f} within {eps} of the 0.9 "
+                f"threshold at {sf_dir} — oracle decision could flip"
+            )
