@@ -130,43 +130,53 @@ from . import (  # noqa: E402,F401
 
 # --- driver-facing ordering -------------------------------------------------
 # The correctness driver checks the FIRST 50 registered queries only, so
-# ordering is evidence budget. Priority: (1) queries whose round-1 hash
-# verdict was red (oracle-type artifact, now fixed) — prove the fix;
-# (2) oracle-backed queries the driver has never seen (TPC-H, streaming,
-# text/dedup/similarity, T1b); (3) core previously-green queries. The
-# overflow (green in round 1, unchanged) and rows-only entries follow.
+# ordering is evidence budget. Round-3 rotation: every oracle-bearing
+# query with NO driver verdict from rounds 1-2 (the TPC-H tail, the
+# dedup/graph compositions, the round-2 oracle upgrades, the streaming
+# joins, the text tail) plus this round's new hard-oracle queries
+# (Drain invariants x2, planted embedding dedup). 74 queries are
+# already hard-green across r1+r2 and unchanged; they follow after the
+# window (regressions there are covered by pytest + the local oracle
+# harness, scripts/check_oracle.py, run before every commit).
 _PRIORITY = [
-    # (1) round-1 hash-fails, now type-fixed
-    "a1_a2_event_totals", "a3_try_cast_coercion", "a7_occurrence_pivot",
-    "w1_a4_a5_windowed_features", "ml_windowed_dataset",
-    "join_broadcast_dims", "join_window_alignment", "rollup_region_nation",
-    "cube_status_priority", "unpivot_measures", "sessionize_events",
-    "json_extract_props", "skew_salted_agg", "skew_hot_key_cap",
-    # (2) oracle-backed, never driver-checked in round 1
-    "t1b_drainish_mining", "time_tumbling_hourly",
-    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
-    "tpch_q5_region_volume", "tpch_q6_forecast_revenue",
-    "tpch_q14_promo_share", "topk_per_group",
-    "streaming_hourly_counts", "streaming_template_mining",
-    "streaming_sliding_counts", "session_window_native",
-    "multimodal_byte_stats", "text_token_count", "text_quality_score",
-    "text_detect_language", "text_fingerprint", "dedup_exact",
-    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_embedding_cosine",
-    "sim_cosine_topk", "sim_knn_join", "sim_lsh_sign_buckets",
-    # (2b) round-2 additions, oracle-backed, never driver-checked
-    "multimodal_ppm_roundtrip", "text_repetition_fraction",
-    "text_quality_filter", "text_contamination_check",
-    "window_moving_stats", "pipeline_c4_style",
-    "pipeline_corpus_curation", "multimodal_resize",
-    "multimodal_frame_sample", "dedup_anchor_containment",
-    "text_remove_dup_spans", "streaming_minhash_dedup", "dedup_keep_best",
-    "dedup_lsh_recall", "join_fuzzy_match", "groupingsets_mixed",
+    # TPC-H tail — oracle-backed since r2, never driver-checked
+    "tpch_q2_min_cost_supplier", "tpch_q4_order_priority",
+    "tpch_q7_nation_volume", "tpch_q8_market_share",
+    "tpch_q9_product_profit", "tpch_q10_returned_items",
+    "tpch_q11_important_stock", "tpch_q12_late_shipments",
+    "tpch_q13_order_count_dist", "tpch_q15_top_supplier",
+    "tpch_q16_supplier_cnt", "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_volume", "tpch_q19_disjunctive_filter",
+    "tpch_q20_excess_suppliers", "tpch_q21_waiting_suppliers",
+    "tpch_q22_sales_opportunity",
+    # dedup compositions (LSH->groups, simhash, connected components)
+    "dedup_simhash", "dedup_connected_components", "dedup_minhash_groups",
+    # join/agg surface without a verdict
+    "join_fuzzy_match", "range_join_event_pairs", "groupingsets_mixed",
+    # round-2 oracle upgrades (marquee correctness work, zero driver
+    # evidence so far)
     "ml_correlation_pruner", "ml_split_deterministic",
-    # (3) past the driver's 50-slot window from here down. f5/t1a were
-    # r01-green and their only round-2 change is a value-neutral
-    # repartition (spread()); never-checked NEW operators outrank
-    # re-proving them, so they take slots 51-52.
-    "f5_mask_dynamic_tokens", "t1a_mine_templates",
+    "s5_catalog_accumulation", "streaming_new_template_feed",
+    # streaming joins + streaming dedup
+    "streaming_stream_stream_join", "streaming_static_enrichment",
+    "streaming_dedup_exact",
+    # NEW this round: faithful-Drain conservation laws as hard oracles,
+    # and the production 8x8 embedding-LSH config on planted dups
+    "t1c_drain_invariants", "streaming_drain_invariants",
+    "dedup_embedding_planted",
+    # remaining never-checked oracle entries
+    "dq_referential_audit", "stats_hourly_rate_anomaly",
+    "join_full_outer_reconcile", "agg_ordered_collect",
+    "dedup_keep_best", "dedup_lsh_recall",
+    "sim_label_centroids", "sim_quantized_topk",
+    # text tail
+    "corpus_stats_by_language", "text_vocab_topk",
+    "text_sample_stratified", "text_pack_sequences",
+    "text_length_quantiles", "text_chunk_documents", "text_mask_pii",
+    "text_tfidf_topk", "text_oov_rate",
+    # --- driver window ends at 50 entries; these two rotate in next
+    # round (lowest-priority text tail)
+    "text_sample_temperature", "text_unigram_logprob",
 ]
 
 

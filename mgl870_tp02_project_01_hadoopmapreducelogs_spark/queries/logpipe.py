@@ -343,6 +343,50 @@ def t1c_drain_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drain.fit_distributed(parsed, depth=4, sim_th=0.4)
 
 
+@register(
+    "t1c_drain_invariants",
+    f"""
+    SELECT CAST(count(*) AS BIGINT) AS total_size,
+           CAST(count(*) AS BIGINT) AS n_matched,
+           TRUE AS catalog_within_band
+    FROM ({MASKED_LINES_SQL})
+    """,
+    doc="T1(c) faithful-Drain invariants as a HARD oracle (the "
+    "similarity clustering itself is not SQL-expressible, but its "
+    "conservation laws are): (1) catalog sizes sum to the exact line "
+    "count — Drain assigns every line to exactly one cluster "
+    "(process_logs_v10.py:59-81); (2) re-matching every line against "
+    "the fitted catalog at the same sim_th=0.4 finds a cluster for "
+    "all of them — the fit is self-consistent under T2 inference; "
+    "(3) the catalog size lies in [1, n_distinct_masked] — "
+    "generalization never invents clusters beyond the distinct-"
+    "message count. DuckDB independently recomputes the line count "
+    "and asserts the band constant, so a driver hash-match is a real "
+    "verdict on the Drain path, not rows-only.",
+)
+def t1c_drain_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import drain
+
+    parsed = _masked(spark, sf_dir)
+    catalog = drain.fit_distributed(parsed, depth=4, sim_th=0.4)
+    matched = drain.match_distributed(parsed, catalog, depth=4, sim_th=0.4)
+    # catalog-bounded driver scalars (the catalog was already collected
+    # once inside fit/match; these are cheap counts)
+    n_clusters = catalog.count()
+    n_distinct = parsed.select("masked").distinct().count()
+    return (
+        catalog.agg(F.sum("size").cast("long").alias("total_size"))
+        .crossJoin(
+            matched.filter(F.col("cluster_id").isNotNull()).agg(
+                F.count(F.lit(1)).cast("long").alias("n_matched")
+            )
+        )
+        .withColumn(
+            "catalog_within_band", F.lit(1 <= n_clusters <= n_distinct)
+        )
+    )
+
+
 # --- S1/S2: file-backed ingestion (rows-only: oracle has no filesystem) -----
 
 

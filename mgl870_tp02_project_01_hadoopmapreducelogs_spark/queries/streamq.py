@@ -160,6 +160,51 @@ def streaming_drain_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_drain_invariants",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS total_size,
+           TRUE AS catalog_within_band
+    FROM events
+    """,
+    doc="Online-Drain conservation laws as a HARD oracle for the "
+    "streaming miner (the clustering itself is not SQL-expressible): "
+    "the collapsed live catalog's sizes must sum to the exact number "
+    "of stream rows processed — every line lands in exactly one "
+    "cluster's running size, across all micro-batches and state-store "
+    "updates — and the catalog size must lie in [1, n_distinct_masked] "
+    "(generalization never invents clusters). DuckDB independently "
+    "recounts the events table, turning the streaming Drain path's "
+    "rows-only verdict into a value-checked one.",
+)
+def streaming_drain_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import mining_stream
+    from . import load, load_events_stream
+
+    msg = F.concat(
+        F.col("event_type"), F.lit(" user="), F.col("user_id").cast("string")
+    )
+    masked = F.regexp_replace(msg, r"\b\d+\b", "<*>")
+    stream = load_events_stream(spark, sf_dir).select(masked.alias("masked"))
+    feed = mining_stream.drain_mining_stream(stream)
+    global _SINK_N
+    _SINK_N += 1
+    emissions = mining_stream.run_to_memory(
+        feed, f"drain_inv_{_SINK_N}", mode="append"
+    )
+    catalog = mining_stream.latest_drain_catalog(emissions)
+    n_clusters = catalog.count()
+    n_distinct = (
+        load(spark, sf_dir, "events")
+        .select(masked.alias("masked"))
+        .distinct()
+        .count()
+    )
+    return catalog.agg(
+        F.sum("size").cast("long").alias("total_size")
+    ).withColumn("catalog_within_band", F.lit(1 <= n_clusters <= n_distinct))
+
+
+@register(
     "streaming_sliding_counts",
     """
     SELECT ws AS window_start, count(*) AS n FROM (

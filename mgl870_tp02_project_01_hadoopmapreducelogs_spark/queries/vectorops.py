@@ -326,6 +326,85 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- planted-duplicate variant: the PRODUCTION 8x8 band config ---------------
+
+#: near-dup knobs for the planted-duplicate query: the honest
+#: production config (8 bands x 8 sign bits), which the coarse
+#: registered ``dedup_embedding_cosine`` cannot exercise because the
+#: raw testdata has no true near-dups (max pair cos ~= 0.51).
+PLANT_BANDS = 8
+PLANT_BITS = 8
+PLANT_COS_TH = 0.99
+PLANT_EVERY = 25
+PLANT_OFFSET = 1_000_000
+
+_PLANT_BANDS_SQL = " UNION ALL ".join(
+    _band_bucket_sql(b, PLANT_BITS) for b in range(PLANT_BANDS)
+)
+
+
+@register(
+    "dedup_embedding_planted",
+    f"""
+    WITH b0 AS (SELECT vec_id, {INT_EMB_SQL} AS e FROM embeddings),
+    base AS (
+        SELECT vec_id, e FROM b0
+        UNION ALL
+        SELECT vec_id + {PLANT_OFFSET} AS vec_id,
+               list_transform(e, (x, i) -> x + ((vec_id + i) % 3 - 1)) AS e
+        FROM b0 WHERE vec_id % {PLANT_EVERY} = 0
+    ),
+    bands AS ({_PLANT_BANDS_SQL}),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.bucket = b.bucket
+         AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b,
+           ROUND(
+             list_sum(list_transform(list_zip(ba.e, bb.e), p -> CAST(p[1]*p[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(ba.e, x -> CAST(x*x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(bb.e, x -> CAST(x*x AS DOUBLE))))), 4)
+           AS cos
+    FROM cand
+    JOIN base ba ON cand.vec_a = ba.vec_id
+    JOIN base bb ON cand.vec_b = bb.vec_id
+    WHERE list_sum(list_transform(list_zip(ba.e, bb.e), p -> CAST(p[1]*p[2] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(ba.e, x -> CAST(x*x AS DOUBLE))))
+             * sqrt(list_sum(list_transform(bb.e, x -> CAST(x*x AS DOUBLE)))))
+          >= {PLANT_COS_TH}
+    """,
+    doc="Embedding near-dup dedup under the PRODUCTION LSH config "
+    f"({PLANT_BANDS} bands x {PLANT_BITS} sign bits, cos >= "
+    f"{PLANT_COS_TH}), driver-checked on PLANTED duplicates: every "
+    f"{PLANT_EVERY}th vector is unioned back with a deterministic "
+    "+-1 integer perturbation per dimension (cos ~ 0.9999), so LSH "
+    "genuinely prunes — non-dup pairs (max cos ~0.51) never share all "
+    "8 sign bits of a band above chance, candidate volume ~n^2/64 vs "
+    "n^2/2 brute force — while the planted pairs' sign patterns agree "
+    "on essentially every band (a +-1 nudge flips a sign only at a "
+    "coordinate in {-1,0}). Dot products are exact integers < 2^53, "
+    "so Spark's per-bucket BLAS rescoring and DuckDB's list arithmetic "
+    "produce bit-identical cosines regardless of summation order — "
+    "the threshold cannot flip between engines.",
+)
+def dedup_embedding_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b0 = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _int_emb(F.col("embedding")).alias("e")
+    )
+    planted = b0.filter(F.col("vec_id") % PLANT_EVERY == 0).select(
+        (F.col("vec_id") + PLANT_OFFSET).alias("vec_id"),
+        F.transform(
+            "e", lambda x, i: x + ((F.col("vec_id") + i + 1) % 3 - 1)
+        ).alias("e"),
+    )
+    base = b0.unionByName(planted)
+    return embedding_near_pairs(
+        base, bands=PLANT_BANDS, bits=PLANT_BITS, threshold=PLANT_COS_TH
+    )
+
+
 # --- per-label centroids (embedding-space diagnostics) ------------------------
 
 

@@ -273,12 +273,30 @@ def write_catalog_stream(
             except Exception:  # first epoch: nothing to merge
                 existing = None
             if existing is not None:
-                out = existing.join(
+                merged = existing.join(
                     batch_df.select("template"), "template", "left_anti"
                 ).unionByName(batch_df)
-            # materialize before overwriting the path we just read
-            # (bounded by catalog size, never by corpus size)
-            out = spark.createDataFrame(out.collect(), out.schema)
+                # the merge reads `path`, so it can't overwrite `path`
+                # in the same job. Stage the merged catalog to a
+                # sibling directory (fully DISTRIBUTED write — no
+                # driver round-trip) while `path` stays readable, then
+                # swap with directory renames: a metadata-only commit.
+                # On an HDFS-compatible store rename is atomic per
+                # directory; on object stores or for multi-writer
+                # setups use a transactional table format (Delta/
+                # Iceberg MERGE) instead — this sink is single-writer
+                # by Structured Streaming's epoch contract.
+                fs_path = path[len("file:"):] if path.startswith("file:") else path
+                staging = f"{fs_path}.__epoch_{epoch_id}_staging"
+                retired = f"{fs_path}.__epoch_{epoch_id}_retired"
+                merged.write.mode("overwrite").parquet(staging)
+                import os
+                import shutil
+
+                os.rename(fs_path, retired)
+                os.rename(staging, fs_path)
+                shutil.rmtree(retired)
+                return
         out.write.mode("overwrite").parquet(path)
 
     writer = (
