@@ -1,0 +1,71 @@
+"""Regenerate the 'Driver evidence' section of COVERAGE.md from the
+driver's CORRECTNESS_r*.json artifacts + the registry — so documented
+status can never drift ahead of recorded driver verdicts.
+
+Usage: python scripts/driver_evidence.py
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import re
+import sys
+
+sys.path.insert(0, ".")
+
+MARK = "## Driver evidence (auto-generated — scripts/driver_evidence.py)"
+
+
+def main() -> None:
+    from mgl870_tp02_project_01_hadoopmapreducelogs_spark.queries import REGISTRY
+
+    verdicts: dict[str, str] = {}
+    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
+        rnd = re.search(r"r(\d+)", path).group(1)
+        for name, row in json.load(open(path)).items():
+            if row.get("err") == "no_oracle" or row.get("err") == "no oracle":
+                verdicts.setdefault(name, f"driver rows-only (r{int(rnd)})")
+            elif (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ):
+                verdicts[name] = f"driver-green (r{int(rnd)})"
+            else:
+                verdicts[name] = f"DRIVER-FAIL (r{int(rnd)})"
+
+    lines = [MARK, ""]
+    lines.append(
+        "Status per registry entry, latest driver artifact wins. "
+        "`oracle (local)` = passes `scripts/check_oracle.py` but no "
+        "driver round has sampled it yet."
+    )
+    lines.append("")
+    counts: dict[str, int] = {}
+    lines.append("| query | status |")
+    lines.append("|---|---|")
+    for name, spec in REGISTRY.items():
+        if name in verdicts:
+            st = verdicts[name]
+        elif spec.oracle is not None:
+            st = "oracle (local)"
+        else:
+            st = "rows-only (no oracle possible)"
+        key = st.split(" (")[0]
+        counts[key] = counts.get(key, 0) + 1
+        lines.append(f"| {name} | {st} |")
+    summary = ", ".join(f"{k}: {v}" for k, v in sorted(counts.items()))
+    lines.insert(4, f"**Totals**: {summary}.")
+    lines.insert(5, "")
+
+    text = open("COVERAGE.md").read()
+    if MARK in text:
+        text = text[: text.index(MARK)].rstrip() + "\n\n"
+    text += "\n".join(lines) + "\n"
+    open("COVERAGE.md", "w").write(text)
+    print(f"COVERAGE.md driver-evidence section updated ({summary})")
+
+
+if __name__ == "__main__":
+    main()
