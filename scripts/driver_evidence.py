@@ -48,6 +48,10 @@ def main() -> None:
     for name, spec in REGISTRY.items():
         if name in verdicts:
             st = verdicts[name]
+            # an oracle added AFTER the last driver rows-only check
+            # upgrades the pending status
+            if st.startswith("driver rows-only") and spec.oracle is not None:
+                st = f"oracle (local; was {st})"
         elif spec.oracle is not None:
             st = "oracle (local)"
         else:
