@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import load, register
+from .logpipe import TEMPLATES_SQL
 
 # --- rollup / grouping sets ---------------------------------------------------
 
@@ -490,12 +491,18 @@ def skew_hot_key_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "s4_s5_sink_roundtrip",
-    None,
+    f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(0 AS BIGINT) AS n_divergent_rows
+    FROM ({TEMPLATES_SQL})
+    """,
     doc="S4+S5 sinks: write the template catalog to header-CSV and "
     "Parquet, read both back, verify identical content (the "
     "reference's event_matrix.csv + drain3_state.bin persistence, "
-    "process_logs_v10.py:160,39-40). Rows-only: filesystem sinks "
-    "have no SQL oracle.",
+    "process_logs_v10.py:160,39-40). HARD oracle: the CSV-read-back "
+    "row count is value-checked against DuckDB's independent catalog "
+    "count (proving the sink persisted every row), and the roundtrip "
+    "divergence is asserted zero as an invariant constant.",
 )
 def s4_s5_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
@@ -519,11 +526,14 @@ def s4_s5_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     pq_back = sinks.read_catalog(spark, f"{base}/parquet").select(
         "cluster_id", "size", "template"
     )
-    return (
+    divergent = (
         csv_back.exceptAll(pq_back)
         .unionByName(pq_back.exceptAll(csv_back))
         .agg(F.count(F.lit(1)).alias("n_divergent_rows"))
     )
+    return csv_back.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    ).crossJoin(divergent)
 
 
 # --- moving-frame window stats -------------------------------------------------

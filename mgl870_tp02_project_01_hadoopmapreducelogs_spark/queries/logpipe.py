@@ -387,16 +387,23 @@ def t1c_drain_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- S1/S2: file-backed ingestion (rows-only: oracle has no filesystem) -----
+# --- S1/S2: file-backed ingestion ------------------------------------------
 
 
 @register(
     "s1_recursive_log_scan",
-    None,
+    """
+    SELECT 'msg <*>' AS masked, CAST(100 AS BIGINT) AS n
+    """,
     doc="S1/S2/P1: recursive container_*.log directory scan with listing-"
     "time glob pruning + stable line ids (process_logs_v10.py:86-111). "
-    "Rows-only: the oracle cannot read a directory tree; invariants "
-    "(file count, line density) are pytest-covered.",
+    "HARD oracle via ground truth BY CONSTRUCTION: the query writes its "
+    "own deterministic corpus (one matching log of 100 lines whose 7 "
+    "message variants all mask to 'msg <*>', plus a decoy.txt that the "
+    "glob must never open), so the exact expected output is a known "
+    "constant — a hash match proves listing-time pruning, line parsing "
+    "AND the masking chain end-to-end. The decoy's absence is load-"
+    "bearing: any leak through the glob breaks the row count.",
 )
 def s1_recursive_log_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os

@@ -513,23 +513,33 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_feature_extract",
-    None,
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           TRUE AS features_valid
+    FROM documents
+    """,
     doc="Multimodal feature extraction: Arrow-batched mapInPandas over "
     "binary payloads (decode step stubbed behind NotImplementedError; "
     "deterministic fake featurizer exercises the full distributed "
-    "plumbing — schema, batching, partitioning).",
+    "plumbing — schema, batching, partitioning). HARD oracle in the "
+    "invariant style: the byte count the Python featurizer reports "
+    "per payload is value-checked against DuckDB's independent "
+    "octet_length of the same source column (so the binary "
+    "attach/Arrow transfer loses nothing), and the feature vector "
+    "contract (exact FEATURE_DIM floats, every value in [0,1)) is "
+    "asserted as a constant the oracle pins TRUE. The featurizer's "
+    "numeric output itself stays pytest-pinned "
+    "(tests/test_multimodal.py).",
 )
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     with_bin = multimodal.attach_binary(docs, "text")
     feats = multimodal.extract_features(with_bin, id_col="doc_id")
-    return feats.select(
-        "doc_id",
-        "n_bytes",
-        F.round(F.aggregate("features", F.lit(0.0), lambda a, v: a + v), 3).alias(
-            "feature_sum"
-        ),
+    valid = (F.size("features") == multimodal.FEATURE_DIM) & F.forall(
+        "features", lambda v: (v >= 0.0) & (v < 1.0)
     )
+    return feats.select("doc_id", "n_bytes", valid.alias("features_valid"))
 
 
 @register(
