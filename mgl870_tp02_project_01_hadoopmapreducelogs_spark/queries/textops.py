@@ -1053,8 +1053,19 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = docs.filter(keep).select("doc_id", "lang", "text")
     fp = kept.withColumn("fp", TX.fingerprint(t))
-    keepers = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
-    ded = fp.join(keepers, "doc_id", "left_semi")
+    # keep-min-per-fingerprint as ONE window over fp instead of a
+    # groupBy + semi-join back (which executes the gate+fingerprint
+    # chain twice and shuffles it twice — same rewrite as
+    # remove_dup_spans; doc_id unique => rn = 1 ≡ doc_id = min(fp))
+    from pyspark.sql import Window as W
+
+    ded = (
+        fp.withColumn(
+            "rn", F.row_number().over(W.partitionBy("fp").orderBy("doc_id"))
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
     contam = text_contamination_check(spark, sf_dir).select("doc_id")
     clean = ded.filter(F.col("doc_id") % 50 != 0).join(
         F.broadcast(contam), "doc_id", "left_anti"
