@@ -86,6 +86,7 @@ CHUNKS = [
         "sim_knn_join",
         "sim_quantized_topk",
         "dedup_embedding_cosine",
+        "dedup_embedding_planted",
         "text_vocab_topk",
         "text_pack_sequences",
         "text_chunk_documents",
