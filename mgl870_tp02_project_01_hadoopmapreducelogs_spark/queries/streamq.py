@@ -361,6 +361,52 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_session_window",
+    """
+    WITH g AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS is_start
+        FROM events WHERE user_id <= 200
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT user_id, ts,
+               SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM g
+    )
+    SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+    FROM s GROUP BY user_id, session_no
+    """,
+    doc="STREAMING session windows: the merging session_window operator "
+    "in the state store (gap 30 min, watermarked) — Spark merges "
+    "per-key session state as micro-batches arrive, the hard part of "
+    "streaming sessionization that tumbling windows can't express. "
+    "Driven to completion on the file stream; the batch lag/running-"
+    "sum oracle proves stream/batch parity (same sessions, same "
+    "starts, same counts). Complete output mode: session state is "
+    "bounded by active sessions per key, and the memory sink holds "
+    "only the aggregated sessions, never events.",
+)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import load_events_stream
+
+    stream = (
+        load_events_stream(spark, sf_dir)
+        .filter(F.col("user_id") <= 200)
+        .withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = _run_stream(stream, "session_stream")
+    return out.select(
+        "user_id", F.col("w.start").alias("session_start"), "n_events"
+    )
+
+
 # --- multimodal ---------------------------------------------------------------
 
 

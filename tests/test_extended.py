@@ -9,10 +9,13 @@ def test_sink_roundtrip_has_no_divergence(spark):
 
 
 def test_approx_sketches_within_bounds(spark):
+    # the query now carries its accuracy bounds as output columns (the
+    # oracle pins them TRUE); assert them here too at the smoke scale
     row = REGISTRY["approx_sketches"].run(spark, SF_DIR).collect()[0]
-    rel_err = abs(row.approx_orders - row.exact_orders) / row.exact_orders
-    assert rel_err < 0.10  # rsd=0.02 sketch; generous 5σ bound
-    assert 0 < row.median_qty < row.p99_price
+    assert row.exact_orders > 0
+    assert row.hll_within_3rsd
+    assert row.median_in_band
+    assert row.p99_in_band
 
 
 def test_ivf_topk_matches_brute_force_in_probed_cell(spark):
