@@ -77,21 +77,49 @@ def ml_windowed_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ml_stratified_split_counts",
-    None,
+    f"""
+    SELECT CAST(label AS INT) AS label,
+           CAST(count(*) AS BIGINT) AS n_total,
+           TRUE AS split_conserves,
+           TRUE AS test_frac_in_band
+    FROM (
+        SELECT window_id,
+               MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS label
+        FROM ({_WINDOWED_SQL})
+        GROUP BY window_id
+    )
+    GROUP BY label
+    """,
     doc="M1: stratified train/test split (train_test_split(stratify=y), "
-    "process_logs_v10.py:272-273) — per-split class histograms. "
-    "Rows-only: distributed sampling is seeded but engine-specific.",
+    "process_logs_v10.py:272-273). Upgraded from rows-only to the "
+    "invariant-oracle style: sampleBy's per-class PICKS are seeded but "
+    "engine-specific, so the oracle value-checks what IS deterministic "
+    "— the per-class TOTAL (train+test must conserve every row of the "
+    "class, checked against DuckDB's independent class histogram) — "
+    "and pins the sampling contract as booleans (test fraction within "
+    "[0.1, 0.3] of the requested 0.2 per class). A broken splitter "
+    "(overlap, loss, grossly skewed sampling) fails the hash.",
 )
 def ml_stratified_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _windowed(spark, sf_dir)
     train, test = pipeline.stratified_split(df, test_frac=0.2, seed=42)
-    t1 = train.groupBy("label").agg(F.count(F.lit(1)).alias("n")).withColumn(
-        "split", F.lit("train")
+    t1 = train.groupBy("label").agg(F.count(F.lit(1)).alias("n_train"))
+    t2 = test.groupBy("label").agg(F.count(F.lit(1)).alias("n_test"))
+    tot = df.groupBy("label").agg(F.count(F.lit(1)).alias("n_all"))
+    j = (
+        tot.join(t1, "label", "left")
+        .join(t2, "label", "left")
+        .na.fill(0, ["n_train", "n_test"])
     )
-    t2 = test.groupBy("label").agg(F.count(F.lit(1)).alias("n")).withColumn(
-        "split", F.lit("test")
+    frac = F.col("n_test") / (F.col("n_train") + F.col("n_test"))
+    return j.select(
+        F.col("label").cast("int").alias("label"),
+        F.col("n_all").cast("long").alias("n_total"),
+        ((F.col("n_train") + F.col("n_test")) == F.col("n_all")).alias(
+            "split_conserves"
+        ),
+        frac.between(0.1, 0.3).alias("test_frac_in_band"),
     )
-    return t1.unionByName(t2).select("split", "label", "n")
 
 
 @register(
