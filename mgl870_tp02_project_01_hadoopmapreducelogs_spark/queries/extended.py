@@ -212,10 +212,36 @@ def ivf_topk(
     "corpus; queries probe their nprobe=2 nearest cells, then rescore "
     "exactly. The scale path where sign-LSH recall is insufficient. "
     "Rows-only: KMeans cell assignment is engine-specific; recall vs "
-    "the exact top-k is pytest-pinned (tests/test_extended.py).",
+    "the exact top-k is pytest-pinned (tests/test_extended.py) and "
+    "driver-checked via the companion `sim_ivf_recall` invariant.",
 )
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(spark, sf_dir, query_id=0, k=10, n_cells=8, nprobe=2)
+
+
+@register(
+    "sim_ivf_recall",
+    """
+    SELECT CAST(10 AS BIGINT) AS n_results, TRUE AS recall_at_least_half
+    """,
+    doc="IVF ANN quality contract as a HARD oracle (companion to "
+    "sim_ivf_topk, same invariant style as the Drain conservation "
+    "laws): the nprobe=2 IVF top-10 must return exactly k results and "
+    "recover at least half of the TRUE top-10 — computed in-engine by "
+    "exact brute-force cosine over the same vectors — regardless of "
+    "which cells KMeans happened to carve. A mis-assigned index, a "
+    "broken probe order, or a rescoring bug breaks the hash.",
+)
+def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .vectorops import sim_cosine_topk
+
+    ivf = ivf_topk(spark, sf_dir, query_id=0, k=10, n_cells=8, nprobe=2)
+    ivf_ids = {r.vec_id for r in ivf.collect()}
+    exact_ids = {r.vec_id for r in sim_cosine_topk(spark, sf_dir).collect()}
+    return spark.createDataFrame(
+        [(len(ivf_ids), len(ivf_ids & exact_ids) >= 5)],
+        "n_results long, recall_at_least_half boolean",
+    )
 
 
 # --- approximate sketches ---------------------------------------------------------------
