@@ -123,6 +123,37 @@ def ml_stratified_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ml_model_quality",
+    """
+    SELECT TRUE AS lr_acc_above_chance, TRUE AS lr_auc_above_chance
+    """,
+    doc="Classifier-quality contract as a HARD oracle (companion to "
+    "ml_logistic_regression, invariant style): the seeded LR fit on "
+    "the windowed features must beat chance on the held-out slice — "
+    "accuracy >= 0.6 and AUC >= 0.55 — pinned as constants the oracle "
+    "hash-checks. Model coefficients stay engine-specific (rows-only "
+    "on the main query); a broken assembler, a label/feature "
+    "misalignment, or a degenerate fit breaks this hash.",
+)
+def ml_model_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _windowed(spark, sf_dir)
+    assembled = pipeline.assemble(df, FEATURES)
+    train, test = pipeline.stratified_split(assembled, test_frac=0.2, seed=42)
+    model = pipeline.fit_logistic_regression(train)
+    metrics = pipeline.evaluate_classifier(model.transform(test))
+    auc = metrics.get("auc")
+    return spark.createDataFrame(
+        [
+            (
+                float(metrics["accuracy"]) >= 0.6,
+                auc is None or float(auc) >= 0.55,
+            )
+        ],
+        "lr_acc_above_chance boolean, lr_auc_above_chance boolean",
+    )
+
+
+@register(
     "ml_logistic_regression",
     None,
     doc="M2+M4+M5: LogisticRegression(maxIter=1000) on the windowed "
