@@ -159,19 +159,56 @@ def main() -> None:
     # local mode: driver==executor; give bench sessions real heap so GC
     # pressure never reads as plan cost (machine has far more)
     env.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
+    # per-chunk wall budget; raise via env for scaled corpora (e.g. the
+    # make_scaled_data 100x runs, where single queries reach minutes)
+    chunk_timeout = int(os.environ.get("SPARK_GRAFT_BENCH_TIMEOUT", "900"))
     times: dict[str, float] = {}
     for names in CHUNKS:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--chunk", json.dumps(names)],
-            capture_output=True,
-            text=True,
-            env=env,
-            timeout=900,
-        )
-        if proc.returncode != 0:
-            sys.stderr.write(proc.stderr[-4000:])
-            raise SystemExit(f"bench chunk {names} failed rc={proc.returncode}")
-        times.update(json.loads(proc.stdout.strip().splitlines()[-1]))
+        # one retry per chunk: a timeout or malformed output should cost
+        # one chunk re-run, not the 10+ minutes of completed chunks
+        for attempt in (1, 2):
+            try:
+                proc = subprocess.run(
+                    [
+                        sys.executable,
+                        os.path.abspath(__file__),
+                        "--chunk",
+                        json.dumps(names),
+                    ],
+                    capture_output=True,
+                    text=True,
+                    env=env,
+                    timeout=chunk_timeout,
+                )
+            except subprocess.TimeoutExpired:
+                sys.stderr.write(f"bench chunk timed out ({names})\n")
+                if attempt == 2:
+                    raise SystemExit(
+                        f"bench chunk {names} timed out twice "
+                        f"({chunk_timeout}s each; raise SPARK_GRAFT_BENCH_TIMEOUT)"
+                    )
+                continue
+            if proc.returncode != 0:
+                sys.stderr.write(proc.stderr[-4000:])
+                raise SystemExit(f"bench chunk {names} failed rc={proc.returncode}")
+            # stdout may carry stray JVM lines; take the LAST line that
+            # parses as the chunk's JSON dict
+            parsed = None
+            for line in reversed(proc.stdout.strip().splitlines()):
+                try:
+                    parsed = json.loads(line)
+                    break
+                except (json.JSONDecodeError, ValueError):
+                    continue
+            if isinstance(parsed, dict) and parsed:
+                times.update(parsed)
+                break
+            sys.stderr.write(
+                f"bench chunk produced no JSON line ({names}); stdout tail: "
+                f"{proc.stdout[-500:]!r}\n"
+            )
+            if attempt == 2:
+                raise SystemExit(f"bench chunk {names} output unparseable twice")
 
     times = {n: times[n] for n in HEADLINE}
     total = round(sum(times.values()), 3)

@@ -616,14 +616,14 @@ def tpch_q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fact joins, so the orders probe and the big lineitem⋈orders
     # shuffle carry only the selected region's ~20% of rows — Catalyst
     # cannot infer this reorder itself (it would need to know the
-    # region filter is selective through two joins). The filtered
-    # customer is explicitly broadcast: after a join Spark loses the
-    # size estimate and would fall back to shuffling orders into a
-    # sort-merge join (measured 2x WORSE than the baseline plan).
-    # Net effect at the 100x corpus: 28.4s -> 24.2s cold — the gain is
-    # bounded because the lineitem side of the orderkey sort-merge
-    # join is unfiltered either way; the reorder shrinks the orders
-    # side and everything after the join.
+    # region filter is selective through two joins). The reduced
+    # customer deliberately carries NO broadcast hint: it is an
+    # O(scale-factor) relation (forcing it would be an unbounded
+    # broadcast — the anti-pattern this repo's scale doctrine forbids),
+    # and AQE's runtime statistics pick the join strategy correctly
+    # once the reduction has happened. Measured at the 100x corpus:
+    # 28.4s baseline -> 19.7s cold; the remaining bound is the
+    # unfiltered lineitem side of the orderkey shuffle.
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
@@ -635,7 +635,7 @@ def tpch_q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(region_nations), c.c_nationkey == F.col("n_nationkey")
     )
     return (
-        F.broadcast(c_in_region).join(o, F.col("c_custkey") == o.o_custkey)
+        c_in_region.join(o, F.col("c_custkey") == o.o_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
         .join(
             s,

@@ -244,6 +244,28 @@ def latest_drain_catalog(emissions: DataFrame) -> DataFrame:
     )
 
 
+def _recover_catalog_swap(fs_path: str) -> None:
+    """Heal a crash inside the update-mode sink's rename pair: if the
+    live catalog path is missing, restore the newest complete catalog —
+    the staged merge if its _SUCCESS marker landed, else the retired
+    previous catalog. Idempotent; no-op in the normal case. Keeps epoch
+    retries from mistaking a mid-swap crash for a first epoch (which
+    would truncate the catalog to one batch's changed templates)."""
+    import glob as _glob
+    import os
+
+    if os.path.exists(fs_path):
+        return
+    stagings = sorted(_glob.glob(f"{fs_path}.__epoch_*_staging"))
+    retireds = sorted(_glob.glob(f"{fs_path}.__epoch_*_retired"))
+    for cand in reversed(stagings):
+        if os.path.exists(os.path.join(cand, "_SUCCESS")):
+            os.rename(cand, fs_path)
+            return
+    if retireds:
+        os.rename(retireds[-1], fs_path)
+
+
 def write_catalog_stream(
     stream_df: DataFrame,
     path: str,
@@ -265,34 +287,38 @@ def write_catalog_stream(
     """
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        import os
+        import shutil
+
         out = batch_df
         if mode == "update":
             spark = batch_df.sparkSession
-            try:
+            fs_path = path[len("file:"):] if path.startswith("file:") else path
+            _recover_catalog_swap(fs_path)
+            if os.path.exists(fs_path):
+                # existence checked explicitly above — a read failure
+                # here is a REAL error and must abort the epoch, never
+                # be mistaken for "first epoch, nothing to merge"
                 existing = spark.read.parquet(path)
-            except Exception:  # first epoch: nothing to merge
-                existing = None
-            if existing is not None:
                 merged = existing.join(
                     batch_df.select("template"), "template", "left_anti"
                 ).unionByName(batch_df)
                 # the merge reads `path`, so it can't overwrite `path`
                 # in the same job. Stage the merged catalog to a
                 # sibling directory (fully DISTRIBUTED write — no
-                # driver round-trip) while `path` stays readable, then
-                # swap with directory renames: a metadata-only commit.
-                # On an HDFS-compatible store rename is atomic per
-                # directory; on object stores or for multi-writer
-                # setups use a transactional table format (Delta/
-                # Iceberg MERGE) instead — this sink is single-writer
-                # by Structured Streaming's epoch contract.
-                fs_path = path[len("file:"):] if path.startswith("file:") else path
+                # driver round-trip), then swap with two renames. The
+                # rename pair is not atomic as a unit: a crash between
+                # them leaves no live path, which the _recover() at
+                # the NEXT epoch (or next stream start) heals from the
+                # staged/retired copies — the merge is idempotent per
+                # epoch, so replay is safe. On object stores or for
+                # multi-writer setups use a transactional table format
+                # (Delta/Iceberg MERGE) instead — this sink is
+                # single-writer by Structured Streaming's epoch
+                # contract.
                 staging = f"{fs_path}.__epoch_{epoch_id}_staging"
                 retired = f"{fs_path}.__epoch_{epoch_id}_retired"
                 merged.write.mode("overwrite").parquet(staging)
-                import os
-                import shutil
-
                 os.rename(fs_path, retired)
                 os.rename(staging, fs_path)
                 shutil.rmtree(retired)

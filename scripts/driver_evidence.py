@@ -21,7 +21,13 @@ def main() -> None:
     from mgl870_tp02_project_01_hadoopmapreducelogs_spark.queries import REGISTRY
 
     verdicts: dict[str, str] = {}
-    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
+    # numeric round order: lexicographic sort would put r10 before r2
+    # and let a stale verdict overwrite a newer one
+    paths = sorted(
+        glob.glob("CORRECTNESS_r*.json"),
+        key=lambda p: int(re.search(r"r(\d+)", p).group(1)),
+    )
+    for path in paths:
         rnd = re.search(r"r(\d+)", path).group(1)
         for name, row in json.load(open(path)).items():
             if row.get("err") == "no_oracle" or row.get("err") == "no oracle":

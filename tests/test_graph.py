@@ -50,3 +50,21 @@ def test_components_distributed_path_matches_driver_path(spark, monkeypatch):
         for r in graph.connected_components(edges).collect()
     }
     assert fast == dist
+
+
+def test_distributed_cc_converges_on_long_chain(spark, monkeypatch):
+    """A 3000-vertex chain has diameter 3000: plain min-propagation
+    would need 3000 rounds, pointer doubling O(log n). Force the
+    distributed path and require convergence within the default
+    max_iter."""
+    from mgl870_tp02_project_01_hadoopmapreducelogs_spark.operators import graph
+
+    monkeypatch.setattr(graph, "DRIVER_CC_CAP", 0)
+    n = 3000
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "doc_a long, doc_b long"
+    )
+    comp = graph.connected_components(edges)
+    rows = comp.collect()
+    assert len(rows) == n + 1
+    assert {r.component for r in rows} == {0}

@@ -151,3 +151,36 @@ def test_streaming_minhash_dedup_first_arrival_wins(spark, tmp_path):
     assert res[10] == 0
     assert res[1] == 1
     assert res[2] == 0  # unrelated text: own buckets, never a dup
+
+
+def test_catalog_swap_crash_recovery(spark, log_dir, tmp_path):
+    """A crash between the update-mode sink's two renames must not
+    truncate the catalog on the next epoch: _recover_catalog_swap
+    restores the newest complete copy (staged merge with _SUCCESS, else
+    the retired previous catalog)."""
+    import os
+    import shutil
+
+    raw = mining_stream.read_log_stream(spark, log_dir, max_files_per_trigger=1)
+    parsed = mining_stream.parse_stream(raw)
+    catalog = mining_stream.mine_templates_stream(parsed)
+    path = str(tmp_path / "cat_crash")
+    q = mining_stream.write_catalog_stream(
+        catalog, path, str(tmp_path / "ck_crash"), mode="update"
+    )
+    q.processAllAvailable()
+    q.stop()
+    full = {(r.template, r.size) for r in spark.read.parquet(path).collect()}
+
+    # crash state A: live renamed away, staging incomplete (no _SUCCESS)
+    os.rename(path, f"{path}.__epoch_7_retired")
+    os.makedirs(f"{path}.__epoch_7_staging")
+    mining_stream._recover_catalog_swap(path)
+    assert {(r.template, r.size) for r in spark.read.parquet(path).collect()} == full
+
+    # crash state B: live renamed away, staging complete -> staging wins
+    shutil.rmtree(f"{path}.__epoch_7_staging")
+    os.rename(path, f"{path}.__epoch_8_retired")
+    shutil.copytree(f"{path}.__epoch_8_retired", f"{path}.__epoch_8_staging")
+    mining_stream._recover_catalog_swap(path)
+    assert {(r.template, r.size) for r in spark.read.parquet(path).collect()} == full
