@@ -174,8 +174,13 @@ _PRIORITY = [
     "text_sample_stratified", "text_pack_sequences",
     "text_length_quantiles", "text_chunk_documents", "text_mask_pii",
     "text_tfidf_topk", "text_oov_rate",
-    # --- driver window ends at 50 entries; these two rotate in next
-    # round (lowest-priority text tail)
+    # --- driver window ends at 50 entries; rotation queue for round 4
+    # (oracle-bearing, no driver verdict yet): these two text-tail
+    # entries, plus the round-3 oracle upgrades registered after the
+    # window was frozen — streaming_session_window, sim_ivf_recall,
+    # ml_model_quality, ml_stratified_split_counts, approx_sketches,
+    # s1_recursive_log_scan, s4_s5_sink_roundtrip,
+    # multimodal_feature_extract — and re-sampling of r1/r2 greens.
     "text_sample_temperature", "text_unigram_logprob",
 ]
 
