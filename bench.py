@@ -196,10 +196,15 @@ def main() -> None:
             parsed = None
             for line in reversed(proc.stdout.strip().splitlines()):
                 try:
-                    parsed = json.loads(line)
-                    break
+                    cand = json.loads(line)
                 except (json.JSONDecodeError, ValueError):
                     continue
+                # only a non-empty dict is a chunk result — a stray
+                # JSON-parsable scalar line ("0", "null") must not
+                # shadow the real payload
+                if isinstance(cand, dict) and cand:
+                    parsed = cand
+                    break
             if isinstance(parsed, dict) and parsed:
                 times.update(parsed)
                 break

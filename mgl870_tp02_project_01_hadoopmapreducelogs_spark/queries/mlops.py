@@ -122,6 +122,18 @@ def ml_stratified_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lr_fit_metrics(spark: SparkSession, sf_dir: str):
+    """Shared LR recipe (windowed features -> assemble -> stratified
+    80/20 split, seed 42 -> fit -> held-out metrics) — one source of
+    truth so the quality-invariant companion always vouches for the
+    SAME model the main query reports."""
+    df = _windowed(spark, sf_dir)
+    assembled = pipeline.assemble(df, FEATURES)
+    train, test = pipeline.stratified_split(assembled, test_frac=0.2, seed=42)
+    model = pipeline.fit_logistic_regression(train)
+    return model, pipeline.evaluate_classifier(model.transform(test))
+
+
 @register(
     "ml_model_quality",
     """
@@ -136,11 +148,7 @@ def ml_stratified_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "misalignment, or a degenerate fit breaks this hash.",
 )
 def ml_model_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _windowed(spark, sf_dir)
-    assembled = pipeline.assemble(df, FEATURES)
-    train, test = pipeline.stratified_split(assembled, test_frac=0.2, seed=42)
-    model = pipeline.fit_logistic_regression(train)
-    metrics = pipeline.evaluate_classifier(model.transform(test))
+    _model, metrics = _lr_fit_metrics(spark, sf_dir)
     auc = metrics.get("auc")
     return spark.createDataFrame(
         [
@@ -161,11 +169,7 @@ def ml_model_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(process_logs_v10.py:279-309).",
 )
 def ml_logistic_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _windowed(spark, sf_dir)
-    assembled = pipeline.assemble(df, FEATURES)
-    train, test = pipeline.stratified_split(assembled, test_frac=0.2, seed=42)
-    model = pipeline.fit_logistic_regression(train)
-    metrics = pipeline.evaluate_classifier(model.transform(test))
+    model, metrics = _lr_fit_metrics(spark, sf_dir)
     imps = pipeline.lr_importances(model, FEATURES)
     rows = [("metric:" + k, float(round(v, 3)) if v is not None else None)
             for k, v in sorted(metrics.items())]

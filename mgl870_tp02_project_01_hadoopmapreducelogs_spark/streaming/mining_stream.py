@@ -253,11 +253,19 @@ def _recover_catalog_swap(fs_path: str) -> None:
     would truncate the catalog to one batch's changed templates)."""
     import glob as _glob
     import os
+    import re as _re
+
+    def _by_epoch(paths):
+        # NUMERIC epoch order — a lexicographic sort would rank
+        # __epoch_9 above __epoch_12 and roll the catalog back
+        return sorted(
+            paths, key=lambda p: int(_re.search(r"__epoch_(\d+)_", p).group(1))
+        )
 
     if os.path.exists(fs_path):
         return
-    stagings = sorted(_glob.glob(f"{fs_path}.__epoch_*_staging"))
-    retireds = sorted(_glob.glob(f"{fs_path}.__epoch_*_retired"))
+    stagings = _by_epoch(_glob.glob(f"{fs_path}.__epoch_*_staging"))
+    retireds = _by_epoch(_glob.glob(f"{fs_path}.__epoch_*_retired"))
     for cand in reversed(stagings):
         if os.path.exists(os.path.join(cand, "_SUCCESS")):
             os.rename(cand, fs_path)
@@ -295,6 +303,16 @@ def write_catalog_stream(
             spark = batch_df.sparkSession
             fs_path = path[len("file:"):] if path.startswith("file:") else path
             _recover_catalog_swap(fs_path)
+            # drop any stale staging/retired siblings from earlier
+            # crashed epochs: a retried epoch reuses its epoch_id, and
+            # os.rename cannot overwrite a non-empty directory — a
+            # leftover would wedge every retry with ENOTEMPTY
+            import glob as _glob
+
+            for stale in _glob.glob(f"{fs_path}.__epoch_*_staging") + _glob.glob(
+                f"{fs_path}.__epoch_*_retired"
+            ):
+                shutil.rmtree(stale, ignore_errors=True)
             if os.path.exists(fs_path):
                 # existence checked explicitly above — a read failure
                 # here is a REAL error and must abort the epoch, never

@@ -184,3 +184,40 @@ def test_catalog_swap_crash_recovery(spark, log_dir, tmp_path):
     shutil.copytree(f"{path}.__epoch_8_retired", f"{path}.__epoch_8_staging")
     mining_stream._recover_catalog_swap(path)
     assert {(r.template, r.size) for r in spark.read.parquet(path).collect()} == full
+
+
+def test_catalog_sink_clears_stale_swap_dirs(spark, log_dir, tmp_path):
+    """A retried epoch reuses its epoch_id; leftover staging/retired
+    dirs from a crashed attempt must be cleared once a live catalog
+    exists, or os.rename wedges every retry with ENOTEMPTY."""
+    import os
+    import shutil
+
+    path = str(tmp_path / "cat_stale")
+    ckpt = str(tmp_path / "ck_stale")
+    # first run establishes the live catalog
+    raw = mining_stream.read_log_stream(spark, log_dir, max_files_per_trigger=1)
+    catalog = mining_stream.mine_templates_stream(mining_stream.parse_stream(raw))
+    q = mining_stream.write_catalog_stream(catalog, path, ckpt, mode="update")
+    q.processAllAvailable()
+    q.stop()
+    # plant crash debris from a hypothetical failed retry of epoch 1
+    os.makedirs(f"{path}.__epoch_1_retired")
+    open(f"{path}.__epoch_1_retired/junk.parquet", "w").write("x")
+    os.makedirs(f"{path}.__epoch_1_staging")
+    # new data arrives; the resumed stream's next epoch must clear the
+    # debris and merge normally (before the fix: ENOTEMPTY on rename)
+    extra = tmp_path / "extra_logs"
+    shutil.copytree(log_dir, extra)
+    with open(extra / "container_extra_01_000001.log", "w") as f:
+        f.write("2024-01-01 00:00:01,000 INFO [w1] com.example.app.Handler: "
+                "wholly new template 12345\n")
+    raw2 = mining_stream.read_log_stream(spark, str(extra), max_files_per_trigger=1)
+    cat2 = mining_stream.mine_templates_stream(mining_stream.parse_stream(raw2))
+    q2 = mining_stream.write_catalog_stream(cat2, path, ckpt + "2", mode="update")
+    q2.processAllAvailable()
+    q2.stop()
+    back = spark.read.parquet(path)
+    assert back.filter("template LIKE '%wholly new template%'").count() == 1
+    assert not os.path.exists(f"{path}.__epoch_1_retired")
+    assert not os.path.exists(f"{path}.__epoch_1_staging")
