@@ -113,9 +113,13 @@ def run_chunk(names: list[str], sf_dir: str) -> None:
     """Child mode: benchmark ``names`` in this fresh session, print one
     JSON line of per-query seconds."""
     from mgl870_tp02_project_01_hadoopmapreducelogs_spark.queries import REGISTRY
-    from mgl870_tp02_project_01_hadoopmapreducelogs_spark.session import get_spark
+    from mgl870_tp02_project_01_hadoopmapreducelogs_spark.session import (
+        get_spark,
+        quiet_bounded_window_warns,
+    )
 
     spark = get_spark(app_name="bench-chunk")
+    quiet_bounded_window_warns(spark)
 
     def run(name: str) -> float:
         # the timer covers query CONSTRUCTION too: iterative operators
@@ -205,16 +209,26 @@ def main() -> None:
                 if isinstance(cand, dict) and cand:
                     parsed = cand
                     break
-            if isinstance(parsed, dict) and parsed:
+            # a chunk result must cover exactly its names — a truncated-
+            # but-parsable earlier line (partial dict) would otherwise
+            # surface later as a bare KeyError that names no chunk
+            if isinstance(parsed, dict) and set(parsed) == set(names):
                 times.update(parsed)
                 break
+            got = sorted(parsed) if isinstance(parsed, dict) else None
             sys.stderr.write(
-                f"bench chunk produced no JSON line ({names}); stdout tail: "
-                f"{proc.stdout[-500:]!r}\n"
+                f"bench chunk produced no complete JSON result ({names}); "
+                f"parsed keys: {got}; stdout tail: {proc.stdout[-500:]!r}\n"
             )
             if attempt == 2:
-                raise SystemExit(f"bench chunk {names} output unparseable twice")
+                raise SystemExit(
+                    f"bench chunk {names} output unparseable/incomplete twice"
+                    + (f" (missing: {sorted(set(names) - set(got))})" if got else "")
+                )
 
+    missing = [n for n in HEADLINE if n not in times]
+    if missing:
+        raise SystemExit(f"bench finished without results for: {missing}")
     times = {n: times[n] for n in HEADLINE}
     total = round(sum(times.values()), 3)
     print(

@@ -169,11 +169,17 @@ def connected_components(
         return tuple(row)
 
     ed = _canon(dedup_edges).localCheckpoint()
-    prev = _sig(ed)
+    prev_ed, prev = ed, _sig(ed)
     for _ in range(max_iter):
         ed = _small_star(_large_star(ed)).localCheckpoint(eager=False)
         cur = _sig(ed)
-        if cur == prev:
+        if cur == prev and ed.exceptAll(prev_ed).isEmpty():
+            # signature match is probabilistic (count + coordinate sums
+            # + xxhash64 sum); confirm edge-set equality exactly before
+            # declaring fixpoint — one anti-diff on the (already small,
+            # star-shaped) edge set, paid once (ADVICE r3). Same
+            # multiset cardinality is pinned by the count component of
+            # the signature, so one-sided exceptAll suffices.
             # fixpoint: ed is canonical (root, leaf) stars — the root
             # is the smaller endpoint. Labels: leaves point at their
             # root; roots (and isolated-after-rewiring vertices) label
@@ -188,7 +194,7 @@ def connected_components(
                     F.coalesce("component", "doc_id").alias("component"),
                 )
             )
-        prev = cur
+        prev_ed, prev = ed, cur
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
 

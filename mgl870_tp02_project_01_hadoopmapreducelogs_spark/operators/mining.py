@@ -42,6 +42,14 @@ def _rank_templates(templates: DataFrame) -> DataFrame:
     The window is a single-partition sort, but over the *catalog* (≤
     ~10⁶ rows even at 100 TB corpus scale — bounded by template
     cardinality, not line count), never over the lines.
+
+    WindowExec's "no partition defined" WARN fires for this window by
+    design; it cannot be silenced by declaring a constant partition key
+    (Spark's EliminateWindowPartitions optimizer rule strips foldable
+    partition expressions back to an empty spec). Harness sessions
+    (check_oracle, bench, dump_plans) scope the logger down instead —
+    see ``util.quiet_bounded_window_warns`` — so the warning stays a
+    meaningful scale flag for *unbounded* sorts elsewhere.
     """
     w = Window.orderBy("template")
     return templates.withColumn("cluster_id", F.row_number().over(w).cast("long"))

@@ -34,8 +34,8 @@ def global_row_number(
     1. one tiny agg for (min, max) of the key → a monotonic bucket
        function ``_b = clamp(floor((key - min) / width))``;
     2. per-bucket counts → cumulative offsets, computed on the driver
-       (≤ num_buckets rows) and shipped back as a literal CASE map —
-       no single-partition WindowExec anywhere in the plan;
+       (≤ num_buckets rows) and shipped back as a flat literal-map
+       lookup — no single-partition WindowExec anywhere in the plan;
     3. local ``row_number`` per bucket (shuffle on ``_b``, parallel
        sort within buckets), plus the bucket's offset.
 
@@ -64,9 +64,15 @@ def global_row_number(
     for b in sorted(counts):
         offsets[b] = acc
         acc += counts[b]
-    off_expr = F.lit(0)
-    for b, off in offsets.items():
-        off_expr = F.when(F.col("_b") == b, F.lit(off)).otherwise(off_expr)
+    # flat map literal, not a chained when().otherwise(): a chain is an
+    # O(num_buckets)-deep nested expression that risks codegen limits at
+    # cluster-width bucket counts; create_map is one flat expression and
+    # element_at is a hash lookup (pinned at ~2000 buckets in
+    # test_windows.py::test_global_row_number_many_buckets)
+    off_map = F.create_map(
+        *[F.lit(x) for b, off in offsets.items() for x in (b, off)]
+    )
+    off_expr = F.coalesce(F.element_at(off_map, F.col("_b")), F.lit(0))
     w_local = Window.partitionBy("_b").orderBy(key)
     return (
         with_b.withColumn(

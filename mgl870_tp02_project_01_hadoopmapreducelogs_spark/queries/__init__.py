@@ -130,58 +130,53 @@ from . import (  # noqa: E402,F401
 
 # --- driver-facing ordering -------------------------------------------------
 # The correctness driver checks the FIRST 50 registered queries only, so
-# ordering is evidence budget. Round-3 rotation: every oracle-bearing
-# query with NO driver verdict from rounds 1-2 (the TPC-H tail, the
-# dedup/graph compositions, the round-2 oracle upgrades, the streaming
-# joins, the text tail) plus this round's new hard-oracle queries
-# (Drain invariants x2, planted embedding dedup). 74 queries are
-# already hard-green across r1+r2 and unchanged; they follow after the
-# window (regressions there are covered by pytest + the local oracle
-# harness, scripts/check_oracle.py, run before every commit).
+# ordering is evidence budget. Round-4 rotation (the queue announced in
+# round 3): (a) every remaining entry with NO driver verdict — the
+# round-3 oracle upgrades registered after the r3 window froze, the two
+# text-tail entries, and streaming_drain_mining (the one rows-only-by-
+# design entry, so its weaker check is at least recorded); (b) the
+# rows-only r1 verdicts that have since gained oracles, so the driver
+# records the upgrade; (c) the NEW round-4 invariant oracles (RF
+# quality, PCA variance laws, anomaly-rate band); (d) ~35 stale r1/r2
+# greens re-sampled — chosen to cover every module touched this round
+# (windows.py offset map, mining.py/_rank_templates, sinks, mlops) plus
+# a breadth slice across relational/TPC-H/join/dedup/text/sim/skew/
+# streaming/multimodal/pipelines. Everything else keeps its r2/r3 green
+# + pytest + the pre-commit local oracle gate (scripts/check_oracle.py).
 _PRIORITY = [
-    # TPC-H tail — oracle-backed since r2, never driver-checked
-    "tpch_q2_min_cost_supplier", "tpch_q4_order_priority",
-    "tpch_q7_nation_volume", "tpch_q8_market_share",
-    "tpch_q9_product_profit", "tpch_q10_returned_items",
-    "tpch_q11_important_stock", "tpch_q12_late_shipments",
-    "tpch_q13_order_count_dist", "tpch_q15_top_supplier",
-    "tpch_q16_supplier_cnt", "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_volume", "tpch_q19_disjunctive_filter",
-    "tpch_q20_excess_suppliers", "tpch_q21_waiting_suppliers",
-    "tpch_q22_sales_opportunity",
-    # dedup compositions (LSH->groups, simhash, connected components)
-    "dedup_simhash", "dedup_connected_components", "dedup_minhash_groups",
-    # join/agg surface without a verdict
-    "join_fuzzy_match", "range_join_event_pairs", "groupingsets_mixed",
-    # round-2 oracle upgrades (marquee correctness work, zero driver
-    # evidence so far)
-    "ml_correlation_pruner", "ml_split_deterministic",
-    "s5_catalog_accumulation", "streaming_new_template_feed",
-    # streaming joins + streaming dedup
-    "streaming_stream_stream_join", "streaming_static_enrichment",
-    "streaming_dedup_exact",
-    # NEW this round: faithful-Drain conservation laws as hard oracles,
-    # and the production 8x8 embedding-LSH config on planted dups
-    "t1c_drain_invariants", "streaming_drain_invariants",
-    "dedup_embedding_planted",
-    # remaining never-checked oracle entries
-    "dq_referential_audit", "stats_hourly_rate_anomaly",
-    "join_full_outer_reconcile", "agg_ordered_collect",
-    "dedup_keep_best", "dedup_lsh_recall",
-    "sim_label_centroids", "sim_quantized_topk",
-    # text tail
-    "corpus_stats_by_language", "text_vocab_topk",
-    "text_sample_stratified", "text_pack_sequences",
-    "text_length_quantiles", "text_chunk_documents", "text_mask_pii",
-    "text_tfidf_topk", "text_oov_rate",
-    # --- driver window ends at 50 entries; rotation queue for round 4
-    # (oracle-bearing, no driver verdict yet): these two text-tail
-    # entries, plus the round-3 oracle upgrades registered after the
-    # window was frozen — streaming_session_window, sim_ivf_recall,
-    # ml_model_quality, ml_stratified_split_counts, approx_sketches,
-    # s1_recursive_log_scan, s4_s5_sink_roundtrip,
-    # multimodal_feature_extract — and re-sampling of r1/r2 greens.
-    "text_sample_temperature", "text_unigram_logprob",
+    # (a) never driver-sampled
+    "ml_model_quality", "sim_ivf_recall", "streaming_session_window",
+    "multimodal_feature_extract", "text_sample_temperature",
+    "text_unigram_logprob", "streaming_drain_mining",
+    # (b) rows-only r1 verdicts now carrying oracles (+ sim_ivf_topk,
+    # rows-only, paired with its recall companion above)
+    "approx_sketches", "ml_stratified_split_counts",
+    "s1_recursive_log_scan", "s4_s5_sink_roundtrip", "sim_ivf_topk",
+    # (c) new round-4 invariant oracles
+    "ml_rf_quality", "ml_pca_variance", "ml_anomaly_rate",
+    # (d) re-sampled r1/r2 greens — touched-code first
+    "w1_a4_a5_windowed_features", "ml_windowed_dataset", "w2_row_numbering",
+    "t1a_mine_templates", "t1b_drainish_mining", "t2_match_lines",
+    "t3_new_template_feed", "t4_cluster_census",
+    # breadth: preprocess + relational
+    "f1_f4_preprocess_strip", "f5_mask_dynamic_tokens", "f6_event_labels",
+    "a1_a2_event_totals", "a7_occurrence_pivot", "a9_pearson_correlation",
+    "p4_failure_event_filter", "k1_k2_topk_by_magnitude",
+    # breadth: TPC-H r1 slice
+    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
+    "tpch_q6_forecast_revenue",
+    # breadth: joins
+    "join_broadcast_dims", "join_left_semi", "asof_join_last_order",
+    # breadth: dedup
+    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    # breadth: similarity + skew
+    "sim_cosine_topk", "skew_salted_agg",
+    # breadth: streaming
+    "streaming_hourly_counts", "streaming_template_mining",
+    # breadth: multimodal + curation pipelines + text
+    "multimodal_byte_stats", "pipeline_c4_style", "pipeline_corpus_curation",
+    "text_quality_score", "text_detect_language",
 ]
 
 

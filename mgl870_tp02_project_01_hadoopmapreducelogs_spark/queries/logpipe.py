@@ -411,7 +411,12 @@ def s1_recursive_log_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sources import logs
 
-    root = os.path.join(tempfile.gettempdir(), "sg_s1_corpus")
+    # fresh dir per invocation (ADVICE r3): a fixed shared path could
+    # accumulate stale files from an older layout or a concurrent bench
+    # chunk and silently change the pinned row count. mkdtemp gives an
+    # exclusive dir; files must outlive this call (Spark reads lazily at
+    # collect time), so the OS tempdir reaper owns cleanup.
+    root = tempfile.mkdtemp(prefix="sg_s1_corpus_")
     app = os.path.join(root, "application_0001")
     os.makedirs(app, exist_ok=True)
     with open(os.path.join(app, "container_0001_01_000001.log"), "w") as f:

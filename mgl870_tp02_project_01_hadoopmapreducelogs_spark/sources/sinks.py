@@ -63,6 +63,9 @@ def accumulate_catalog(old: DataFrame, new: DataFrame) -> DataFrame:
         .groupBy("template")
         .agg(F.sum("size").alias("size"))
     )
+    # intentionally single-partition over the bounded catalog (see
+    # mining._rank_templates for why the WindowExec WARN is expected
+    # here and scoped down in harness sessions)
     w = Window.orderBy("template")
     return merged.withColumn("cluster_id", F.row_number().over(w).cast("long")).select(
         "cluster_id", "size", "template", F.sha2("template", 256).alias("template_hash")

@@ -47,9 +47,13 @@ def table_sig(cols: list[str], rows: list[tuple]) -> tuple:
 
 def main() -> int:
     import __spark_entry__ as entry_mod
-    from mgl870_tp02_project_01_hadoopmapreducelogs_spark.session import get_spark
+    from mgl870_tp02_project_01_hadoopmapreducelogs_spark.session import (
+        get_spark,
+        quiet_bounded_window_warns,
+    )
 
     spark = get_spark(app_name="oracle-check")
+    quiet_bounded_window_warns(spark)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(

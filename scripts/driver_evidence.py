@@ -21,25 +21,41 @@ def main() -> None:
     from mgl870_tp02_project_01_hadoopmapreducelogs_spark.queries import REGISTRY
 
     verdicts: dict[str, str] = {}
+    rounds: dict[str, int] = {}
     # numeric round order: lexicographic sort would put r10 before r2
     # and let a stale verdict overwrite a newer one
     paths = sorted(
         glob.glob("CORRECTNESS_r*.json"),
         key=lambda p: int(re.search(r"r(\d+)", p).group(1)),
     )
+    latest_round = (
+        int(re.search(r"r(\d+)", paths[-1]).group(1)) if paths else 0
+    )
     for path in paths:
-        rnd = re.search(r"r(\d+)", path).group(1)
+        rnd = int(re.search(r"r(\d+)", path).group(1))
         for name, row in json.load(open(path)).items():
             if row.get("err") == "no_oracle" or row.get("err") == "no oracle":
-                verdicts.setdefault(name, f"driver rows-only (r{int(rnd)})")
+                verdicts.setdefault(name, f"driver rows-only (r{rnd})")
+                rounds.setdefault(name, rnd)
             elif (
                 row.get("rows_match")
                 and row.get("schema_match")
                 and row.get("hash_match")
             ):
-                verdicts[name] = f"driver-green (r{int(rnd)})"
+                verdicts[name] = f"driver-green (r{rnd})"
+                rounds[name] = rnd
             else:
-                verdicts[name] = f"DRIVER-FAIL (r{int(rnd)})"
+                verdicts[name] = f"DRIVER-FAIL (r{rnd})"
+                rounds[name] = rnd
+    # freshness: a green whose LAST confirmation is >= 2 rounds behind
+    # the newest artifact is flagged stale-green — still believed
+    # correct (pytest + the local oracle gate run pre-commit), but the
+    # rotation debt is self-documenting instead of silent
+    for name, st in verdicts.items():
+        if st.startswith("driver-green") and rounds[name] <= latest_round - 2:
+            verdicts[name] = st.replace(
+                "driver-green", "stale-green"
+            ) + f" — last confirmed r{rounds[name]}, {latest_round - rounds[name]} rounds ago"
 
     lines = [MARK, ""]
     lines.append(

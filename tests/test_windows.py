@@ -49,3 +49,18 @@ def test_add_row_buckets_sizes(spark):
 def test_global_row_number_empty_input(spark):
     df = spark.range(0).select(F.col("id").alias("k"))
     assert windows.global_row_number(df, ["k"]).count() == 0
+
+
+def test_global_row_number_many_buckets(spark):
+    """Codegen-safety pin for the offset map at cluster-width bucket
+    counts: the offsets used to ship as an O(buckets)-deep chained
+    when().otherwise() expression that risks hitting codegen limits;
+    they are now one flat create_map literal + element_at lookup.
+    2000 buckets ~ a wide cluster's defaultParallelism."""
+    n = 20000
+    df = spark.range(n).select((F.col("id") * 7 % 199999).alias("k"))
+    out = windows.global_row_number(df, ["k"], num_buckets=2000).collect()
+    rns = sorted(r.rn for r in out)
+    assert rns == list(range(1, n + 1))
+    by_k = sorted((r.k, r.rn) for r in out)
+    assert all(a[1] < b[1] for a, b in zip(by_k, by_k[1:]))
