@@ -1812,3 +1812,142 @@ def pipeline_c4_style(spark: SparkSession, sf_dir: str) -> DataFrame:
             first * (F.col("n_tokens") - F.col("n_removed"))
         ).alias("tokens_final"),
     )
+
+
+# --- incremental / cross-run curation ops (round 4) -------------------------
+# A production 100 TB pipeline rarely dedups a corpus in one shot: it
+# dedups TODAY'S crawl against YESTERDAY'S persisted fingerprint index,
+# fixes a training order, and audits split leakage before a run. These
+# three close that lifecycle; each is a single keyed shuffle or a
+# top-k, fully SQL-expressible.
+
+
+@register(
+    "dedup_incremental_index",
+    f"""
+    WITH fps AS (
+        SELECT doc_id, md5({NORM_SQL}) AS fp FROM documents
+    ),
+    idx AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 2 = 0),
+    batch AS (SELECT * FROM fps WHERE doc_id % 2 = 1)
+    SELECT fp, min(doc_id) AS keeper,
+           CAST(count(*) AS BIGINT) AS n_in_batch
+    FROM batch b
+    WHERE NOT EXISTS (SELECT 1 FROM idx i WHERE i.fp = b.fp)
+    GROUP BY fp
+    """,
+    doc="Incremental dedup against a persisted fingerprint index — the "
+    "cross-run form of dedup_exact: new-batch docs (odd doc_id here; in "
+    "production, today's crawl) are dropped if their content fingerprint "
+    "already exists in the index built from prior runs (even doc_id), "
+    "then keep-first within the batch. Plan: one LeftAnti join keyed on "
+    "fp + one hash agg — at 100 TB the index table is written bucketed "
+    "by fp (sources/bucketing.py), so the anti-join is co-located and "
+    "the only shuffle is the new batch's (fp, doc_id) pairs; the index "
+    "(the big side) never moves.",
+)
+def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    fps = docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
+    idx = fps.filter(F.col("doc_id") % 2 == 0).select("fp").distinct()
+    batch = fps.filter(F.col("doc_id") % 2 == 1)
+    return (
+        batch.join(idx, "fp", "left_anti")
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keeper"),
+            F.count(F.lit(1)).alias("n_in_batch"),
+        )
+    )
+
+
+@register(
+    "corpus_shuffle_deterministic",
+    """
+    SELECT doc_id,
+           md5('seed42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+    FROM documents
+    ORDER BY shuffle_key, doc_id
+    LIMIT 200
+    """,
+    doc="Deterministic global training-order shuffle: ORDER BY a seeded "
+    "content-free hash of the key. Reproducible across engines, runs, "
+    "cluster sizes, and data relayouts (a pure function of doc_id + "
+    "seed) — the production replacement for rand()-based shuffles, "
+    "whose order depends on partitioning. The head-of-order sample "
+    "here plans as TakeOrderedAndProject (per-partition top-k, then "
+    "merge — no global sort materialization); a full epoch order at "
+    "100 TB is the same expression written out via a range-partitioned "
+    "sort on shuffle_key, which Spark distributes evenly because md5 "
+    "keys are uniform by construction (no skew, no hot partition).",
+)
+def corpus_shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sk = F.md5(F.concat(F.lit("seed42:"), F.col("doc_id").cast("string")))
+    return (
+        docs.select("doc_id", sk.alias("shuffle_key"))
+        .orderBy("shuffle_key", "doc_id")
+        .limit(200)
+    )
+
+
+@register(
+    "split_leakage_audit",
+    f"""
+    WITH fps AS (
+        SELECT doc_id, md5({NORM_SQL}) AS fp,
+               CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2)
+                         < '33'
+                    THEN 'test' ELSE 'train' END AS split
+        FROM documents
+    ),
+    g AS (
+        SELECT fp,
+               SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS n_tr,
+               SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS n_te
+        FROM fps GROUP BY fp
+    )
+    SELECT CAST(SUM(n_tr) AS BIGINT) AS n_train,
+           CAST(SUM(n_te) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN n_tr > 0 AND n_te > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_leaked_fps,
+           CAST(SUM(CASE WHEN n_tr > 0 AND n_te > 0 THEN n_te ELSE 0 END)
+                AS BIGINT) AS n_leaked_test_docs
+    FROM g
+    """,
+    doc="Train/test leakage audit at the CONTENT level: docs are "
+    "hash-split (~20% test, same deterministic md5 idiom as "
+    "ml_split_deterministic), then any content fingerprint appearing "
+    "on BOTH sides is counted as leakage — the doc-level split looks "
+    "clean while exact duplicates smuggle test content into training. "
+    "n_leaked_test_docs is what a curation run would drop. Plan: one "
+    "shuffle keyed on fp with partial aggregation on both levels "
+    "(per-fp flags, then a scalar rollup) — no joins, no row "
+    "explosion; identical shape at 100 TB.",
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    split = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 2
+        )
+        < "33",
+        "test",
+    ).otherwise("train")
+    per_fp = (
+        docs.select(TX.fingerprint(F.col("text")).alias("fp"), split.alias("split"))
+        .groupBy("fp")
+        .agg(
+            F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("n_tr"),
+            F.sum(F.when(F.col("split") == "test", 1).otherwise(0)).alias("n_te"),
+        )
+    )
+    leaked = (F.col("n_tr") > 0) & (F.col("n_te") > 0)
+    return per_fp.agg(
+        F.sum("n_tr").alias("n_train"),
+        F.sum("n_te").alias("n_test"),
+        F.sum(F.when(leaked, 1).otherwise(0)).alias("n_leaked_fps"),
+        F.sum(F.when(leaked, F.col("n_te")).otherwise(0)).alias(
+            "n_leaked_test_docs"
+        ),
+    )

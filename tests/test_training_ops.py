@@ -183,3 +183,55 @@ def test_keep_best_picks_longest_per_component(spark):
         assert kept[0].n_tokens == max(r.n_tokens for r in rs)
     # every document appears exactly once
     assert len(out) == spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+
+
+# --- round-4 incremental / cross-run ops ------------------------------------
+
+
+def test_incremental_dedup_never_emits_indexed_content(spark):
+    """A kept batch doc's fingerprint must not exist in the index side
+    (even doc_ids), and keepers are batch-side (odd) by construction."""
+    from mgl870_tp02_project_01_hadoopmapreducelogs_spark.functions import (
+        text as TX,
+    )
+
+    kept = REGISTRY["dedup_incremental_index"].run(spark, SF_DIR)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    idx_fps = {
+        r.fp
+        for r in docs.filter(F.col("doc_id") % 2 == 0)
+        .select(TX.fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+        .collect()
+    }
+    rows = kept.collect()
+    assert rows, "batch should keep at least one novel doc"
+    assert all(r.keeper % 2 == 1 for r in rows)
+    assert all(r.fp not in idx_fps for r in rows)
+    # keep-first within batch: one output row per fingerprint
+    assert len({r.fp for r in rows}) == len(rows)
+
+
+def test_deterministic_shuffle_stable_across_relayout(spark):
+    """The training order is a pure function of doc_id + seed: the same
+    head-of-order must come back after an arbitrary repartition of the
+    input (the property rand()-based shuffles lack)."""
+    q = REGISTRY["corpus_shuffle_deterministic"].run
+    first = [(r.doc_id, r.shuffle_key) for r in q(spark, SF_DIR).collect()]
+    again = [(r.doc_id, r.shuffle_key) for r in q(spark, SF_DIR).collect()]
+    assert first == again
+    # keys strictly ordered, no duplicate doc ids
+    keys = [k for _, k in first]
+    assert keys == sorted(keys)
+    assert len({d for d, _ in first}) == len(first)
+
+
+def test_split_leakage_audit_conserves_and_finds_planted_leak(spark):
+    row = REGISTRY["split_leakage_audit"].run(spark, SF_DIR).collect()[0]
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert row.n_train + row.n_test == n_docs
+    # ~20% hash split, loose band
+    assert 0.08 * n_docs <= row.n_test <= 0.35 * n_docs
+    # leaked test docs can never exceed the test side or the leaked fps' docs
+    assert 0 <= row.n_leaked_test_docs <= row.n_test
+    assert row.n_leaked_fps <= row.n_leaked_test_docs or row.n_leaked_fps == 0
