@@ -54,3 +54,29 @@ def test_partitioned_sink_prunes_partitions(spark, tmp_path):
     # values round-trip for the selected partition
     want = docs.filter(F.col("lang") == "en").count()
     assert back.count() == want
+
+
+def test_bucketed_index_anti_join_shuffles_batch_only(spark):
+    """Pins dedup_incremental_index's 100 TB claim: with the persisted
+    fingerprint index written bucketed on fp, the batch-vs-index
+    LeftAnti join needs NO exchange on the index side — only the (much
+    smaller) new batch moves. The index (the big side at scale) reads
+    in place."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        idx = spark.range(20_000).select(
+            F.md5(F.col("id").cast("string")).alias("fp")
+        )
+        bucketing.write_bucketed(idx, "t_fp_index", "fp", n_buckets=4)
+        batch = spark.range(19_000, 21_000).select(
+            F.md5(F.col("id").cast("string")).alias("fp"),
+            F.col("id").alias("doc_id"),
+        )
+        kept = batch.join(spark.table("t_fp_index"), "fp", "left_anti")
+        rep = plan_report(kept)
+        # exactly one exchange: the batch side aligning to the index's
+        # bucketing; a second would mean the index itself shuffled
+        assert rep["n_exchanges"] == 1, rep
+        assert kept.count() == 1_000  # 19000..19999 collide, 20000.. survive
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_fp_index")
