@@ -451,3 +451,86 @@ def w2_row_numbering(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return ev.select("event_id", F.row_number().over(w).alias("rn"))
+
+
+# --- S2 / S6: the two remaining pytest-only sources, oracle-backed ----------
+
+
+@register(
+    "s2_single_file_source",
+    """
+    SELECT 'msg <*>' AS masked, CAST(120 AS BIGINT) AS n,
+           CAST(1 AS BIGINT) AS first_line, CAST(120 AS BIGINT) AS last_line
+    """,
+    doc="S2: single flat-file source (reference process_logs.py:32-33). "
+    "Same ground-truth-by-construction pattern as s1: the query writes "
+    "one known 120-line file whose message variants all mask to "
+    "'msg <*>', so the expected output — including the line-id span "
+    "from W2's per-file numbering — is a hash-checkable constant. A "
+    "broken reader, a dropped line, or an off-by-one in line_no breaks "
+    "the hash.",
+)
+def s2_single_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..sources import logs
+
+    root = tempfile.mkdtemp(prefix="sg_s2_corpus_")
+    path = os.path.join(root, "flat_hadoop.log")
+    with open(path, "w") as f:
+        for i in range(120):
+            f.write(
+                f"2024-01-01 00:{i // 60:02d}:{i % 60:02d},000 INFO [main] "
+                f"a.b.C: msg {i % 11}\n"
+            )
+    parsed = logs.parse_lines(logs.read_log_file(spark, path))
+    return parsed.groupBy("masked").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("line_no").alias("first_line"),
+        F.max("line_no").alias("last_line"),
+    )
+
+
+@register(
+    "s6_memory_table_source",
+    """
+    SELECT 'level ' || event_type || ' from user <*>' AS masked,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(line_no) AS BIGINT) AS first_line,
+           CAST(max(line_no) AS BIGINT) AS last_line
+    FROM (
+        SELECT event_type,
+               ROW_NUMBER() OVER (ORDER BY event_id) AS line_no
+        FROM events
+    )
+    GROUP BY 1
+    """,
+    doc="S6: in-memory/table-backed corpus through the SAME downstream "
+    "pipeline as file sources (reference's in-memory constructor, "
+    "process_logs_v10.py:157): synthesize a reference-shaped log line "
+    "per events row, adapt via lines_from_df (which assigns W2 line "
+    "ids from the order column), parse + mask. Oracle checks the "
+    "masked-group row count AND the full line-id span, so the adapter's "
+    "numbering — not just the masking — is value-checked.",
+)
+def s6_memory_table_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import logs
+
+    ev = load(spark, sf_dir, "events")
+    lines = ev.select(
+        "event_id",
+        F.concat(
+            F.lit("2024-01-01 00:00:00,000 INFO [main] a.b.C: level "),
+            F.col("event_type"),
+            F.lit(" from user "),
+            F.col("user_id").cast("string"),
+        ).alias("line"),
+    )
+    raw = logs.lines_from_df(lines, "line", "event_id")
+    parsed = logs.parse_lines(raw)
+    return parsed.groupBy("masked").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("line_no").alias("first_line"),
+        F.max("line_no").alias("last_line"),
+    )

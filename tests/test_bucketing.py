@@ -79,4 +79,5 @@ def test_bucketed_index_anti_join_shuffles_batch_only(spark):
         assert rep["n_exchanges"] == 1, rep
         assert kept.count() == 1_000  # 19000..19999 collide, 20000.. survive
     finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS t_fp_index")
