@@ -758,3 +758,59 @@ def streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     flags = minhash_dedup_stream(bands)
     out = _run_stream(flags, "minhash_dedup_stream", mode="append")
     return out.groupBy("doc_id").agg(F.max("is_dup").alias("is_dup"))
+
+
+# --- streaming incremental dedup vs a persisted index (round 4) --------------
+
+
+@register(
+    "streaming_incremental_index",
+    rf"""
+    WITH fps AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^\w\s]', '', 'g'), '\s+', ' ', 'g'))) AS fp
+        FROM documents
+    ),
+    idx AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 2 = 0),
+    batch AS (SELECT * FROM fps WHERE doc_id % 2 = 1)
+    SELECT fp, min(doc_id) AS keeper,
+           CAST(count(*) AS BIGINT) AS n_in_batch
+    FROM batch b
+    WHERE NOT EXISTS (SELECT 1 FROM idx i WHERE i.fp = b.fp)
+    GROUP BY fp
+    """,
+    doc="Streaming twin of dedup_incremental_index: the incoming "
+    "document firehose (odd doc_ids) is anti-joined per micro-batch "
+    "against the STATIC persisted fingerprint index (even doc_ids) — "
+    "stream-static left-anti needs no state store on the static side — "
+    "then keep-first within the stream via a running (fp -> min "
+    "doc_id, count) aggregation. Batch SQL oracle proves stream/batch "
+    "parity. At scale the static index is the bucketed table from "
+    "sources/bucketing.py and the per-micro-batch join stays "
+    "co-located; only the aggregation keeps state, keyed by novel "
+    "fingerprints.",
+)
+def streaming_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as TX
+    from . import load
+
+    idx = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 2 == 0)
+        .select(TX.fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+    )
+    stream = (
+        load_documents_stream(spark, sf_dir)
+        .filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
+        .join(idx, "fp", "left_anti")
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keeper"),
+            F.count(F.lit(1)).alias("n_in_batch"),
+        )
+    )
+    out = _run_stream(stream, "incremental_index", mode="complete")
+    return out

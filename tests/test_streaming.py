@@ -221,3 +221,58 @@ def test_catalog_sink_clears_stale_swap_dirs(spark, log_dir, tmp_path):
     assert back.filter("template LIKE '%wholly new template%'").count() == 1
     assert not os.path.exists(f"{path}.__epoch_1_retired")
     assert not os.path.exists(f"{path}.__epoch_1_staging")
+
+
+def test_streaming_incremental_index_multi_batch(spark, tmp_path):
+    """The stream-static anti-join drops indexed content in EVERY
+    micro-batch, and the running (fp -> min id, count) aggregation
+    merges duplicates arriving in different batches."""
+    from mgl870_tp02_project_01_hadoopmapreducelogs_spark.functions import (
+        text as TX,
+    )
+    from mgl870_tp02_project_01_hadoopmapreducelogs_spark.queries.streamq import (
+        _run_stream,
+    )
+
+    indexed = "already in the corpus from a previous run"
+    novel = "a genuinely new document nobody has seen"
+    import glob
+    import os
+
+    # batch a: one indexed dup + the novel doc; batch b: the same novel
+    # text again under a different id (cross-batch dup) + another
+    # indexed dup
+    spark.createDataFrame(
+        [(11, indexed), (13, novel)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(tmp_path / "in"))
+    os.rename(
+        glob.glob(str(tmp_path / "in" / "part-*.parquet"))[0],
+        str(tmp_path / "in" / "a.parquet"),
+    )
+    spark.createDataFrame(
+        [(15, novel), (17, indexed)], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(str(tmp_path / "in"))
+    os.rename(
+        glob.glob(str(tmp_path / "in" / "part-*.parquet"))[0],
+        str(tmp_path / "in" / "b.parquet"),
+    )
+
+    idx = spark.createDataFrame([(indexed,)], "text string").select(
+        TX.fingerprint(F.col("text")).alias("fp")
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / "in"))
+        .select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
+        .join(idx, "fp", "left_anti")
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keeper"),
+            F.count(F.lit(1)).alias("n_in_batch"),
+        )
+    )
+    out = _run_stream(stream, "inc_index_test", mode="complete").collect()
+    # only the novel fingerprint survives; both its arrivals merged
+    assert len(out) == 1
+    assert out[0].keeper == 13 and out[0].n_in_batch == 2
