@@ -177,6 +177,14 @@ _PRIORITY = [
     # breadth: multimodal + curation pipelines + text
     "multimodal_byte_stats", "pipeline_c4_style", "pipeline_corpus_curation",
     "text_quality_score", "text_detect_language",
+    # --- driver window ends at 50 entries; rotation queue for round 5
+    # (oracle-bearing, registered after this window froze, no driver
+    # verdict yet): the round-4 lifecycle ops — dedup_incremental_index,
+    # corpus_shuffle_deterministic, split_leakage_audit,
+    # streaming_incremental_index — and the S2/S6 source oracles
+    # (s2_single_file_source, s6_memory_table_source), plus re-sampling
+    # the remaining ~40 stale r1/r2 greens COVERAGE.md marks
+    # stale-green.
 ]
 
 
