@@ -79,6 +79,7 @@ CHUNKS = [
         "dedup_connected_components",
         "dedup_keep_best",
         "text_quality_score",
+        "dedup_incremental_index",
     ],
     # vector-similarity + text-tail family
     [
@@ -103,6 +104,8 @@ CHUNKS = [
         "text_remove_dup_spans",
         "session_window_native",
         "a7_occurrence_pivot",
+        "split_leakage_audit",
+        "corpus_shuffle_deterministic",
     ],
 ]
 

@@ -534,3 +534,48 @@ def s6_memory_table_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("line_no").alias("first_line"),
         F.max("line_no").alias("last_line"),
     )
+
+
+@register(
+    "s3_malformed_line_audit",
+    """
+    SELECT TRUE AS has_ts, CAST(100 AS BIGINT) AS n,
+           CAST(100 AS BIGINT) AS n_level
+    UNION ALL
+    SELECT FALSE AS has_ts, CAST(20 AS BIGINT) AS n,
+           CAST(0 AS BIGINT) AS n_level
+    """,
+    doc="S3 robustness: the parse projection must survive malformed "
+    "input — stack-trace continuation lines with no timestamp prefix "
+    "(hadoop_logs.txt:944; the reference feeds them to the miner as-is) "
+    "and regex-shaped-but-invalid dates (try_to_timestamp, never ANSI "
+    "throw). Ground truth by construction: a corpus of 100 valid lines "
+    "+ 20 tab-indented continuation lines; the audit pins (ts present, "
+    "count, level-extracted count) per class as constants — a parser "
+    "that throws, drops, or mis-attributes continuation lines breaks "
+    "the hash.",
+)
+def s3_malformed_line_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..sources import logs
+
+    root = tempfile.mkdtemp(prefix="sg_s3_corpus_")
+    app = os.path.join(root, "application_0003")
+    os.makedirs(app, exist_ok=True)
+    with open(os.path.join(app, "container_0003_01_000001.log"), "w") as f:
+        for i in range(100):
+            f.write(
+                f"2024-01-01 00:01:{i % 60:02d},000 WARN [main] a.b.C: "
+                f"slow read took {i} ms\n"
+            )
+            if i % 5 == 0:
+                f.write(f"\tat com.example.Worker.run(Worker.java:{i})\n")
+    parsed = logs.parse_lines(logs.read_log_dir(spark, root))
+    return parsed.groupBy(
+        F.col("ts").isNotNull().alias("has_ts")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("level").alias("n_level"),
+    )
