@@ -181,10 +181,10 @@ _PRIORITY = [
     # (oracle-bearing, registered after this window froze, no driver
     # verdict yet): the round-4 lifecycle ops — dedup_incremental_index,
     # corpus_shuffle_deterministic, split_leakage_audit,
-    # streaming_incremental_index — and the S2/S6 source oracles
-    # (s2_single_file_source, s6_memory_table_source), plus re-sampling
-    # the remaining ~40 stale r1/r2 greens COVERAGE.md marks
-    # stale-green.
+    # streaming_incremental_index — the S2/S3/S6 source oracles
+    # (s2_single_file_source, s3_malformed_line_audit,
+    # s6_memory_table_source), plus re-sampling the remaining ~40
+    # stale r1/r2 greens COVERAGE.md marks stale-green.
 ]
 
 

@@ -147,3 +147,25 @@ def test_range_join_is_equi_hash_join_on_bucket(spark):
     assert "HashJoin" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_lifecycle_ops_plan_shapes(spark):
+    """Round-4 cross-run ops: the shapes that make them 100 TB-safe.
+    Incremental dedup must anti-join (never collect the index, never
+    SinglePartition); the deterministic-shuffle head sample must plan
+    as TakeOrderedAndProject (no global sort materialization); the
+    leakage audit's only SinglePartition is the final scalar rollup
+    fed by partial aggregation."""
+    inc = REGISTRY["dedup_incremental_index"].run(spark, SF_DIR)
+    p = executed_plan_str(inc)
+    assert "LeftAnti" in p, p
+    assert "SinglePartition" not in explain_str(inc, "simple")
+    assert not plan_report(inc)["has_python_udf"]
+
+    shuf = REGISTRY["corpus_shuffle_deterministic"].run(spark, SF_DIR)
+    assert plan_report(shuf)["has_take_ordered"]
+
+    leak = REGISTRY["split_leakage_audit"].run(spark, SF_DIR)
+    rep = plan_report(leak)
+    assert rep["has_partial_agg"]
+    assert not rep["has_python_udf"]
