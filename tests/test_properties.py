@@ -58,3 +58,66 @@ def test_drain_every_fitted_line_matches(msgs):
         m.add(msg)
     for msg in masked:
         assert m.match(msg) is not None
+
+
+# --- content-fingerprint normalization (the root of every exact-dedup op) ----
+
+_norm_punct = re.compile(r"[^\w\s]", re.ASCII)
+_norm_ws = re.compile(r"\s+")
+
+
+def _norm_py(s: str) -> str:
+    """Pure-Python mirror of functions.text.normalize_text (Java \\w is
+    ASCII-classed; the strategy stays ASCII so the mirrors agree)."""
+    return _norm_ws.sub(" ", _norm_punct.sub("", s.lower())).strip()
+
+
+ascii_words = st.lists(
+    st.text(st.characters(min_codepoint=48, max_codepoint=122), min_size=1, max_size=8),
+    min_size=1,
+    max_size=6,
+).map(" ".join)
+
+
+@given(ascii_words)
+@settings(max_examples=200, suppress_health_check=[HealthCheck.too_slow])
+def test_normalize_is_idempotent_and_canonical(s):
+    n = _norm_py(s)
+    assert _norm_py(n) == n
+    assert "  " not in n and n == n.strip()
+
+
+@given(ascii_words)
+@settings(max_examples=200, suppress_health_check=[HealthCheck.too_slow])
+def test_normalize_invariant_under_cosmetic_edits(s):
+    """The edits exact dedup MUST see through: case, extra whitespace,
+    punctuation injection. All map to the same canonical form, hence
+    the same fingerprint."""
+    base = _norm_py(s)
+    assert _norm_py(s.upper()) == base
+    assert _norm_py("  " + s.replace(" ", "\t \t") + " \n") == base
+    assert _norm_py(s + "!!!") == _norm_py(s + "...")
+
+
+def test_normalize_mirror_matches_spark(spark):
+    """Bridge the Python mirror to the engine expression on the cases
+    where they could plausibly diverge (regex class semantics, trim)."""
+    from pyspark.sql import functions as F
+
+    from mgl870_tp02_project_01_hadoopmapreducelogs_spark.functions import text as TX
+
+    samples = [
+        "Hello, World!",
+        "  spaced\t\tout\nlines  ",
+        "UPPER lower MiXeD",
+        "punct!@#$%^&*()everywhere",
+        "digits 123 and under_scores",
+        "a",
+        "...",
+        "trailing punct.",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "t string")
+    got = [
+        r.n for r in df.select(TX.normalize_text(F.col("t")).alias("n")).collect()
+    ]
+    assert got == [_norm_py(s) for s in samples]
