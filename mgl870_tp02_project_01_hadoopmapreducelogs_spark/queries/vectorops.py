@@ -559,3 +559,80 @@ def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("qcos").desc(), "vec_id")
         .limit(10)
     )
+
+
+# --- embedding-health audit (pre-training data quality) -----------------------
+
+
+@register(
+    "dq_embedding_health",
+    f"""
+    WITH n2 AS (
+        SELECT vec_id, label,
+               list_sum(list_transform({INT_EMB_SQL}, x -> x * x)) AS norm2
+        FROM embeddings
+    ),
+    stats AS (
+        SELECT label,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(norm2) AS BIGINT) AS sum_norm2
+        FROM n2 GROUP BY label
+    )
+    SELECT s.label, s.n,
+           CAST(SUM(CASE WHEN norm2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_zero,
+           CAST(SUM(CASE WHEN norm2 > 0 AND 4 * norm2 * n < sum_norm2
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+           CAST(SUM(CASE WHEN norm2 * n > 4 * sum_norm2
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+           ROUND(CAST(sum_norm2 AS DOUBLE) / n, 2) AS avg_norm2
+    FROM n2 JOIN stats s USING (label)
+    GROUP BY s.label, s.n, s.sum_norm2
+    """,
+    doc="Embedding-health audit — the data-quality gate a training run "
+    "applies to its vector table: per label, count zero vectors and "
+    "norm outliers (squared norm under 1/4 of, or over 4x, the label "
+    "mean). All predicates are EXACT integer arithmetic on the "
+    "integer-ized embeddings (norm2*n and 4*sum_norm2 stay under 2^53 "
+    "at any realistic dim/count), so the outlier decision — not just a "
+    "rounded statistic — is engine-independent and hash-checked. Plan: "
+    "one map-side-partial agg per label + a broadcast-sized stats join "
+    "back; both shuffles key on the tiny label space.",
+)
+def dq_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _int_emb(F.col("embedding")).alias("e")
+    )
+    n2 = emb.select(
+        "label",
+        F.aggregate(
+            "e", F.lit(0).cast("long"), lambda acc, x: acc + x * x
+        ).alias("norm2"),
+    )
+    stats = n2.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("norm2").alias("sum_norm2")
+    )
+    joined = n2.join(F.broadcast(stats), "label")
+    return joined.groupBy("label", "n", "sum_norm2").agg(
+        F.sum(F.when(F.col("norm2") == 0, 1).otherwise(0)).alias("n_zero"),
+        F.sum(
+            F.when(
+                (F.col("norm2") > 0)
+                & (4 * F.col("norm2") * F.col("n") < F.col("sum_norm2")),
+                1,
+            ).otherwise(0)
+        ).alias("n_low"),
+        F.sum(
+            F.when(F.col("norm2") * F.col("n") > 4 * F.col("sum_norm2"), 1)
+            .otherwise(0)
+        ).alias("n_high"),
+    ).select(
+        "label",
+        "n",
+        "n_zero",
+        "n_low",
+        "n_high",
+        F.round(F.col("sum_norm2").cast("double") / F.col("n"), 2).alias(
+            "avg_norm2"
+        ),
+    )
