@@ -183,7 +183,8 @@ _PRIORITY = [
     # corpus_shuffle_deterministic, split_leakage_audit,
     # streaming_incremental_index — the S2/S3/S6 source oracles
     # (s2_single_file_source, s3_malformed_line_audit,
-    # s6_memory_table_source), plus re-sampling the remaining ~40
+    # s6_memory_table_source), dq_embedding_health,
+    # corpus_mixture_solver, plus re-sampling the remaining ~40
     # stale r1/r2 greens COVERAGE.md marks stale-green.
 ]
 

@@ -1951,3 +1951,60 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_leaked_test_docs"
         ),
     )
+
+
+@register(
+    "corpus_mixture_solver",
+    """
+    WITH avail AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_avail
+        FROM documents GROUP BY lang
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_langs,
+               CAST(SUM(n_avail) AS BIGINT) AS n_total
+        FROM avail
+    )
+    SELECT lang, n_avail,
+           -- uniform target: an equal slice of a 60%-of-corpus budget,
+           -- capped by availability. FLOOR is explicit: DuckDB's '/'
+           -- on integers returns DOUBLE and CAST(double AS BIGINT)
+           -- ROUNDS, while Spark floors — without it the two engines
+           -- disagree whenever the slice is fractional.
+           LEAST(n_avail,
+                 CAST(FLOOR((6.0 * n_total) / (10 * n_langs)) AS BIGINT))
+             AS n_target,
+           ROUND(CAST(LEAST(n_avail,
+                      CAST(FLOOR((6.0 * n_total) / (10 * n_langs)) AS BIGINT))
+                      AS DOUBLE) / n_avail, 4) AS keep_rate,
+           n_avail <= CAST(FLOOR((6.0 * n_total) / (10 * n_langs)) AS BIGINT)
+             AS exhausted
+    FROM avail, tot
+    """,
+    doc="Mixture-rate solver — the planning step ahead of "
+    "text_sample_stratified: derive per-language keep-rates FROM the "
+    "data to hit a uniform mixture over a 60%-of-corpus token budget, "
+    "capping each language at its availability ('exhausted' languages "
+    "contribute everything they have; production solvers then "
+    "redistribute the slack — one more pass of the same shape). All "
+    "arithmetic is integer division (floor in both engines) so targets "
+    "hash-match exactly. Plan: one per-lang count + a 1-row totals "
+    "cross join — agg partials map-side, nothing scales with corpus "
+    "size past the first count.",
+)
+def corpus_mixture_solver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    avail = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_avail"))
+    tot = avail.agg(
+        F.count(F.lit(1)).alias("n_langs"), F.sum("n_avail").alias("n_total")
+    )
+    j = avail.crossJoin(F.broadcast(tot))
+    slice_ = (6 * F.col("n_total")) / (10 * F.col("n_langs"))
+    target = F.least(F.col("n_avail"), F.floor(slice_).cast("long"))
+    return j.select(
+        "lang",
+        "n_avail",
+        target.alias("n_target"),
+        F.round(target.cast("double") / F.col("n_avail"), 4).alias("keep_rate"),
+        (F.col("n_avail") <= F.floor(slice_).cast("long")).alias("exhausted"),
+    )
