@@ -48,7 +48,7 @@ def _rank_templates(templates: DataFrame) -> DataFrame:
     (Spark's EliminateWindowPartitions optimizer rule strips foldable
     partition expressions back to an empty spec). Harness sessions
     (check_oracle, bench, dump_plans) scope the logger down instead —
-    see ``util.quiet_bounded_window_warns`` — so the warning stays a
+    see ``session.quiet_bounded_window_warns`` — so the warning stays a
     meaningful scale flag for *unbounded* sorts elsewhere.
     """
     w = Window.orderBy("template")

@@ -67,12 +67,15 @@ def global_row_number(
     # flat map literal, not a chained when().otherwise(): a chain is an
     # O(num_buckets)-deep nested expression that risks codegen limits at
     # cluster-width bucket counts; create_map is one flat expression and
-    # element_at is a hash lookup (pinned at ~2000 buckets in
-    # test_windows.py::test_global_row_number_many_buckets)
+    # the lookup is a hash probe (pinned at ~2000 buckets in
+    # test_windows.py::test_global_row_number_many_buckets).
+    # try_element_at, not element_at: under ANSI mode (Spark 4 default)
+    # element_at throws on a missing key, which would make the
+    # coalesce-to-0 fallback unreachable.
     off_map = F.create_map(
         *[F.lit(x) for b, off in offsets.items() for x in (b, off)]
     )
-    off_expr = F.coalesce(F.element_at(off_map, F.col("_b")), F.lit(0))
+    off_expr = F.coalesce(F.try_element_at(off_map, F.col("_b")), F.lit(0))
     w_local = Window.partitionBy("_b").orderBy(key)
     return (
         with_b.withColumn(

@@ -23,6 +23,25 @@ from ..functions import preprocess as P
 from ..operators import mining
 from . import load, register, scan_partitions, spread
 
+
+def _tmp_corpus_dir(prefix: str) -> str:
+    """Exclusive temp dir for a self-constructed oracle corpus.
+
+    Fresh per invocation (ADVICE r3): a fixed shared path could accumulate
+    stale files and silently change a pinned row count. Spark reads the
+    files lazily at collect time, so the dir must outlive this call —
+    cleanup is deferred to interpreter exit via atexit (bench/check/driver
+    all run queries in bounded child processes, so nothing leaks across
+    rounds).
+    """
+    import atexit
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return root
+
 # --- shared line synthesis (Spark + SQL kept textually adjacent) -----------
 
 
@@ -407,16 +426,10 @@ def t1c_drain_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s1_recursive_log_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
 
     from ..sources import logs
 
-    # fresh dir per invocation (ADVICE r3): a fixed shared path could
-    # accumulate stale files from an older layout or a concurrent bench
-    # chunk and silently change the pinned row count. mkdtemp gives an
-    # exclusive dir; files must outlive this call (Spark reads lazily at
-    # collect time), so the OS tempdir reaper owns cleanup.
-    root = tempfile.mkdtemp(prefix="sg_s1_corpus_")
+    root = _tmp_corpus_dir("sg_s1_corpus_")
     app = os.path.join(root, "application_0001")
     os.makedirs(app, exist_ok=True)
     with open(os.path.join(app, "container_0001_01_000001.log"), "w") as f:
@@ -472,11 +485,10 @@ def w2_row_numbering(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s2_single_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
 
     from ..sources import logs
 
-    root = tempfile.mkdtemp(prefix="sg_s2_corpus_")
+    root = _tmp_corpus_dir("sg_s2_corpus_")
     path = os.path.join(root, "flat_hadoop.log")
     with open(path, "w") as f:
         for i in range(120):
@@ -557,11 +569,10 @@ def s6_memory_table_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s3_malformed_line_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
 
     from ..sources import logs
 
-    root = tempfile.mkdtemp(prefix="sg_s3_corpus_")
+    root = _tmp_corpus_dir("sg_s3_corpus_")
     app = os.path.join(root, "application_0003")
     os.makedirs(app, exist_ok=True)
     with open(os.path.join(app, "container_0003_01_000001.log"), "w") as f:

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..operators import multimodal
 from . import load, register
+from .textops import NORM_SQL
 
 _SINK_N = 0
 
@@ -767,10 +768,7 @@ def streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_incremental_index",
     rf"""
     WITH fps AS (
-        SELECT doc_id,
-               md5(trim(regexp_replace(regexp_replace(lower(text),
-                   '[^\w\s]', '', 'g'), '\s+', ' ', 'g'))) AS fp
-        FROM documents
+        SELECT doc_id, md5({NORM_SQL}) AS fp FROM documents
     ),
     idx AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 2 = 0),
     batch AS (SELECT * FROM fps WHERE doc_id % 2 = 1)

@@ -1986,9 +1986,11 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "data to hit a uniform mixture over a 60%-of-corpus token budget, "
     "capping each language at its availability ('exhausted' languages "
     "contribute everything they have; production solvers then "
-    "redistribute the slack — one more pass of the same shape). All "
-    "arithmetic is integer division (floor in both engines) so targets "
-    "hash-match exactly. Plan: one per-lang count + a 1-row totals "
+    "redistribute the slack — one more pass of the same shape). "
+    "Targets are FLOOR of a correctly-rounded IEEE-double quotient, "
+    "identical in both engines, so they hash-match exactly (NOT "
+    "integer division — DuckDB's '/' returns DOUBLE). Plan: one "
+    "per-lang count + a 1-row totals "
     "cross join — agg partials map-side, nothing scales with corpus "
     "size past the first count.",
 )
