@@ -184,8 +184,10 @@ _PRIORITY = [
     # streaming_incremental_index — the S2/S3/S6 source oracles
     # (s2_single_file_source, s3_malformed_line_audit,
     # s6_memory_table_source), dq_embedding_health,
-    # corpus_mixture_solver, plus re-sampling the remaining ~40
-    # stale r1/r2 greens COVERAGE.md marks stale-green.
+    # corpus_mixture_solver, the late-round-4 additions
+    # (ml_kfold_assignment, streaming_late_data_audit), plus
+    # re-sampling the remaining ~40 stale r1/r2 greens COVERAGE.md
+    # marks stale-green.
 ]
 
 

@@ -448,3 +448,44 @@ def ml_split_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split", "label")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "ml_kfold_assignment",
+    f"""
+    WITH w AS (
+        SELECT window_id,
+               MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS label
+        FROM ({_WINDOWED_SQL})
+        GROUP BY window_id
+    )
+    SELECT CASE WHEN substr(md5(CAST(window_id AS VARCHAR)), 1, 1) < '4' THEN 0
+                WHEN substr(md5(CAST(window_id AS VARCHAR)), 1, 1) < '8' THEN 1
+                WHEN substr(md5(CAST(window_id AS VARCHAR)), 1, 1) < 'c' THEN 2
+                ELSE 3 END AS fold,
+           CAST(label AS INT) AS label,
+           CAST(count(*) AS BIGINT) AS n
+    FROM w GROUP BY 1, 2
+    """,
+    doc="M1 cross-validation companion: deterministic k-fold assignment "
+    "(k=4) as a pure function of the key — fold = range of the first "
+    "md5 hex char ('0'-'3'→0, '4'-'7'→1, '8'-'b'→2, 'c'-'f'→3), which "
+    "is EXACTLY uniform over the 16 hex values and engine-independent "
+    "(string comparison only, no hex parsing). Every row lands in "
+    "exactly one fold (partition by construction: disjoint + "
+    "conserving), so CV train/val sets need no shuffle or state: "
+    "train_i = corpus WHERE fold <> i is a pushed-down scan filter at "
+    "any scale. Per-(fold,label) counts are fully hash-checked, so a "
+    "skewed hash, a dropped row, or a fold leak all break the oracle.",
+)
+def ml_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _windowed(spark, sf_dir)
+    c = F.substring(F.md5(F.col("window_id").cast("string")), 1, 1)
+    fold = (
+        F.when(c < "4", 0).when(c < "8", 1).when(c < "c", 2).otherwise(3)
+    )
+    return (
+        df.select(fold.alias("fold"), F.col("label").cast("int").alias("label"))
+        .groupBy("fold", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -812,3 +812,88 @@ def streaming_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _run_stream(stream, "incremental_index", mode="complete")
     return out
+
+
+# --- watermark late-data accounting (round 4) --------------------------------
+
+
+@register(
+    "streaming_late_data_audit",
+    """
+    WITH mx AS (SELECT max(ts) AS t_max FROM events),
+    b1 AS (
+        SELECT e.ts FROM events e, mx
+        WHERE e.ts >= mx.t_max - INTERVAL 6 HOUR
+    )
+    SELECT date_trunc('hour', b1.ts) AS window_start,
+           CAST(count(*) AS BIGINT) AS n
+    FROM b1, mx
+    WHERE date_trunc('hour', b1.ts) + INTERVAL 1 HOUR
+          <= mx.t_max - INTERVAL 30 MINUTE
+    GROUP BY 1
+    """,
+    doc="Watermark semantics made auditable: three micro-batches are "
+    "staged as files with pinned mtimes — batches 0/1 split the newest "
+    "6 h of events, batch 2 is a straggler file whose rows are ALL "
+    ">3 h older than that span. Spark filters late events against the "
+    "PREVIOUS batch's watermark (separate late-filter vs eviction "
+    "watermarks — measured here: stragglers arriving in batch 1 are "
+    "NOT dropped because the late filter still sees the initial 0 "
+    "watermark; in batch 2 numRowsDroppedByWatermark=711), which is "
+    "why the on-time data must span two batches. In append mode every "
+    "straggler is then late-dropped (window ends trail the watermark "
+    "by hours — unambiguous under both the row-time and window-end "
+    "drop rules) and only watermark-finalized windows are emitted. "
+    "The batch SQL oracle recomputes exactly that set — hour windows "
+    "of on-time rows whose end <= max(ts) - 30 min — so a leaked "
+    "straggler, a missed emission, or a wrong watermark all break the "
+    "hash. The coalesce(1) writes exist only to pin one file per "
+    "micro-batch for the harness; production batches are natural "
+    "arrival files and the aggregation state is keyed by (window), "
+    "partitioned by the shuffle like any streaming agg.",
+)
+def streaming_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+
+    from . import load
+    from .logpipe import _tmp_corpus_dir
+
+    ev = load(spark, sf_dir, "events").select("ts")
+    t_max = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    t = lambda h: F.lit(t_max) - F.expr(f"INTERVAL {h} HOURS")  # noqa: E731
+    # on-time data split over TWO batches so the late-filter watermark
+    # (previous batch's) is already advanced when the stragglers arrive
+    b1a = ev.filter((F.col("ts") >= t(6)) & (F.col("ts") < t(3)))
+    b1b = ev.filter(F.col("ts") >= t(3))
+    b2 = ev.filter(F.col("ts") < t(9))
+
+    root = _tmp_corpus_dir("sg_latedata_")
+    inbox = os.path.join(root, "inbox")
+    os.makedirs(inbox, exist_ok=True)
+    now = os.stat(root).st_mtime
+    for i, (name, df) in enumerate((("b1a", b1a), ("b1b", b1b), ("b2", b2))):
+        stage = os.path.join(root, name)
+        df.coalesce(1).write.parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(inbox, f"{name}.parquet")
+        shutil.move(part, dst)
+        # FileStreamSource picks files oldest-mtime-first: the on-time
+        # batches must enter before the stragglers
+        os.utime(dst, (now - 3600.0 + i, now - 3600.0 + i))
+
+    schema = spark.read.parquet(inbox).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inbox)
+        # parquet may round-trip as TIMESTAMP_NTZ; watermarks need the
+        # TZ-aware type (session tz is UTC, instant unchanged)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = _run_stream(stream, "late_data_audit", mode="append")
+    return out.select(F.col("w.start").alias("window_start"), "n")
