@@ -276,3 +276,73 @@ def test_streaming_incremental_index_multi_batch(spark, tmp_path):
     # only the novel fingerprint survives; both its arrivals merged
     assert len(out) == 1
     assert out[0].keeper == 13 and out[0].n_in_batch == 2
+
+
+def test_late_data_filter_uses_previous_batch_watermark(spark, tmp_path):
+    """Pin the measured Spark 4.1 two-watermark contract that
+    streaming_late_data_audit depends on: late-event filtering uses the
+    PREVIOUS batch's watermark (state eviction uses the current one).
+    Stragglers arriving in the batch right after the on-time data are
+    NOT dropped; stragglers one batch later ARE. A Spark upgrade that
+    changes either half moves the audit query's semantics — this test
+    names the contract so the failure is diagnosable."""
+    import os
+    import pandas as pd
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    base = pd.Timestamp("2024-01-01 12:00:00")
+    mk = lambda offs: pd.DataFrame(  # noqa: E731
+        {"ts": [base + pd.Timedelta(minutes=m) for m in offs]}
+    ).astype({"ts": "datetime64[us]"})
+    # two on-time files advance the watermark over two batches, then a
+    # straggler file hours older than the watermark
+    files = [
+        ("b0.parquet", mk([0, 30])),
+        # 80 min pushes the watermark (13:20 - 10 min) past the noon
+        # window's 13:00 end so it finalizes and is emitted
+        ("b1.parquet", mk([55, 80])),
+        ("late.parquet", mk([-600, -590])),
+    ]
+    now = 1_700_000_000.0
+    for i, (name, pdf) in enumerate(files):
+        p = str(inbox / name)
+        pdf.to_parquet(p)
+        os.utime(p, (now + i, now + i))
+
+    schema = spark.read.parquet(str(inbox)).schema
+    agg = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(inbox))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_contract")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        progress = list(q.recentProgress)
+    finally:
+        q.stop()
+
+    dropped = {
+        p["batchId"]: p["stateOperators"][0]["numRowsDroppedByWatermark"]
+        for p in progress
+        if p["stateOperators"]
+    }
+    # batch 2 (stragglers) filtered against batch 1's watermark -> dropped
+    assert dropped.get(2, 0) > 0, f"late rows not dropped: {dropped}"
+    out = {
+        (r["w"]["start"].isoformat(), r["n"])
+        for r in spark.table("late_contract").collect()
+    }
+    # only the finalized on-time noon window is emitted; no straggler
+    # window (09xx/02xx) ever reaches the sink
+    assert out == {("2024-01-01T12:00:00", 3)}, out
