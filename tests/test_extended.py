@@ -43,3 +43,36 @@ def test_ivf_recall_vs_exact_topk(spark):
     }
     assert len(exact) == 10 and len(ivf) == 10
     assert len(exact & ivf) >= 5, f"recall {len(exact & ivf)}/10"
+
+
+def test_pq_shortlist_rescore_recall(spark):
+    """PQ is only useful if the ADC shortlist retains the true
+    neighbors: pin recall of the 16x4-bit shortlist-50 top-10 against
+    the exact brute-force top-10, and that returned scores are EXACT
+    cosines (rescore semantics: quantization may cost recall, never
+    score fidelity)."""
+    from mgl870_tp02_project_01_hadoopmapreducelogs_spark.queries import (
+        extended,
+        vectorops,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    exact_rows = {
+        r.vec_id: r.cos for r in vectorops.sim_cosine_topk(spark, sf).collect()
+    }
+    pq_rows = {
+        r.vec_id: r.cos
+        for r in extended.pq_topk(spark, sf, query_id=0, k=10).collect()
+    }
+    assert len(exact_rows) == 10 and len(pq_rows) == 10
+    overlap = set(exact_rows) & set(pq_rows)
+    assert len(overlap) >= 6, f"recall {len(overlap)}/10"
+    for vid in overlap:
+        # same value up to fp precision: sim_cosine_topk accumulates in
+        # float32 (raw array<float>), the PQ rescore in double — a ~1e-3
+        # relative gap, not quantization error (ADC distances are ~0.1+)
+        assert abs(pq_rows[vid] - exact_rows[vid]) <= 2e-3, (
+            vid,
+            pq_rows[vid],
+            exact_rows[vid],
+        )
