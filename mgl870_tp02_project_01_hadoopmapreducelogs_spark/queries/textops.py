@@ -1391,6 +1391,92 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- bigram LM perplexity scoring ---------------------------------------------
+
+
+@register(
+    "text_bigram_logprob",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS p
+        FROM toks WHERE len(t) >= 2
+    ),
+    big AS (SELECT doc_id, t[p] AS w1, t[p+1] AS w2 FROM pos),
+    utoks AS (
+        SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+        FROM documents
+    ),
+    uni AS (SELECT w, count(*) AS c1 FROM utoks GROUP BY w),
+    vocab AS (SELECT count(*) AS v FROM uni),
+    bc AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2)
+    SELECT b.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(ln((bc.c2 + 0.5) / (uni.c1 + 0.5 * vocab.v))), 4)
+             AS avg_bigram_logprob
+    FROM big b
+    JOIN bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
+    JOIN uni ON b.w1 = uni.w
+    CROSS JOIN vocab
+    GROUP BY b.doc_id
+    """,
+    doc="Bigram language-model scoring with add-k smoothing (k=0.5): "
+    "P(w2|w1) = (c(w1,w2)+k) / (c(w1)+k*V) from corpus-level bigram/"
+    "unigram tables, mean log-probability per document — the KenLM-"
+    "style perplexity quality filter (CCNet) one rung up from "
+    "text_unigram_logprob: repeated boilerplate scores high, "
+    "off-distribution or shuffled text scores low even when its "
+    "unigrams are common. Docs under 2 tokens are excluded in both "
+    "engines. The unigram table is vocab-bounded (broadcast); the "
+    "bigram table joins on (w1,w2) — at 100 TB that is one shuffle "
+    "co-partitioned with the scoring join, and the count tables are "
+    "the reusable LM artifact. AVG of logs rounds AFTER aggregation.",
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    arr = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    toks = docs.select("doc_id", arr.alias("t"))
+    big = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.expr("slice(t, 1, size(t) - 1)"),
+                    F.expr("slice(t, 2, size(t) - 1)"),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    utoks = docs.select(F.explode(arr).alias("w"))
+    uni = utoks.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = uni.agg(F.count(F.lit(1)).alias("v"))
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    return (
+        big.join(bc, ["w1", "w2"])
+        .join(F.broadcast(uni.withColumnRenamed("w", "w1")), "w1")
+        .join(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    F.log(
+                        (F.col("c2") + 0.5)
+                        / (F.col("c1") + 0.5 * F.col("v"))
+                    )
+                ),
+                4,
+            ).alias("avg_bigram_logprob"),
+        )
+    )
+
+
 # --- OOV rate vs induced vocabulary -------------------------------------------
 
 OOV_VOCAB_K = 100
