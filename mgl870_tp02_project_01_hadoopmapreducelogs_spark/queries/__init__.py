@@ -186,8 +186,8 @@ _PRIORITY = [
     # s6_memory_table_source), dq_embedding_health,
     # corpus_mixture_solver, the late-round-4 additions
     # (ml_kfold_assignment, streaming_late_data_audit, sim_pq_recall,
-    # text_bigram_logprob; sim_pq_topk is rows-only with the recall
-    # companion), plus
+    # text_bigram_logprob, dq_corpus_drift; sim_pq_topk is rows-only
+    # with the recall companion), plus
     # re-sampling the remaining ~40 stale r1/r2 greens COVERAGE.md
     # marks stale-green.
 ]

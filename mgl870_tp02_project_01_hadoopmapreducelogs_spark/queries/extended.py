@@ -1089,3 +1089,91 @@ def join_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+# --- corpus drift audit (PSI) ------------------------------------------------
+
+
+@register(
+    "dq_corpus_drift",
+    r"""
+    WITH base AS (
+        SELECT CASE WHEN doc_id % 2 = 0 THEN 'ref' ELSE 'cur' END AS side,
+               lang,
+               CAST(least(floor(length(text) / 500), 4) AS INT) AS lb
+        FROM documents
+    ),
+    feats AS (
+        SELECT side, 'lang' AS feature, lang AS bucket FROM base
+        UNION ALL
+        SELECT side, 'len_bucket', CAST(lb AS VARCHAR) FROM base
+    ),
+    counts AS (
+        SELECT feature, bucket,
+               count(*) FILTER (WHERE side = 'ref') AS n_ref,
+               count(*) FILTER (WHERE side = 'cur') AS n_cur
+        FROM feats GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT feature, sum(n_ref) AS t_ref, sum(n_cur) AS t_cur,
+               count(*) AS nb
+        FROM counts GROUP BY 1
+    )
+    SELECT c.feature, c.bucket,
+           CAST(n_ref AS BIGINT) AS n_ref,
+           CAST(n_cur AS BIGINT) AS n_cur,
+           ROUND(((n_cur + 0.5) / (t_cur + 0.5 * nb)
+                  - (n_ref + 0.5) / (t_ref + 0.5 * nb))
+                 * ln(((n_cur + 0.5) / (t_cur + 0.5 * nb))
+                      / ((n_ref + 0.5) / (t_ref + 0.5 * nb))), 4)
+             AS psi_contrib
+    FROM counts c JOIN tot ON c.feature = tot.feature
+    """,
+    doc="Distribution-drift audit between a reference slice (even "
+    "doc_ids: the last accepted corpus snapshot) and the current "
+    "slice (odd doc_ids: the incoming refresh): per-bucket Population "
+    "Stability Index contributions over two features — language mix "
+    "and document-length bucket (five 500-char bins) — with "
+    "add-0.5 smoothing so empty buckets stay finite. PSI > 0.2 summed "
+    "over a feature's buckets is the classic retrain/reject alarm. "
+    "All inputs are exact integer counts, so the one rounded double "
+    "is engine-identical and the whole audit hash-checks. Plan: one "
+    "scan fans into two partial-agg'd count shuffles over tiny "
+    "(feature, bucket) keyspaces; totals broadcast back.",
+)
+def dq_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    side = F.when(F.col("doc_id") % 2 == 0, "ref").otherwise("cur")
+    lb = F.least(F.floor(F.length("text") / 500), F.lit(4)).cast("int")
+    base = docs.select(
+        side.alias("side"), F.col("lang"), lb.alias("lb")
+    )
+    feats = base.select(
+        "side", F.lit("lang").alias("feature"), F.col("lang").alias("bucket")
+    ).unionByName(
+        base.select(
+            "side",
+            F.lit("len_bucket").alias("feature"),
+            F.col("lb").cast("string").alias("bucket"),
+        )
+    )
+    counts = feats.groupBy("feature", "bucket").agg(
+        F.count(F.when(F.col("side") == "ref", 1)).alias("n_ref"),
+        F.count(F.when(F.col("side") == "cur", 1)).alias("n_cur"),
+    )
+    tot = counts.groupBy("feature").agg(
+        F.sum("n_ref").alias("t_ref"),
+        F.sum("n_cur").alias("t_cur"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    p_cur = (F.col("n_cur") + 0.5) / (F.col("t_cur") + 0.5 * F.col("nb"))
+    p_ref = (F.col("n_ref") + 0.5) / (F.col("t_ref") + 0.5 * F.col("nb"))
+    return counts.join(F.broadcast(tot), "feature").select(
+        "feature",
+        "bucket",
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 4).alias(
+            "psi_contrib"
+        ),
+    )
