@@ -86,12 +86,14 @@ CHUNKS = [
         "sim_cosine_topk",
         "sim_knn_join",
         "sim_quantized_topk",
+        "sim_pq_topk",
         "dedup_embedding_cosine",
         "dedup_embedding_planted",
         "text_vocab_topk",
         "text_pack_sequences",
         "text_chunk_documents",
         "text_tfidf_topk",
+        "text_bigram_logprob",
     ],
     # curation pipelines + remaining aggregates. c4_style runs FIRST:
     # it needs execution memory for its span-explode window, and the
@@ -106,6 +108,7 @@ CHUNKS = [
         "a7_occurrence_pivot",
         "split_leakage_audit",
         "corpus_shuffle_deterministic",
+        "dq_corpus_drift",
     ],
 ]
 
