@@ -235,3 +235,59 @@ def test_split_leakage_audit_conserves_and_finds_planted_leak(spark):
     # leaked test docs can never exceed the test side or the leaked fps' docs
     assert 0 <= row.n_leaked_test_docs <= row.n_test
     assert row.n_leaked_fps <= row.n_leaked_test_docs or row.n_leaked_fps == 0
+
+
+def test_kfold_assignment_partitions_exactly(spark):
+    """k-fold laws the oracle's counts imply but don't state: every row
+    in exactly one of 4 folds (conservation), all folds non-degenerate,
+    and the assignment is stable across runs (pure key function)."""
+    q = REGISTRY["ml_kfold_assignment"].run
+    rows = q(spark, SF_DIR).collect()
+    folds = {r.fold for r in rows}
+    assert folds <= {0, 1, 2, 3}
+    n_total = sum(r.n for r in rows)
+    again = sum(r.n for r in q(spark, SF_DIR).collect())
+    assert n_total == again and n_total > 0
+    per_fold = {}
+    for r in rows:
+        per_fold[r.fold] = per_fold.get(r.fold, 0) + r.n
+    # exactly-uniform hex map: no fold may collapse (loose 10% floor)
+    assert all(v >= 0.1 * n_total / 4 for v in per_fold.values()), per_fold
+
+
+def test_corpus_drift_psi_laws(spark):
+    """PSI contribution (p-q)ln(p/q) is non-negative for every bucket
+    (both factors share a sign), and the per-feature bucket counts
+    conserve the corpus on each side."""
+    rows = REGISTRY["dq_corpus_drift"].run(spark, SF_DIR).collect()
+    assert rows, "drift audit returned nothing"
+    assert all(r.psi_contrib >= 0 for r in rows), rows
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    for feat in {r.feature for r in rows}:
+        sub = [r for r in rows if r.feature == feat]
+        assert sum(r.n_ref + r.n_cur for r in sub) == n_docs, feat
+
+
+def test_bigram_logprob_bounds(spark):
+    """Smoothed bigram log-probs are strictly negative (probabilities
+    < 1 with add-k smoothing and V > 1) and every scored doc has
+    tokens-1 bigrams."""
+    rows = {
+        r.doc_id: r
+        for r in REGISTRY["text_bigram_logprob"].run(spark, SF_DIR).collect()
+    }
+    assert rows
+    assert all(r.avg_bigram_logprob < 0 for r in rows.values())
+    toks = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select(
+            "doc_id",
+            F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("n"),
+        )
+        .collect()
+    )
+    for t in toks:
+        if t.n >= 2:
+            assert rows[t.doc_id].n_bigrams == t.n - 1, t.doc_id
+        else:
+            assert t.doc_id not in rows
