@@ -297,10 +297,8 @@ def pq_topk(
     )
     # TakeOrdered-bounded deterministic sample (a bare limit() is
     # partition-order-dependent on a real cluster)
-    sample = np.array(
-        [r.e for r in emb.orderBy("vec_id").limit(PQ_FIT_CAP).collect()],
-        dtype=np.float64,
-    )
+    rows = emb.orderBy("vec_id").limit(PQ_FIT_CAP).collect()
+    sample = np.array([r.e for r in rows], dtype=np.float64)
     dim = sample.shape[1]
     dsub = dim // m
     books = [
@@ -308,9 +306,17 @@ def pq_topk(
         for j in range(m)
     ]
 
-    qe = np.array(
-        emb.filter(F.col("vec_id") == query_id).first()["e"], dtype=np.float64
-    )
+    # the query vector is usually already in the fit sample — only pay
+    # a point-lookup scan when it is not
+    by_id = {r.vec_id: r.e for r in rows}
+    if query_id in by_id:
+        q_row = by_id[query_id]
+    else:
+        hit = emb.filter(F.col("vec_id") == query_id).first()
+        if hit is None:
+            raise ValueError(f"pq_topk: query_id {query_id} not in embeddings")
+        q_row = hit["e"]
+    qe = np.array(q_row, dtype=np.float64)
     # ADC tables: dist from the query's j-th subvector to every centroid
     tables = [
         ((books[j] - qe[j * dsub : (j + 1) * dsub]) ** 2).sum(axis=1)
@@ -388,11 +394,11 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="PQ ANN quality contract as a HARD oracle (same invariant "
     "style as sim_ivf_recall): the 16x4-bit ADC-shortlist-50 top-10 "
     "must return exactly k results and recover at least half of the "
-    "TRUE top-10 (exact brute-force cosine over the same unit vectors "
-    "— for unit vectors L2 and cosine rank identically, so ADC "
-    "approximates the cosine ranking; measured 9/10 on this corpus). "
-    "A broken encoder, a transposed codebook, or a mis-indexed ADC "
-    "table lookup breaks the hash.",
+    "engine's exact brute-force top-10 (sim_cosine_topk — for unit "
+    "vectors L2 and cosine rank identically, so ADC approximates the "
+    "cosine ranking; measured 9/10 on this corpus). A broken encoder, "
+    "a transposed codebook, or a mis-indexed ADC table lookup breaks "
+    "the hash.",
 )
 def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .vectorops import sim_cosine_topk

@@ -248,6 +248,10 @@ def test_kfold_assignment_partitions_exactly(spark):
     n_total = sum(r.n for r in rows)
     again = sum(r.n for r in q(spark, SF_DIR).collect())
     assert n_total == again and n_total > 0
+    # conservation vs an INDEPENDENT count: every windowed row lands in
+    # exactly one fold, so the fold totals must equal the dataset size
+    n_windows = REGISTRY["ml_windowed_dataset"].run(spark, SF_DIR).count()
+    assert n_total == n_windows, (n_total, n_windows)
     per_fold = {}
     for r in rows:
         per_fold[r.fold] = per_fold.get(r.fold, 0) + r.n
