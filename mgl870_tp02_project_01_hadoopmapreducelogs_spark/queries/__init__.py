@@ -130,66 +130,56 @@ from . import (  # noqa: E402,F401
 
 # --- driver-facing ordering -------------------------------------------------
 # The correctness driver checks the FIRST 50 registered queries only, so
-# ordering is evidence budget. Round-4 rotation (the queue announced in
-# round 3): (a) every remaining entry with NO driver verdict — the
-# round-3 oracle upgrades registered after the r3 window froze, the two
-# text-tail entries, and streaming_drain_mining (the one rows-only-by-
-# design entry, so its weaker check is at least recorded); (b) the
-# rows-only r1 verdicts that have since gained oracles, so the driver
-# records the upgrade; (c) the NEW round-4 invariant oracles (RF
-# quality, PCA variance laws, anomaly-rate band); (d) ~35 stale r1/r2
-# greens re-sampled — chosen to cover every module touched this round
-# (windows.py offset map, mining.py/_rank_templates, sinks, mlops) plus
-# a breadth slice across relational/TPC-H/join/dedup/text/sim/skew/
-# streaming/multimodal/pipelines. Everything else keeps its r2/r3 green
-# + pytest + the pre-commit local oracle gate (scripts/check_oracle.py).
+# ordering is evidence budget. Round-5 rotation (the queue announced in
+# round 4): (a) the 15 entries that have NEVER been driver-sampled — the
+# round-4 lifecycle ops, the PQ pair (sim_pq_topk rows-only, riding with
+# its sim_pq_recall oracle companion), the bigram LM, the drift/health
+# audits, the mixture solver, and the S2/S3/S6 source oracles; (b) the
+# 11 oldest stale greens (last confirmed r1, 3 rounds ago); (c) 24 of
+# the 28 r2-stale greens. The 4 r2-stale entries left out —
+# tpch_q5_region_volume, tpch_q14_promo_share, topk_per_group,
+# time_tumbling_hourly — each have an r3/r4-green family neighbour
+# (20 TPC-H greens r3, k1_k2 r4, streaming_hourly_counts r4) and head
+# the round-6 queue. Everything else keeps its r3/r4 green + pytest +
+# the pre-commit local oracle gate (scripts/check_oracle.py).
 _PRIORITY = [
-    # (a) never driver-sampled
-    "ml_model_quality", "sim_ivf_recall", "streaming_session_window",
-    "multimodal_feature_extract", "text_sample_temperature",
-    "text_unigram_logprob", "streaming_drain_mining",
-    # (b) rows-only r1 verdicts now carrying oracles (+ sim_ivf_topk,
-    # rows-only, paired with its recall companion above)
-    "approx_sketches", "ml_stratified_split_counts",
-    "s1_recursive_log_scan", "s4_s5_sink_roundtrip", "sim_ivf_topk",
-    # (c) new round-4 invariant oracles
-    "ml_rf_quality", "ml_pca_variance", "ml_anomaly_rate",
-    # (d) re-sampled r1/r2 greens — touched-code first
-    "w1_a4_a5_windowed_features", "ml_windowed_dataset", "w2_row_numbering",
-    "t1a_mine_templates", "t1b_drainish_mining", "t2_match_lines",
-    "t3_new_template_feed", "t4_cluster_census",
-    # breadth: preprocess + relational
-    "f1_f4_preprocess_strip", "f5_mask_dynamic_tokens", "f6_event_labels",
-    "a1_a2_event_totals", "a7_occurrence_pivot", "a9_pearson_correlation",
-    "p4_failure_event_filter", "k1_k2_topk_by_magnitude",
-    # breadth: TPC-H r1 slice
-    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
-    "tpch_q6_forecast_revenue",
-    # breadth: joins
-    "join_broadcast_dims", "join_left_semi", "asof_join_last_order",
-    # breadth: dedup
-    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    # breadth: similarity + skew
-    "sim_cosine_topk", "skew_salted_agg",
-    # breadth: streaming
-    "streaming_hourly_counts", "streaming_template_mining",
-    # breadth: multimodal + curation pipelines + text
-    "multimodal_byte_stats", "pipeline_c4_style", "pipeline_corpus_curation",
-    "text_quality_score", "text_detect_language",
-    # --- driver window ends at 50 entries; rotation queue for round 5
-    # (oracle-bearing, registered after this window froze, no driver
-    # verdict yet): the round-4 lifecycle ops — dedup_incremental_index,
-    # corpus_shuffle_deterministic, split_leakage_audit,
-    # streaming_incremental_index — the S2/S3/S6 source oracles
-    # (s2_single_file_source, s3_malformed_line_audit,
-    # s6_memory_table_source), dq_embedding_health,
-    # corpus_mixture_solver, the late-round-4 additions
-    # (ml_kfold_assignment, streaming_late_data_audit, sim_pq_recall,
-    # text_bigram_logprob, dq_corpus_drift; sim_pq_topk is rows-only
-    # with the recall companion), plus
-    # re-sampling the remaining ~40 stale r1/r2 greens COVERAGE.md
-    # marks stale-green.
+    # (a) never driver-sampled: round-4 lifecycle / index ops
+    "dedup_incremental_index", "streaming_incremental_index",
+    "corpus_shuffle_deterministic", "split_leakage_audit",
+    "ml_kfold_assignment", "streaming_late_data_audit",
+    # (a) PQ ANN pair (topk rows-only by design + recall oracle)
+    "sim_pq_recall", "sim_pq_topk",
+    # (a) LM quality filter, DQ audits, mixture solver
+    "text_bigram_logprob", "dq_corpus_drift", "dq_embedding_health",
+    "corpus_mixture_solver",
+    # (a) source oracles
+    "s2_single_file_source", "s3_malformed_line_audit",
+    "s6_memory_table_source",
+    # (b) r1-stale re-samples (3 rounds old)
+    "window_rank_analytics", "setop_intersect_except",
+    "p2_p3_projection_drop", "p5_row_selection_by_key",
+    "a6_class_histogram", "a8_distinct_sort", "a10_correlation_pruning",
+    "a11_describe", "k3_k4_sorted_preview", "join_left_anti",
+    "setop_union_distinct",
+    # (c) r2-stale re-samples (2 rounds old)
+    "rollup_region_nation", "cube_status_priority", "unpivot_measures",
+    "sessionize_events", "session_window_native", "json_extract_props",
+    "skew_hot_key_cap", "window_moving_stats", "join_window_alignment",
+    "a3_try_cast_coercion",
+    "text_token_count", "text_fingerprint", "text_repetition_fraction",
+    "text_quality_filter", "text_contamination_check",
+    "text_remove_dup_spans",
+    "dedup_anchor_containment", "streaming_sliding_counts",
+    "streaming_minhash_dedup",
+    "multimodal_ppm_roundtrip", "multimodal_resize",
+    "multimodal_frame_sample",
+    "sim_knn_join", "sim_lsh_sign_buckets",
+    # --- driver window ends at 50 entries; rotation queue for round 6:
+    # the 4 r2-stale entries deferred above (tpch_q5_region_volume,
+    # tpch_q14_promo_share, topk_per_group, time_tumbling_hourly), then
+    # whatever COVERAGE.md marks stale-green after the r5 artifact lands
+    # (the r3 greens become 2 rounds old in round 6 — prioritise the r3
+    # TPC-H block and the streaming r3 greens).
 ]
 
 

@@ -355,10 +355,12 @@ def pq_topk(
         .orderBy(F.col("adc_dist").asc(), "vec_id")
         .limit(shortlist)
     )
-    # exact rescore of the constant-size shortlist
+    # exact rescore of the constant-size shortlist; the query vector was
+    # already collected into qe for the ADC tables — build the 1-row side
+    # locally instead of paying a second point-lookup scan
     from ..functions import vectors as V
 
-    q = emb.filter(F.col("vec_id") == query_id).select(F.col("e").alias("qe"))
+    q = spark.createDataFrame([(list(map(float, qe)),)], "qe array<double>")
     return (
         short.crossJoin(F.broadcast(q))
         .select(
@@ -389,16 +391,20 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim_pq_recall",
     """
-    SELECT CAST(10 AS BIGINT) AS n_results, TRUE AS recall_at_least_half
+    SELECT CAST(10 AS BIGINT) AS n_results, TRUE AS recall_ge_8_of_10
     """,
     doc="PQ ANN quality contract as a HARD oracle (same invariant "
     "style as sim_ivf_recall): the 16x4-bit ADC-shortlist-50 top-10 "
-    "must return exactly k results and recover at least half of the "
-    "engine's exact brute-force top-10 (sim_cosine_topk — for unit "
-    "vectors L2 and cosine rank identically, so ADC approximates the "
-    "cosine ranking; measured 9/10 on this corpus). A broken encoder, "
-    "a transposed codebook, or a mis-indexed ADC table lookup breaks "
-    "the hash.",
+    "must return exactly k results and recover >= 8 of the engine's "
+    "exact brute-force top-10 (sim_cosine_topk — for unit vectors L2 "
+    "and cosine rank identically, so ADC approximates the cosine "
+    "ranking). Measured 9/10 on the sf0.01 driver corpus; the pin is "
+    "9-with-tolerance-1 so a silent codebook regression to 6/10 fails "
+    "instead of passing. NOTE the sf coupling: this is a measured "
+    "constant-TRUE oracle at sf0.01 — a testdata refresh or a driver "
+    "run at another scale factor must re-measure before the round "
+    "(ADVICE r4). A broken encoder, a transposed codebook, or a "
+    "mis-indexed ADC table lookup breaks the hash.",
 )
 def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .vectorops import sim_cosine_topk
@@ -407,8 +413,8 @@ def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     pq_ids = {r.vec_id for r in pq.collect()}
     exact_ids = {r.vec_id for r in sim_cosine_topk(spark, sf_dir).collect()}
     return spark.createDataFrame(
-        [(len(pq_ids), len(pq_ids & exact_ids) >= 5)],
-        "n_results long, recall_at_least_half boolean",
+        [(len(pq_ids), len(pq_ids & exact_ids) >= 8)],
+        "n_results long, recall_ge_8_of_10 boolean",
     )
 
 

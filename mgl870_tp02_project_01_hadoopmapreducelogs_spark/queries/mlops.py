@@ -96,9 +96,11 @@ def ml_windowed_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
     "engine-specific, so the oracle value-checks what IS deterministic "
     "— the per-class TOTAL (train+test must conserve every row of the "
     "class, checked against DuckDB's independent class histogram) — "
-    "and pins the sampling contract as booleans (test fraction within "
-    "[0.1, 0.3] of the requested 0.2 per class). A broken splitter "
-    "(overlap, loss, grossly skewed sampling) fails the hash.",
+    "and pins the sampling contract as booleans (per-class test "
+    "fraction within an adaptive +-max(0.1, 4*sqrt(0.16/n)) band of "
+    "the requested 0.2 — scale-proof: <1e-4 false-alarm at any class "
+    "size). A broken splitter (overlap, loss, grossly skewed "
+    "sampling) fails the hash.",
 )
 def ml_stratified_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _windowed(spark, sf_dir)
@@ -112,20 +114,27 @@ def ml_stratified_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .na.fill(0, ["n_train", "n_test"])
     )
     frac = F.col("n_test") / (F.col("n_train") + F.col("n_test"))
+    # sampleBy is Bernoulli per row: the test fraction of a class of n
+    # rows has std sqrt(0.2*0.8/n), so a FIXED band is only meaningful
+    # once n is large — a small class at another scale factor could
+    # deterministically land outside it even though the splitter is
+    # correct (ADVICE r3/r4). Make the band adaptive instead: +-4
+    # sigma around the requested 0.2, floored at +-0.1. At n=100
+    # that is +-0.16, at n=10k +-0.1 (the floor) — false-alarm
+    # probability < 1e-4 per class at ANY class size, while a grossly
+    # skewed or broken splitter (frac 0, 0.5+) still fails the hash.
+    halfwidth = F.greatest(
+        F.lit(0.1), F.lit(4.0) * F.sqrt(F.lit(0.2 * 0.8) / F.col("n_all"))
+    )
     return j.select(
         F.col("label").cast("int").alias("label"),
         F.col("n_all").cast("long").alias("n_total"),
         ((F.col("n_train") + F.col("n_test")) == F.col("n_all")).alias(
             "split_conserves"
         ),
-        # small classes: sampleBy is Bernoulli per row, so a class with
-        # few members can legitimately land outside the band (e.g. a
-        # 5-row class drawing 0 or 2 test rows) — the band only means
-        # "splitter not grossly skewed" once the law of large numbers
-        # applies, so gate it on a minimum class size (ADVICE r3)
-        F.when(F.col("n_all") < 25, F.lit(True))
-        .otherwise(frac.between(0.1, 0.3))
-        .alias("test_frac_in_band"),
+        frac.between(F.lit(0.2) - halfwidth, F.lit(0.2) + halfwidth).alias(
+            "test_frac_in_band"
+        ),
     )
 
 

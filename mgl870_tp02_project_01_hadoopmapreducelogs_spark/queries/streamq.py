@@ -773,7 +773,7 @@ def streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 2 = 0),
     batch AS (SELECT * FROM fps WHERE doc_id % 2 = 1)
     SELECT fp, min(doc_id) AS keeper,
-           CAST(count(*) AS BIGINT) AS n_in_batch
+           CAST(count(*) AS BIGINT) AS n_seen
     FROM batch b
     WHERE NOT EXISTS (SELECT 1 FROM idx i WHERE i.fp = b.fp)
     GROUP BY fp
@@ -783,7 +783,9 @@ def streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "against the STATIC persisted fingerprint index (even doc_ids) — "
     "stream-static left-anti needs no state store on the static side — "
     "then keep-first within the stream via a running (fp -> min "
-    "doc_id, count) aggregation. Batch SQL oracle proves stream/batch "
+    "doc_id, n_seen) aggregation — n_seen counts arrivals across ALL "
+    "micro-batches (complete mode), not per batch. Batch SQL oracle "
+    "proves stream/batch "
     "parity. At scale the static index is the bucketed table from "
     "sources/bucketing.py and the per-micro-batch join stays "
     "co-located; only the aggregation keeps state, keyed by novel "
@@ -807,7 +809,7 @@ def streaming_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("fp")
         .agg(
             F.min("doc_id").alias("keeper"),
-            F.count(F.lit(1)).alias("n_in_batch"),
+            F.count(F.lit(1)).alias("n_seen"),
         )
     )
     out = _run_stream(stream, "incremental_index", mode="complete")

@@ -1430,10 +1430,14 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_unigram_logprob: repeated boilerplate scores high, "
     "off-distribution or shuffled text scores low even when its "
     "unigrams are common. Docs under 2 tokens are excluded in both "
-    "engines. The unigram table is vocab-bounded (broadcast); the "
-    "bigram table joins on (w1,w2) — at 100 TB that is one shuffle "
-    "co-partitioned with the scoring join, and the count tables are "
-    "the reusable LM artifact. AVG of logs rounds AFTER aggregation.",
+    "engines. The unigram join is left to the planner — a web-scale "
+    "vocabulary (hundreds of millions of tokens) can exceed broadcast "
+    "limits, so the auto-threshold picks broadcast when the table "
+    "fits and falls back to a shuffle join when it doesn't (only the "
+    "1-row vocab size is force-broadcast); the bigram table joins on "
+    "(w1,w2) — at 100 TB that is one shuffle co-partitioned with the "
+    "scoring join, and the count tables are the reusable LM artifact. "
+    "AVG of logs rounds AFTER aggregation.",
 )
 def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
@@ -1459,7 +1463,7 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     return (
         big.join(bc, ["w1", "w2"])
-        .join(F.broadcast(uni.withColumnRenamed("w", "w1")), "w1")
+        .join(uni.withColumnRenamed("w", "w1"), "w1")
         .join(F.broadcast(vocab))
         .groupBy("doc_id")
         .agg(

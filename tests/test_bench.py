@@ -20,12 +20,11 @@ def test_headline_names_resolve_and_are_unique():
 def test_driver_window_is_oracle_bearing_and_stable():
     """The correctness driver samples the FIRST 50 registry entries; a
     careless registration order change would silently burn evidence
-    slots. Pin: the window matches the round-4 rotation plan — the
-    never-driver-sampled tail, the rows-only→oracle upgrades, this
-    round's new invariant oracles, and the stale-green re-samples.
-    The only rows-only entries allowed in the window are the two
-    DELIBERATE ones (streaming_drain_mining is rows-only by design;
-    sim_ivf_topk rides with its sim_ivf_recall oracle companion)."""
+    slots. Pin: the window matches the round-5 rotation plan — the 15
+    never-driver-sampled entries first, then the r1-stale re-samples,
+    then the r2-stale re-samples. The only rows-only entry allowed in
+    the window is the DELIBERATE one (sim_pq_topk is rows-only by
+    design and rides with its sim_pq_recall oracle companion)."""
     import sys
 
     sys.path.insert(0, ".")
@@ -33,24 +32,28 @@ def test_driver_window_is_oracle_bearing_and_stable():
 
     window = list(REGISTRY)[:50]
     no_oracle = [n for n in window if REGISTRY[n].oracle is None]
-    assert no_oracle == ["streaming_drain_mining", "sim_ivf_topk"], (
+    assert no_oracle == ["sim_pq_topk"], (
         f"unexpected rows-only entries in the driver window: {no_oracle}"
     )
-    # anchors of the round-4 rotation plan
+    # anchors of the round-5 rotation plan
     for must in (
-        "ml_model_quality",
-        "sim_ivf_recall",
-        "streaming_session_window",
-        "multimodal_feature_extract",
-        "text_sample_temperature",
-        "text_unigram_logprob",
-        "approx_sketches",
-        "s1_recursive_log_scan",
-        "s4_s5_sink_roundtrip",
-        "ml_rf_quality",
-        "ml_pca_variance",
-        "ml_anomaly_rate",
-        "w1_a4_a5_windowed_features",
-        "t1a_mine_templates",
+        "dedup_incremental_index",
+        "streaming_incremental_index",
+        "corpus_shuffle_deterministic",
+        "split_leakage_audit",
+        "ml_kfold_assignment",
+        "streaming_late_data_audit",
+        "sim_pq_recall",
+        "sim_pq_topk",
+        "text_bigram_logprob",
+        "dq_corpus_drift",
+        "dq_embedding_health",
+        "corpus_mixture_solver",
+        "s2_single_file_source",
+        "s3_malformed_line_audit",
+        "s6_memory_table_source",
+        "window_rank_analytics",
+        "a6_class_histogram",
+        "multimodal_ppm_roundtrip",
     ):
         assert must in window, f"{must} fell out of the driver window"

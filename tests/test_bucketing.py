@@ -62,6 +62,10 @@ def test_bucketed_index_anti_join_shuffles_batch_only(spark):
     LeftAnti join needs NO exchange on the index side — only the (much
     smaller) new batch moves. The index (the big side at scale) reads
     in place."""
+    # save/restore the PRIOR value (not a hardcoded default) so a
+    # session fixture with a non-default threshold isn't leaked into
+    # later tests (the pattern test_spread.py uses for maxPartitionBytes)
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         idx = spark.range(20_000).select(
@@ -79,5 +83,5 @@ def test_bucketed_index_anti_join_shuffles_batch_only(spark):
         assert rep["n_exchanges"] == 1, rep
         assert kept.count() == 1_000  # 19000..19999 collide, 20000.. survive
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS t_fp_index")

@@ -269,13 +269,14 @@ def test_streaming_incremental_index_multi_batch(spark, tmp_path):
         .groupBy("fp")
         .agg(
             F.min("doc_id").alias("keeper"),
-            F.count(F.lit(1)).alias("n_in_batch"),
+            F.count(F.lit(1)).alias("n_seen"),
         )
     )
     out = _run_stream(stream, "inc_index_test", mode="complete").collect()
-    # only the novel fingerprint survives; both its arrivals merged
+    # only the novel fingerprint survives; both its arrivals (one per
+    # micro-batch — n_seen counts across the whole stream) merged
     assert len(out) == 1
-    assert out[0].keeper == 13 and out[0].n_in_batch == 2
+    assert out[0].keeper == 13 and out[0].n_seen == 2
 
 
 def test_late_data_filter_uses_previous_batch_watermark(spark, tmp_path):
