@@ -11,18 +11,22 @@ inflated recorded times 4-8x over a clean re-run of the same plans on
 the same data. The fix bounds session state without forfeiting the
 legitimate cache reuse that a real analytics session gets:
 
-- the headline set is split into 5 CHUNKS of related queries (mining,
-  TPC-H, shingle-dedup, vector/text, pipelines); each chunk runs in a
-  FRESH subprocess (own JVM, 16g heap — local mode driver==executor),
-  so no chunk inherits another's heap state and accumulation is
-  bounded at <=9 queries;
+- the headline set is split into 6 CHUNKS of related queries (mining,
+  TPC-H, shingle-dedup, vector-similarity, text-tail, pipelines); each
+  chunk runs in a FRESH subprocess (own JVM, 16g heap — local mode
+  driver==executor), so no chunk inherits another's heap state and
+  accumulation is bounded at <=9 queries;
 - each chunk session pays an untimed warm-up — a tiny read, a
   mapInPandas no-op (the Python worker-pool fork costs ~4 s on first
   Arrow use), and one untimed run of the chunk's FIRST query (whole-
   stage-codegen/JIT for the family's plan shapes, shared-subtree cache
   build: the same role the global warm-up played in round 1);
 - each query then runs twice end-to-end through the noop sink and the
-  min is kept — steady-state execution, not codegen noise;
+  min is kept — steady-state execution, not codegen noise; sub-second
+  queries get a guaranteed third sample and any >1.5x disagreement
+  triggers extra runs (round 5: keeps query-level variance under ~20%
+  and resists sustained external-load transients like the one that
+  inflated two mining-chunk numbers in the r4 artifact);
 - caches persist WITHIN a chunk only: queries in a chunk share
   subtrees (the masked log projection, the shingle table, the
   embedding norms) exactly as a real session would, and the chunk
@@ -81,7 +85,7 @@ CHUNKS = [
         "text_quality_score",
         "dedup_incremental_index",
     ],
-    # vector-similarity + text-tail family
+    # vector-similarity family (shared embeddings scan + norms)
     [
         "sim_cosine_topk",
         "sim_knn_join",
@@ -89,6 +93,14 @@ CHUNKS = [
         "sim_pq_topk",
         "dedup_embedding_cosine",
         "dedup_embedding_planted",
+    ],
+    # text-tail family (shared token tables). Split out of the vector
+    # chunk in round 5: at 11 queries that chunk's shared-session noise
+    # (heap state, cache pressure) was the largest per-query-signal
+    # risk in the suite; the split point preserves intra-family cache
+    # reuse (vectors share embeddings, text shares tokens — there was
+    # no cross-reuse between the halves).
+    [
         "text_vocab_topk",
         "text_pack_sequences",
         "text_chunk_documents",
@@ -147,11 +159,15 @@ def run_chunk(names: list[str], sf_dir: str) -> None:
 
     times: dict[str, float] = {}
     for name in names:
-        # min-of-2, plus up to 2 extra runs when the pair disagrees by
-        # >1.5x — a GC pause / page-cache transient in one run should
-        # not become the recorded number for the plan
+        # min-of-2 baseline; sub-second queries get a guaranteed third
+        # sample (round 5 — their recorded number is dominated by
+        # scheduler/JIT jitter, and the r4 artifact showed a sustained
+        # load transient can slow BOTH of two samples); any query gets
+        # up to 2 extra runs when samples disagree by >1.5x
         samples = [run(name), run(name)]
-        while max(samples) / min(samples) > 1.5 and len(samples) < 4:
+        if min(samples) < 1.0:
+            samples.append(run(name))
+        while max(samples) / min(samples) > 1.5 and len(samples) < 5:
             samples.append(run(name))
         times[name] = round(min(samples), 3)
     print(json.dumps(times), flush=True)
