@@ -172,12 +172,14 @@ def drain_mining_stream(
         touched = False
         for pdf in pdfs:
             for msg in pdf[masked_col]:
-                toks = msg.split(" ")
-                best, best_sim = None, -1.0
+                toks = DrainMiner._tokens(msg)
+                # faithful fit rule (round 5): wildcards excluded from
+                # similarity, param-count tie-break — same as batch add()
+                best, best_sim, best_p = None, -1.0, -1
                 for cl in clusters:
-                    s = DrainMiner._sim(cl[0], toks)
-                    if s > best_sim:
-                        best, best_sim = cl, s
+                    s, p = DrainMiner._sim_fit(cl[0], toks)
+                    if s > best_sim or (s == best_sim and p > best_p):
+                        best, best_sim, best_p = cl, s, p
                 if best is not None and (
                     best_sim >= sim_th or len(clusters) >= max_clusters_per_leaf
                 ):

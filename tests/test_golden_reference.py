@@ -15,14 +15,26 @@ sample + this golden is the only fully reproducible pair.
 Replication protocol: one pass of our faithful DrainMiner over the RAW
 lines (the golden's templates keep the '2015-10-17' date and 'INFO'
 level, proving the reference applied no masking/preprocessing for this
-artifact), then compare (template, size*10) rows. Measured on this
-fixed corpus: 50 clusters, 30 of them byte-identical to golden
-templates, 29/30 of the matched templates' golden sizes EXACTLY 10x
-our single-run size (the accumulation factor), total size conserved at
-1,282. The assertions pin bands just under the measured values so a
-faithfulness regression (similarity rule, wildcard rule, tree keying)
-fails loudly while drain3-vs-ours order effects (the remaining 20
-finer-grained reference clusters) stay tolerated and documented.
+artifact), then compare (template, size*10) rows.
+
+Round-5 fidelity pass result (after adopting drain3's whitespace
+tokenization, include_params=False fit similarity, and param-count
+tie-break — see operators/drain.py module docstring): **100 clusters
+vs the golden's 100; every one of the golden's 100 templates is
+reproduced byte-for-byte (99 text templates + the empty template of
+golden row ID=68, whose blank lines our miner also collapses into one
+cluster); 95 of the 99 text templates carry a golden size EXACTLY 10x
+our single-run size.** The four size-divergent templates (golden ids
+1, 2, 4, 38/49-adjacent) are cross-run accumulation artifacts: the
+reference's 10 persisted-state runs re-matched lines against
+already-eroded templates, shifting a handful of line->cluster
+assignments relative to any single fresh run — not reproducible from
+one pass by construction, and template-identical regardless.
+
+The assertions pin bands just under the measured values so a
+faithfulness regression (similarity rule, wildcard rule, tokenization,
+tree keying) fails loudly while the documented size-divergence class
+stays tolerated.
 """
 
 import os
@@ -40,10 +52,14 @@ ACCUMULATION_RUNS = 10
 
 
 def _load_golden():
+    """Parse every golden row INCLUDING the empty-template one
+    (``ID=68 : size=120 :`` followed by nothing)."""
     rows = []
     with open(GOLDEN) as fh:
         for line in fh:
-            m = re.match(r'"?ID=(\d+)\s*: size=(\d+)\s*: (.*?)"?\s*$', line.strip())
+            m = re.match(
+                r'"?ID=(\d+)\s*: size=(\d+)\s*:\s?(.*?)"?\s*$', line.rstrip("\n")
+            )
             if m:
                 rows.append((int(m.group(1)), int(m.group(2)), m.group(3)))
     return rows
@@ -55,7 +71,7 @@ def _load_golden():
 )
 def test_reference_event_matrix_replication():
     golden = _load_golden()
-    assert len(golden) == 99  # the committed artifact's shape
+    assert len(golden) == 100  # the committed artifact's shape
 
     lines = [ln.rstrip("\n") for ln in open(CORPUS)]
     assert len(lines) == 1282
@@ -68,17 +84,26 @@ def test_reference_event_matrix_replication():
     # conservation: one cluster per line, no loss
     assert sum(s for _, s in ours) == len(lines)
 
+    # catalog cardinality parity (golden: 100; measured: 100)
+    assert 95 <= len(ours) <= 105, f"{len(ours)} clusters vs golden 100"
+
     gold_size = {t: s for _, s, t in golden}
     matched = [(t, s) for t, s in ours if t in gold_size]
 
-    # >= 55% of our templates reproduce a golden template byte-for-byte
-    # (measured: 30/50 = 60%)
-    assert len(matched) / len(ours) >= 0.55, (
+    # >= 95% of our templates reproduce a golden template byte-for-byte
+    # (measured: 100/100, empty template included)
+    assert len(matched) / len(ours) >= 0.95, (
         f"only {len(matched)}/{len(ours)} templates match the golden"
     )
 
+    # every golden template is recovered (measured: 100/100)
+    our_t = {t for t, _ in ours}
+    missing = [t for t in gold_size if t not in our_t]
+    assert not missing, f"golden templates not reproduced: {missing[:5]}"
+
     # of the byte-matched templates, >= 90% carry a golden size of
-    # EXACTLY accumulation_runs x our single-run size (measured: 29/30)
+    # EXACTLY accumulation_runs x our single-run size (measured: 96/100;
+    # the rest are the documented cross-run erosion artifacts)
     exact = sum(
         1 for t, s in matched if gold_size[t] == ACCUMULATION_RUNS * s
     )
