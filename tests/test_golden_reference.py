@@ -111,3 +111,33 @@ def test_reference_event_matrix_replication():
         f"only {exact}/{len(matched)} matched templates have the 10x "
         "accumulated size"
     )
+
+
+@pytest.mark.skipif(
+    not os.path.exists(CORPUS), reason="reference corpus not present"
+)
+def test_persisted_state_accumulation_is_a_fixed_point():
+    """The golden's provenance: the reference accumulated its catalog
+    over ~10 runs with drain3 persisted state (drain3_state.bin,
+    process_logs_v10.py). Pin the property that makes that meaningful —
+    once a corpus has been mined, REPLAYING it through the restored
+    miner is a catalog fixed point: the template set is unchanged and
+    every size multiplies exactly by the run count (measured 100/100 on
+    the reference corpus). A similarity/tokenization regression that
+    makes eroded templates unmatchable (the include_params=False rule's
+    failure mode) would fracture the replay into new clusters and fail
+    here."""
+    lines = [ln.rstrip("\n") for ln in open(CORPUS)]
+    miner = DrainMiner(depth=4, sim_th=0.4, max_clusters=10000)
+    for ln in lines:
+        miner.add(ln)
+    single = dict(miner.templates())
+    for _ in range(ACCUMULATION_RUNS - 1):
+        for ln in lines:
+            miner.add(ln)
+    accumulated = dict(miner.templates())
+    assert set(accumulated) == set(single)
+    assert all(
+        accumulated[t] == ACCUMULATION_RUNS * single[t] for t in single
+    )
+    assert sum(accumulated.values()) == ACCUMULATION_RUNS * len(lines)
