@@ -101,7 +101,10 @@ def test_real_corpus_parity(spark):
     rows = catalog.collect()
     # every line lands in exactly one cluster
     assert sum(r.size for r in rows) == 1282
-    # band around the reference's 100-cluster observable (measured: 106)
+    # band around the reference's 100-cluster observable (measured: 114
+    # after the round-5 drain3-fidelity pass; the RAW-line replication
+    # in test_golden_reference.py is byte-exact at 100 — masking only
+    # coarsens/splits around that)
     assert 60 <= len(rows) <= 200, f"{len(rows)} clusters"
 
 
