@@ -175,11 +175,14 @@ _PRIORITY = [
     "multimodal_frame_sample",
     "sim_knn_join", "sim_lsh_sign_buckets",
     # --- driver window ends at 50 entries; rotation queue for round 6:
-    # the 4 r2-stale entries deferred above (tpch_q5_region_volume,
-    # tpch_q14_promo_share, topk_per_group, time_tumbling_hourly), then
-    # whatever COVERAGE.md marks stale-green after the r5 artifact lands
-    # (the r3 greens become 2 rounds old in round 6 — prioritise the r3
-    # TPC-H block and the streaming r3 greens).
+    # the round-5 additions with no driver verdict yet
+    # (text_bpe_merge_topk, text_char_entropy — both local-oracle
+    # green), the 4 r2-stale entries deferred above
+    # (tpch_q5_region_volume, tpch_q14_promo_share, topk_per_group,
+    # time_tumbling_hourly), then whatever COVERAGE.md marks
+    # stale-green after the r5 artifact lands (the r3 greens become 2
+    # rounds old in round 6 — prioritise the r3 TPC-H block and the
+    # streaming r3 greens).
 ]
 
 

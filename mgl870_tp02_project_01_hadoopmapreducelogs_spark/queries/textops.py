@@ -2100,3 +2100,123 @@ def corpus_mixture_solver(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(target.cast("double") / F.col("n_avail"), 4).alias("keep_rate"),
         (F.col("n_avail") <= F.floor(slice_).cast("long")).alias("exhausted"),
     )
+
+
+# --- BPE merge-pair induction (round 5) ---------------------------------------
+
+BPE_TOPK = 20
+
+
+@register(
+    "text_bpe_merge_topk",
+    f"""
+    WITH words AS (
+        SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+        FROM documents
+    ),
+    wc AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS n_w FROM words
+        WHERE len(w) >= 2 GROUP BY w
+    ),
+    pairs AS (
+        SELECT substr(w, p, 1) || ' ' || substr(w, p + 1, 1) AS pair, n_w
+        FROM wc, unnest(generate_series(1, len(w) - 1)) AS t(p)
+    )
+    SELECT pair, CAST(SUM(n_w) AS BIGINT) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair LIMIT {BPE_TOPK}
+    """,
+    doc="BPE tokenizer training, inner loop: count adjacent symbol "
+    "pairs across the corpus weighted by word frequency and emit the "
+    f"top-{BPE_TOPK} merge candidates — the statistic a byte-pair-"
+    "encoding trainer greedily merges each round (Sennrich et al. "
+    "2016). Spark shape: word counts reduce first (map-side combine, "
+    "one shuffle on the word — O(distinct words), not O(tokens)), "
+    "then per-word character pairs come from a `transform(sequence)` "
+    "array expression (no Python, no per-char explode of raw text) "
+    "and the pair rollup shuffles O(distinct pairs) rows: at 100 TB "
+    "both shuffles carry vocabulary-bounded tables, and successive "
+    "BPE rounds reuse the cached word-count table, re-running only "
+    "the pair projection with the updated symbol sequence. Ties "
+    "break (count desc, pair asc) — total order, so the top-k is "
+    "engine-identical.",
+)
+def text_bpe_merge_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w")
+    )
+    wc = (
+        words.filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    pairs = wc.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1), "
+                "p -> concat(substring(w, p, 1), ' ', substring(w, p + 1, 1)))"
+            )
+        ).alias("pair"),
+        "n_w",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("n_w").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(BPE_TOPK)
+    )
+
+
+# --- per-document character entropy (round 5) ---------------------------------
+
+
+@register(
+    "text_char_entropy",
+    """
+    WITH chars AS (
+        SELECT doc_id, substr(lower(text), p, 1) AS ch
+        FROM documents, unnest(generate_series(1, len(text))) AS t(p)
+        WHERE len(text) > 0
+    ),
+    hist AS (
+        SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch
+    ),
+    tot AS (
+        SELECT doc_id, SUM(c) AS n FROM hist GROUP BY doc_id
+    )
+    SELECT h.doc_id,
+           ROUND(-SUM((c / CAST(n AS DOUBLE))
+                      * ln(c / CAST(n AS DOUBLE)) / ln(2)), 4) AS entropy_bits
+    FROM hist h JOIN tot USING (doc_id)
+    GROUP BY h.doc_id
+    """,
+    doc="Per-document Shannon entropy over the character distribution "
+    "(bits/char) — the gibberish/binary/encoded-blob detector that "
+    "complements text_repetition_fraction in a quality gate: natural "
+    "language sits ~3.5-4.5 bits, base64/hex blobs higher, repeated "
+    "filler lower. Spark shape: ZERO shuffle — the histogram is "
+    "computed per row inside one whole-stage-codegen'd projection "
+    "(array_distinct over the char array, then size(filter(...)) per "
+    "distinct char; O(distinct_chars x len) per doc, distinct chars "
+    "bounded by the alphabet), so at 100 TB this is a pure map over "
+    "the scan. The DuckDB oracle takes the explode-and-group route to "
+    "the same numbers; rounding AFTER the aggregate in both engines.",
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    chars = F.split(F.lower(F.col("text")), "")
+    # split('abc','') yields a trailing empty element in Spark — drop it
+    chars = F.filter(chars, lambda c: c != F.lit(""))
+    uniq = F.array_distinct(chars)
+    n = F.size(chars).cast("double")
+    probs = F.transform(
+        uniq,
+        lambda u: F.size(F.filter(chars, lambda c: c == u)).cast("double") / n,
+    )
+    entropy = -F.aggregate(
+        probs,
+        F.lit(0.0),
+        lambda acc, p: acc + p * F.log(p) / F.log(F.lit(2.0)),
+    )
+    return docs.select("doc_id", F.round(entropy, 4).alias("entropy_bits"))

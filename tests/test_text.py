@@ -140,3 +140,45 @@ def test_anchor_containment_catches_embedded_doc(spark, tmp_path):
         for r in textops.dedup_ngram_jaccard(spark, str(tmp_path)).collect()
     }
     assert (0, 1) not in jac  # the case symmetric Jaccard misses
+
+
+def test_char_entropy_bounds_and_known_values(spark, tmp_path):
+    """Entropy laws on constructed docs: a single repeated character
+    has H=0; a uniform 4-char alphabet has H=2 bits exactly; every doc
+    satisfies 0 <= H <= log2(distinct chars)."""
+    from mgl870_tp02_project_01_hadoopmapreducelogs_spark.queries import textops
+
+    df = spark.createDataFrame(
+        [(0, "aaaaaaaa", "en", "s", 8),
+         (1, "abcdabcdabcdabcd", "en", "s", 16),
+         (2, "the quick brown fox", "en", "s", 19)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r.doc_id: r.entropy_bits
+           for r in textops.text_char_entropy(spark, str(tmp_path)).collect()}
+    assert out[0] == 0.0
+    assert out[1] == 2.0
+    import math
+    assert 0.0 <= out[2] <= math.log2(len(set("the quick brown fox"))) + 1e-9
+
+
+def test_bpe_merge_topk_counts_weighted_pairs(spark, tmp_path):
+    """The top merge candidate must be the frequency-weighted most
+    common adjacent character pair: 'ab' appears in every 'abab' token
+    (3 words x 3 pairs... weighted by word count) and beats pairs from
+    the rarer word."""
+    from mgl870_tp02_project_01_hadoopmapreducelogs_spark.queries import textops
+
+    df = spark.createDataFrame(
+        [(0, "abab abab abab", "en", "s", 14),
+         (1, "xyz", "en", "s", 3)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    rows = textops.text_bpe_merge_topk(spark, str(tmp_path)).collect()
+    # 'abab' x3: per word pairs a-b, b-a, a-b -> 'a b' weight 2*3=6,
+    # 'b a' 1*3=3; 'xyz': 'x y' 1, 'y z' 1
+    got = {r.pair: r.n for r in rows}
+    assert rows[0].pair == "a b" and rows[0].n == 6
+    assert got["b a"] == 3 and got["x y"] == 1
