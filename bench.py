@@ -106,6 +106,8 @@ CHUNKS = [
         "text_chunk_documents",
         "text_tfidf_topk",
         "text_bigram_logprob",
+        "text_bpe_merge_topk",
+        "text_char_entropy",
     ],
     # curation pipelines + remaining aggregates. c4_style runs FIRST:
     # it needs execution memory for its span-explode window, and the

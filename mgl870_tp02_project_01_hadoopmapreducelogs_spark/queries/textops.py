@@ -2180,43 +2180,46 @@ def text_bpe_merge_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE len(text) > 0
     ),
     hist AS (
-        SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch
-    ),
-    tot AS (
-        SELECT doc_id, SUM(c) AS n FROM hist GROUP BY doc_id
+        SELECT doc_id, ch, CAST(count(*) AS DOUBLE) AS c
+        FROM chars GROUP BY doc_id, ch
     )
-    SELECT h.doc_id,
-           ROUND(-SUM((c / CAST(n AS DOUBLE))
-                      * ln(c / CAST(n AS DOUBLE)) / ln(2)), 4) AS entropy_bits
-    FROM hist h JOIN tot USING (doc_id)
-    GROUP BY h.doc_id
+    SELECT doc_id,
+           ROUND((ln(SUM(c)) - SUM(c * ln(c)) / SUM(c)) / ln(2), 4)
+             AS entropy_bits
+    FROM hist GROUP BY doc_id
     """,
     doc="Per-document Shannon entropy over the character distribution "
     "(bits/char) — the gibberish/binary/encoded-blob detector that "
     "complements text_repetition_fraction in a quality gate: natural "
     "language sits ~3.5-4.5 bits, base64/hex blobs higher, repeated "
-    "filler lower. Spark shape: ZERO shuffle — the histogram is "
-    "computed per row inside one whole-stage-codegen'd projection "
-    "(array_distinct over the char array, then size(filter(...)) per "
-    "distinct char; O(distinct_chars x len) per doc, distinct chars "
-    "bounded by the alphabet), so at 100 TB this is a pure map over "
-    "the scan. The DuckDB oracle takes the explode-and-group route to "
-    "the same numbers; rounding AFTER the aggregate in both engines.",
+    "filler lower. Algebra: H = log2(n) - (1/n)*SUM(c*log2(c)) over "
+    "the per-(doc,char) histogram — one expression per engine, "
+    "identical operation order, rounded AFTER the aggregate. Spark "
+    "shape: explode -> codegen'd hash aggregate; the partial agg "
+    "combines map-side so the shuffle carries O(docs x alphabet) "
+    "histogram rows, never O(chars). (A zero-shuffle array-expression "
+    "variant — size(filter(...)) per distinct char — was measured 5x "
+    "slower at sf0.1: higher-order functions run interpreted, and the "
+    "per-row cost is O(alphabet x len); the exploded histogram stays "
+    "whole-stage-codegen'd end to end.)",
 )
 def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
-    chars = F.split(F.lower(F.col("text")), "")
-    # split('abc','') yields a trailing empty element in Spark — drop it
-    chars = F.filter(chars, lambda c: c != F.lit(""))
-    uniq = F.array_distinct(chars)
-    n = F.size(chars).cast("double")
-    probs = F.transform(
-        uniq,
-        lambda u: F.size(F.filter(chars, lambda c: c == u)).cast("double") / n,
+    chars = docs.select(
+        "doc_id",
+        F.explode(
+            # split('abc','') yields a trailing empty element — drop it
+            F.filter(
+                F.split(F.lower(F.col("text")), ""), lambda c: c != F.lit("")
+            )
+        ).alias("ch"),
     )
-    entropy = -F.aggregate(
-        probs,
-        F.lit(0.0),
-        lambda acc, p: acc + p * F.log(p) / F.log(F.lit(2.0)),
+    hist = (
+        chars.groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
     )
-    return docs.select("doc_id", F.round(entropy, 4).alias("entropy_bits"))
+    n = F.sum("c")
+    s = F.sum(F.col("c") * F.log(F.col("c")))
+    return hist.groupBy("doc_id").agg(
+        F.round((F.log(n) - s / n) / F.log(F.lit(2.0)), 4).alias("entropy_bits")
+    )
