@@ -412,6 +412,216 @@ def dedup_embedding_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- SemDeDup: cluster-then-dedup semantic deduplication ----------------------
+
+#: SemDeDup knobs (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+#: at web-scale through semantic deduplication", arXiv:2303.09540).
+#: K coarse cells; within a cell, pairs with cos >= the threshold are
+#: semantic duplicates and the member LEAST similar to its centroid is
+#: kept (the paper's keep rule — the outlier carries the most signal).
+SEM_K = 8
+SEM_COS_TH = 0.9
+
+
+@register(
+    "dedup_semdedup",
+    f"""
+    WITH b0 AS (SELECT vec_id, {INT_EMB_SQL} AS e FROM embeddings),
+    base AS (
+        SELECT vec_id, e FROM b0
+        UNION ALL
+        SELECT vec_id + {PLANT_OFFSET} AS vec_id,
+               list_transform(e, (x, i) -> x + ((vec_id + i) % 3 - 1)) AS e
+        FROM b0 WHERE vec_id % {PLANT_EVERY} = 0
+    ),
+    withn AS (
+        SELECT vec_id, e,
+               list_sum(list_transform(e, x -> CAST(x*x AS DOUBLE))) AS n2
+        FROM base
+    ),
+    seeds AS (
+        SELECT seed_rank, vec_id AS seed_vec_id, e AS se, n2 AS sn2
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS seed_rank
+              FROM withn WHERE vec_id < {PLANT_OFFSET})
+        WHERE seed_rank <= {SEM_K}
+    ),
+    scored AS (
+        SELECT v.vec_id, v.e, v.n2, s.seed_rank, s.seed_vec_id,
+               CASE WHEN sqrt(v.n2) * sqrt(s.sn2) = 0 THEN 0.0
+                    ELSE list_sum(list_transform(list_zip(v.e, s.se),
+                                                 p -> CAST(p[1]*p[2] AS DOUBLE)))
+                         / (sqrt(v.n2) * sqrt(s.sn2)) END AS cent_cos
+        FROM withn v, seeds s
+    ),
+    assigned AS (
+        SELECT vec_id, e, n2, seed_rank, seed_vec_id, cent_cos FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY cent_cos DESC, seed_rank) AS rnk
+            FROM scored) WHERE rnk = 1
+    ),
+    pairs AS (
+        SELECT CASE WHEN a.cent_cos < b.cent_cos
+                      OR (a.cent_cos = b.cent_cos AND a.vec_id < b.vec_id)
+                    THEN b.vec_id ELSE a.vec_id END AS vec_id
+        FROM assigned a JOIN assigned b
+          ON a.seed_rank = b.seed_rank AND a.vec_id < b.vec_id
+        WHERE CASE WHEN sqrt(a.n2) * sqrt(b.n2) = 0 THEN 0.0
+                   ELSE list_sum(list_transform(list_zip(a.e, b.e),
+                                                p -> CAST(p[1]*p[2] AS DOUBLE)))
+                        / (sqrt(a.n2) * sqrt(b.n2)) END >= {SEM_COS_TH}
+    ),
+    dropped AS (SELECT DISTINCT vec_id FROM pairs)
+    SELECT a.seed_rank AS cluster,
+           a.seed_vec_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(count(*) - count(d.vec_id) AS BIGINT) AS n_kept,
+           CAST(count(d.vec_id) AS BIGINT) AS n_dropped
+    FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+    GROUP BY a.seed_rank, a.seed_vec_id
+    """,
+    doc="SemDeDup semantic deduplication (Abbas et al. 2023, arXiv:"
+    "2303.09540): cluster embeddings into coarse cells, call same-cell "
+    f"pairs with cos >= {SEM_COS_TH} semantic duplicates, and keep the "
+    "group member LEAST similar to its centroid. Driver-checked as a "
+    "FULL hard oracle — unlike KMeans-backed IVF, the quantizer here "
+    "is engine-deterministic: the cells are the corpus's "
+    f"{SEM_K} md5-order seed vectors (model-scale, like a PQ codebook) "
+    "and every cosine is formed from exact-integer dot products with "
+    "one op order (sqrt, multiply, divide), so assignment argmax, the "
+    "duplicate threshold, and the keep rule cannot diverge between "
+    "Spark and DuckDB. Planted +-1-perturbed duplicates (the "
+    "dedup_embedding_planted corpus) make the drop path non-vacuous. "
+    "Spark shape: broadcast the seed table, per-vector argmax as a "
+    "partial-aggregable max(struct) hash agg (no window, no sort), "
+    "then one shuffle on the cell id and a per-cell BLAS gram "
+    "(Arrow-batched applyInPandas) that emits only the drop ids — "
+    "within-cell work is O(cell_size^2) with cell count scaled to "
+    "bound cell size (at 100 TB: spark.ml KMeans/IVF centroids as the "
+    "quantizer, same downstream plan; this 8-seed skeleton is the "
+    "oracle-checkable contract for that path).",
+)
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assigned, dropped = semdedup_parts(spark, sf_dir)
+    return (
+        assigned.join(dropped.withColumn("is_drop", F.lit(1)), "vec_id", "left")
+        .groupBy("cluster", "seed_vec_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(F.coalesce(F.col("is_drop"), F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+        .select(
+            "cluster",
+            "seed_vec_id",
+            "n_members",
+            (F.col("n_members") - F.col("n_dropped")).alias("n_kept"),
+            "n_dropped",
+        )
+    )
+
+
+def semdedup_parts(spark: SparkSession, sf_dir: str):
+    """The SemDeDup pipeline before the summary rollup: returns
+    ``(assigned, dropped)`` — per-vector cell assignment with centroid
+    cosine, and the distinct drop ids. Split out so tests can check the
+    keep RULE (which member of a duplicate pair survives), which the
+    registered summary's counts cannot distinguish."""
+    b0 = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _int_emb(F.col("embedding")).alias("e")
+    )
+    planted = b0.filter(F.col("vec_id") % PLANT_EVERY == 0).select(
+        (F.col("vec_id") + PLANT_OFFSET).alias("vec_id"),
+        F.transform(
+            "e", lambda x, i: x + ((F.col("vec_id") + i + 1) % 3 - 1)
+        ).alias("e"),
+    )
+    base = b0.unionByName(planted).withColumn(
+        "n2", _dot(F.col("e"), F.col("e"))
+    )
+
+    # seed selection is a TakeOrdered top-k + an 8-row driver collect —
+    # model-scale state, same footing as IVF/PQ codebooks
+    seed_rows = (
+        b0.select(
+            "vec_id", "e", F.md5(F.col("vec_id").cast("string")).alias("h")
+        )
+        .orderBy("h", "vec_id")
+        .limit(SEM_K)
+        .collect()
+    )
+    seeds = spark.createDataFrame(
+        [
+            (i + 1, r.vec_id, r.e, float(sum(x * x for x in r.e)))
+            for i, r in enumerate(seed_rows)
+        ],
+        "seed_rank long, seed_vec_id long, se array<long>, sn2 double",
+    )
+
+    denom = F.sqrt(F.col("n2")) * F.sqrt(F.col("sn2"))
+    cent_cos = F.when(denom == 0, F.lit(0.0)).otherwise(
+        _dot(F.col("e"), F.col("se")) / denom
+    )
+    assigned = (
+        base.crossJoin(F.broadcast(seeds))
+        .withColumn("cent_cos", cent_cos)
+        .groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("cent_cos"),
+                    (-F.col("seed_rank")).alias("neg_rank"),
+                    F.col("seed_rank"),
+                    F.col("seed_vec_id"),
+                )
+            ).alias("m"),
+            F.first("e").alias("e"),
+        )
+        .select(
+            "vec_id",
+            "e",
+            F.col("m.seed_rank").alias("cluster"),
+            F.col("m.seed_vec_id").alias("seed_vec_id"),
+            F.col("m.cent_cos").alias("cent_cos"),
+        )
+    )
+
+    def drop_ids(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"vec_id": []}).astype({"vec_id": "int64"})
+        cent = pdf["cent_cos"].to_numpy()
+        # float64 gram is exact here (integer products/sums < 2^53) and
+        # bit-identical to the oracle's list arithmetic — see
+        # embedding_near_pairs for the argument
+        u = np.stack(pdf["e"].to_numpy()).astype("float64")
+        g = u @ u.T
+        nrm = np.sqrt(np.diagonal(g))
+        den = np.outer(nrm, nrm)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.where(den == 0, 0.0, g / den)
+        ia, ib = np.triu_indices(len(ids), k=1)  # sorted ids -> a < b
+        keep = cos[ia, ib] >= SEM_COS_TH
+        ia, ib = ia[keep], ib[keep]
+        # keep the member least similar to the centroid (paper's rule);
+        # tie -> keep the smaller vec_id (a < b by construction)
+        drop = np.where(cent[ia] <= cent[ib], ids[ib], ids[ia])
+        return pd.DataFrame({"vec_id": drop}).astype({"vec_id": "int64"})
+
+    dropped = (
+        assigned.select("cluster", "vec_id", "e", "cent_cos")
+        .groupBy("cluster")
+        .applyInPandas(drop_ids, "vec_id long")
+        .distinct()
+    )
+    return assigned, dropped
+
+
 # --- per-label centroids (embedding-space diagnostics) ------------------------
 
 

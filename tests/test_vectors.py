@@ -150,3 +150,73 @@ def test_planted_dedup_lsh_candidate_volume_prunes(spark):
         .collect()
     }
     assert want <= found
+
+
+def test_semdedup_matches_numpy_ground_truth(spark):
+    """Full independent replication of SemDeDup at sf0.001: seeds by
+    md5 order, argmax cell assignment, within-cell pairs >= threshold,
+    keep-the-least-centroid-similar — all recomputed in plain
+    numpy/hashlib, then compared to the Spark pipeline's drop set
+    EXACTLY (the registered summary's counts cannot distinguish which
+    pair member was dropped; this pins the keep rule itself)."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    from mgl870_tp02_project_01_hadoopmapreducelogs_spark.queries.vectorops import (
+        PLANT_EVERY,
+        PLANT_OFFSET,
+        SEM_COS_TH,
+        SEM_K,
+        semdedup_parts,
+    )
+
+    assigned, dropped = semdedup_parts(spark, SF_DIR)
+    got_drops = {r.vec_id for r in dropped.collect()}
+    got_cells = {r.vec_id: r.cluster for r in assigned.collect()}
+
+    # --- ground truth, no Spark expressions reused ---
+    raw = {
+        r.vec_id: [math.floor(float(x) * 1000) for x in r.embedding]
+        for r in spark.read.parquet(SF_DIR + "/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    vecs = dict(raw)
+    for vid in sorted(raw):
+        if vid % PLANT_EVERY == 0:
+            # both engines resolve `vec_id` inside the transform lambda
+            # to the sibling alias (vid + PLANT_OFFSET), not the input
+            # column — lateral column alias resolution
+            pid = vid + PLANT_OFFSET
+            vecs[pid] = [
+                x + ((pid + i + 1) % 3 - 1) for i, x in enumerate(raw[vid])
+            ]
+    seeds = sorted(
+        raw, key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v)
+    )[:SEM_K]
+
+    def cos(a, b):
+        num = float(np.dot(np.array(a, "float64"), np.array(b, "float64")))
+        den = math.sqrt(float(np.dot(np.array(a, "float64"), np.array(a, "float64")))) * math.sqrt(
+            float(np.dot(np.array(b, "float64"), np.array(b, "float64")))
+        )
+        return 0.0 if den == 0 else num / den
+
+    cell, cent = {}, {}
+    for vid, e in vecs.items():
+        best = max(
+            ((cos(e, vecs[s]), -(r + 1)) for r, s in enumerate(seeds)),
+        )
+        cell[vid], cent[vid] = -best[1], best[0]
+    assert cell == got_cells
+
+    want_drops = set()
+    ids = sorted(vecs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if cell[a] == cell[b] and cos(vecs[a], vecs[b]) >= SEM_COS_TH:
+                want_drops.add(b if cent[a] <= cent[b] else a)
+    assert got_drops == want_drops
+    assert want_drops, "planted duplicates must exercise the drop path"
