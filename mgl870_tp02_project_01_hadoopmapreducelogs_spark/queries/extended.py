@@ -690,6 +690,53 @@ def skew_hot_key_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_jsonl_roundtrip",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(text)) AS BIGINT) AS total_chars,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(0 AS BIGINT) AS n_divergent_rows
+    FROM documents
+    """,
+    doc="Gzipped-JSONL corpus interchange (the standard LLM-corpus "
+    "wire format): write the documents table as .json.gz, read it "
+    "back with an EXPLICIT schema — at 100 TB schema inference is a "
+    "full extra pass over the data, so production readers always pin "
+    "the schema — and prove the roundtrip lossless. HARD oracle: the "
+    "read-back corpus's row count, total characters, and language/"
+    "source cardinalities are value-checked against DuckDB's "
+    "independent read of the parquet original, and the row-level "
+    "divergence (exceptAll both ways across ALL columns) is asserted "
+    "zero. JSON escaping, gzip framing, and long/string fidelity are "
+    "all on the hook; a single mangled document breaks the hash. "
+    "Gzip is splittable per FILE, not per block — the writer "
+    "partitions output so each .gz stays a parallelism unit.",
+)
+def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    docs = load(spark, sf_dir, "documents").select(*cols)
+    base = tempfile.mkdtemp(prefix="sg_jsonl_")
+    docs.write.mode("overwrite").option("compression", "gzip").json(
+        f"{base}/corpus"
+    )
+    back = spark.read.schema(docs.schema).json(f"{base}/corpus").select(*cols)
+    divergent = (
+        back.exceptAll(docs)
+        .unionByName(docs.exceptAll(back))
+        .agg(F.count(F.lit(1)).alias("n_divergent_rows"))
+    )
+    return back.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+    ).crossJoin(divergent)
+
+
+@register(
     "s4_s5_sink_roundtrip",
     f"""
     SELECT CAST(count(*) AS BIGINT) AS n_rows,
