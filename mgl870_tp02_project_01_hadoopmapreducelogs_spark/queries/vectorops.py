@@ -493,7 +493,8 @@ SEM_COS_TH = 0.9
     "Spark and DuckDB. Planted +-1-perturbed duplicates (the "
     "dedup_embedding_planted corpus) make the drop path non-vacuous. "
     "Spark shape: broadcast the seed table, per-vector argmax as a "
-    "partial-aggregable max(struct) hash agg (no window, no sort), "
+    "partial-aggregated max(struct) agg (no window — map-side "
+    "partials collapse the 8x fan-out before the one shuffle), "
     "then one shuffle on the cell id and a per-cell BLAS gram "
     "(Arrow-batched applyInPandas) that emits only the drop ids — "
     "within-cell work is O(cell_size^2) with cell count scaled to "

@@ -169,3 +169,19 @@ def test_lifecycle_ops_plan_shapes(spark):
     rep = plan_report(leak)
     assert rep["has_partial_agg"]
     assert not rep["has_python_udf"]
+
+
+def test_semdedup_assignment_is_aggregated_not_windowed(spark):
+    """SemDeDup cell assignment must plan as a broadcast seed join +
+    partial-aggregated max(struct) argmax — no Window operator (a
+    per-vector window would sort-shuffle the full corpus), map-side
+    partials present."""
+    from mgl870_tp02_project_01_hadoopmapreducelogs_spark.queries.vectorops import (
+        semdedup_parts,
+    )
+
+    assigned, _ = semdedup_parts(spark, SF_DIR)
+    plan = executed_plan_str(assigned)
+    assert "Window" not in plan, "argmax must not plan as a window"
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "partial_max" in plan, "argmax must partial-aggregate map-side"
