@@ -93,6 +93,7 @@ CHUNKS = [
         "sim_pq_topk",
         "dedup_embedding_cosine",
         "dedup_embedding_planted",
+        "dedup_semdedup",
     ],
     # text-tail family (shared token tables). Split out of the vector
     # chunk in round 5: at 11 queries that chunk's shared-session noise
@@ -107,6 +108,7 @@ CHUNKS = [
         "text_tfidf_topk",
         "text_bigram_logprob",
         "text_bpe_merge_topk",
+        "text_bpe_train",
         "text_char_entropy",
     ],
     # curation pipelines + remaining aggregates. c4_style runs FIRST:
@@ -123,6 +125,7 @@ CHUNKS = [
         "split_leakage_audit",
         "corpus_shuffle_deterministic",
         "dq_corpus_drift",
+        "source_jsonl_roundtrip",
     ],
 ]
 

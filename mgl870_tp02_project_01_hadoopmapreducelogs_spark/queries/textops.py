@@ -2168,6 +2168,158 @@ def text_bpe_merge_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- multi-round BPE training (round 5) ---------------------------------------
+
+BPE_ROUNDS = 5
+
+_BPE_WC_SQL = """
+    words AS (
+        SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+        FROM documents
+    ),
+    wc AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS n_w FROM words
+        WHERE len(w) >= 2 GROUP BY w
+    ),
+    w0 AS (
+        SELECT ' ' || array_to_string(regexp_extract_all(w, '.'), '  ')
+                   || ' ' AS s,
+               n_w
+        FROM wc
+    )"""
+
+
+def _bpe_round_sql(r: int) -> str:
+    prev = f"w{r - 1}"
+    merged = (
+        f"' ' || split_part((SELECT pair FROM t{r}), ' ', 1) || '  ' "
+        f"|| split_part((SELECT pair FROM t{r}), ' ', 2) || ' '"
+    )
+    apply_w = (
+        f""",
+    w{r} AS (
+        SELECT replace(s, {merged},
+                 ' ' || replace((SELECT pair FROM t{r}), ' ', '') || ' ') AS s,
+               n_w
+        FROM {prev}
+    )"""
+        if r < BPE_ROUNDS
+        else ""
+    )
+    return f""",
+    p{r} AS (
+        SELECT el[i] || ' ' || el[i+1] AS pair, n_w
+        FROM (SELECT string_split(trim(s), '  ') AS el, n_w FROM {prev}),
+             unnest(generate_series(1, len(el) - 1)) AS t(i)
+    ),
+    t{r} AS (
+        SELECT pair, CAST(SUM(n_w) AS BIGINT) AS n
+        FROM p{r} GROUP BY pair ORDER BY n DESC, pair LIMIT 1
+    ){apply_w}"""
+
+
+_BPE_TRAIN_SQL = (
+    "WITH "
+    + _BPE_WC_SQL
+    + "".join(_bpe_round_sql(r) for r in range(1, BPE_ROUNDS + 1))
+    + "\n    "
+    + "\n    UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS rank, pair, n FROM t{r}"
+        for r in range(1, BPE_ROUNDS + 1)
+    )
+)
+
+
+@register(
+    "text_bpe_train",
+    _BPE_TRAIN_SQL,
+    doc=f"BPE tokenizer training, {BPE_ROUNDS} greedy merge rounds "
+    "(Sennrich et al. 2016) — the genuinely ITERATIVE trainer on top "
+    "of text_bpe_merge_topk's single inner loop, still a FULL hard "
+    "oracle: the DuckDB side unrolls the rounds as chained CTEs with "
+    "scalar-subquery merge rules. Merge application is a literal "
+    "string replace over a two-space-delimited symbol encoding: each "
+    "inter-symbol gap carries two spaces and the pattern "
+    "' a  b '->' ab ' consumes one boundary space per side and "
+    "restores it, so left-to-right non-overlapping replacement IS "
+    "greedy BPE merging (verified identical in Spark and DuckDB, "
+    "including the ' a  a  a ' overlap case). Spark shape per round: "
+    "pair explode over the CACHED vocabulary-bounded word table -> "
+    "partial-agg'd count -> TakeOrdered(1) -> 1-row driver collect "
+    "(model-scale, like IVF centroids) -> narrow replace projection. "
+    "The sequential outer loop is inherent to BPE (merge r depends on "
+    "r-1); at 100 TB the word table is vocab-bounded (never corpus-"
+    "sized) and production trainers amortize rounds by applying "
+    "batches of non-conflicting merges per pass — the per-round plan "
+    "here is exactly that batched pass's shape.",
+)
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w")
+    )
+    wc = (
+        words.filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    cur = wc.select(
+        F.concat(
+            F.lit(" "),
+            F.array_join(
+                F.filter(F.split("w", ""), lambda c: c != F.lit("")), "  "
+            ),
+            F.lit(" "),
+        ).alias("s"),
+        "n_w",
+    ).cache()
+
+    merges = []
+    for r in range(1, BPE_ROUNDS + 1):
+        el = F.split(F.trim(F.col("s")), "  ")
+        pairs = (
+            cur.select(el.alias("el"), "n_w")
+            .filter(F.size("el") >= 2)
+            .select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("el") - 1),
+                        lambda p: F.concat(
+                            F.element_at("el", p),
+                            F.lit(" "),
+                            F.element_at("el", p + 1),
+                        ),
+                    )
+                ).alias("pair"),
+                "n_w",
+            )
+        )
+        tops = (
+            pairs.groupBy("pair")
+            .agg(F.sum("n_w").alias("n"))
+            .orderBy(F.col("n").desc(), "pair")
+            .limit(1)
+            .collect()
+        )
+        if not tops:
+            # vocabulary fully merged — the oracle's exhausted rounds
+            # also emit nothing (empty t_r makes the merge rule NULL,
+            # which nulls the symbol stream and empties every later
+            # round), so both engines stop at the same rank
+            break
+        top = tops[0]
+        merges.append((r, top["pair"], int(top["n"])))
+        if r < BPE_ROUNDS:
+            a, b = top["pair"].split(" ")
+            cur = cur.select(
+                F.replace(
+                    F.col("s"), F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")
+                ).alias("s"),
+                "n_w",
+            )
+    return spark.createDataFrame(merges, "rank long, pair string, n long")
+
+
 # --- per-document character entropy (round 5) ---------------------------------
 
 

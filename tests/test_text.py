@@ -182,3 +182,35 @@ def test_bpe_merge_topk_counts_weighted_pairs(spark, tmp_path):
     got = {r.pair: r.n for r in rows}
     assert rows[0].pair == "a b" and rows[0].n == 6
     assert got["b a"] == 3 and got["x y"] == 1
+
+
+def test_bpe_train_applies_merges_greedily(spark, tmp_path):
+    """Round 2 must operate on the MERGED symbol stream: with 'aaab'
+    dominant, round 1 merges (a,a) greedily left-to-right -> [aa,a,b],
+    so round 2's candidates are (aa,a) and (a,b) — NOT a second (a,a)
+    (which would prove the merge was never applied). Rarer 'cd' breaks
+    ties away from degenerate corpora."""
+    from mgl870_tp02_project_01_hadoopmapreducelogs_spark.queries import textops
+
+    df = spark.createDataFrame(
+        [(0, "aaab aaab aaab aaab", "en", "s", 19),
+         (1, "cd cd", "en", "s", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    rows = textops.text_bpe_train(spark, str(tmp_path)).collect()
+    # the tiny vocabulary exhausts after 4 merges: both engines stop
+    assert [r.rank for r in rows] == [1, 2, 3, 4]
+    # round 1: 'aaab' has pairs (a,a)x2, (a,b) -> 'a a' weight 8 wins
+    assert rows[0].pair == "a a" and rows[0].n == 8
+    # round 2: stream is [aa,a,b] -> candidates 'aa a' (4), 'a b' (4),
+    # 'c d' (2); tie broken lexicographically -> 'a b'
+    assert rows[1].pair == "a b" and rows[1].n == 4
+    # rounds 3-4 drain what's left: [aa,ab] -> 'aa ab', then 'c d'
+    assert rows[2].pair == "aa ab" and rows[2].n == 4
+    assert rows[3].pair == "c d" and rows[3].n == 2
+    # greedy application means 'a a' can never reappear
+    assert all(r.pair != "a a" for r in rows[1:])
+    # merge-candidate counts are monotone non-increasing across rounds
+    ns = [r.n for r in rows]
+    assert ns == sorted(ns, reverse=True)
