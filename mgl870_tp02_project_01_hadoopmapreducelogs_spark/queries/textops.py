@@ -2254,6 +2254,16 @@ _BPE_TRAIN_SQL = (
     "here is exactly that batched pass's shape.",
 )
 def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges = learn_bpe_merges(spark, sf_dir)
+    return spark.createDataFrame(merges, "rank long, pair string, n long")
+
+
+def learn_bpe_merges(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[int, str, int]]:
+    """The BPE trainer loop shared by ``text_bpe_train`` (returns the
+    merge list) and ``text_bpe_apply`` (tokenizes the corpus with it).
+    Driver state is the merge list itself — ``BPE_ROUNDS`` rows."""
     docs = load(spark, sf_dir, "documents")
     words = docs.select(
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w")
@@ -2317,7 +2327,113 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("s"),
                 "n_w",
             )
-    return spark.createDataFrame(merges, "rank long, pair string, n long")
+    return merges
+
+
+# --- BPE application: tokenizer fertility audit --------------------------------
+
+
+def _bpe_apply_round_sql(r: int) -> str:
+    prev = "enc" if r == 1 else f"a{r - 1}"
+    pat = (
+        f"' ' || split_part((SELECT pair FROM t{r}), ' ', 1) || '  ' "
+        f"|| split_part((SELECT pair FROM t{r}), ' ', 2) || ' '"
+    )
+    return f""",
+    a{r} AS (
+        SELECT doc_id,
+               CASE WHEN (SELECT pair FROM t{r}) IS NULL THEN s
+                    ELSE replace(s, {pat},
+                           ' ' || replace((SELECT pair FROM t{r}), ' ', '')
+                               || ' ')
+               END AS s
+        FROM {prev}
+    )"""
+
+
+_BPE_APPLY_SQL = (
+    "WITH "
+    + _BPE_WC_SQL
+    + "".join(_bpe_round_sql(r) for r in range(1, BPE_ROUNDS + 1))
+    + """,
+    aw AS (
+        SELECT doc_id, w FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+            FROM documents)
+        WHERE w != ''
+    ),
+    enc AS (
+        SELECT doc_id,
+               ' ' || array_to_string(regexp_extract_all(w, '.'), '  ')
+                   || ' ' AS s
+        FROM aw
+    )"""
+    + "".join(_bpe_apply_round_sql(r) for r in range(1, BPE_ROUNDS + 1))
+    + f"""
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(SUM(len(string_split(trim(s), '  '))) AS BIGINT)
+             AS n_bpe_tokens,
+           ROUND(CAST(SUM(len(string_split(trim(s), '  '))) AS DOUBLE)
+                 / count(*), 4) AS fertility
+    FROM a{BPE_ROUNDS} GROUP BY doc_id"""
+)
+
+
+@register(
+    "text_bpe_apply",
+    _BPE_APPLY_SQL,
+    doc="Tokenizer application + fertility audit: learn the "
+    f"{BPE_ROUNDS}-round BPE merge list (text_bpe_train), then "
+    "tokenize EVERY document with it and report per-doc word count, "
+    "BPE token count, and fertility (tokens/word) — the statistic "
+    "that decides whether a tokenizer suits a corpus and sizes the "
+    "training-token budget. Still a FULL hard oracle: the DuckDB side "
+    "re-learns the merges in CTEs and applies the same guarded "
+    "replace chain. Spark shape: after the vocab-bounded trainer, "
+    "application is ONE map-only projection over the exploded word "
+    "table (the merge rules are literal-string constants folded into "
+    "the plan — no join, no broadcast table needed at 5 merges; a "
+    "30k-merge production list would instead join words against a "
+    "broadcast vocab->tokenization dictionary built once on the "
+    "DISTINCT words, which this word-level shape makes a drop-in "
+    "swap) followed by a per-doc partial-agg'd count rollup.",
+)
+def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges = learn_bpe_merges(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    s = F.concat(
+        F.lit(" "),
+        F.array_join(
+            F.filter(F.split("w", ""), lambda c: c != F.lit("")), "  "
+        ),
+        F.lit(" "),
+    )
+    for _, pair, _n in merges:
+        a, b = pair.split(" ")
+        s = F.replace(s, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
+    n_toks = F.size(F.split(F.trim(s), "  "))
+    return (
+        words.select("doc_id", n_toks.alias("n_toks"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_toks").cast("long").alias("n_bpe_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_bpe_tokens",
+            F.round(
+                F.col("n_bpe_tokens").cast("double") / F.col("n_words"), 4
+            ).alias("fertility"),
+        )
+    )
 
 
 # --- per-document character entropy (round 5) ---------------------------------
