@@ -44,5 +44,8 @@ def plan_report(df: DataFrame) -> dict[str, bool | int]:
         "has_partial_agg": "partial_" in simple or "HashAggregate" in simple,
         "has_take_ordered": "TakeOrderedAndProject" in simple,
         "n_exchanges": simple.count("Exchange"),
-        "has_python_udf": "BatchEvalPython" in simple or "ArrowEvalPython" in simple,
+        "has_python_udf": "BatchEvalPython" in simple
+        or "ArrowEvalPython" in simple
+        or "MapInPandas" in simple
+        or "FlatMapGroupsInPandas" in simple,
     }

@@ -492,11 +492,13 @@ SEM_COS_TH = 0.9
     "duplicate threshold, and the keep rule cannot diverge between "
     "Spark and DuckDB. Planted +-1-perturbed duplicates (the "
     "dedup_embedding_planted corpus) make the drop path non-vacuous. "
-    "Spark shape: broadcast the seed table, per-vector argmax as a "
-    "partial-aggregated max(struct) agg (no window — map-side "
-    "partials collapse the 8x fan-out before the one shuffle), "
-    "then one shuffle on the cell id and a per-cell BLAS gram "
-    "(Arrow-batched applyInPandas) that emits only the drop ids — "
+    "Spark shape: cell assignment is ONE map-only Arrow-batched BLAS "
+    "pass (N×64 @ 64×K per batch with the seed matrix as a closure — "
+    "faiss's IVF-assignment shape; zero exchanges, plan-asserted; the "
+    "interpreted zip_with/aggregate formulation it replaces was 34x "
+    "slower at 100x/K=256), then one shuffle on the cell id and a "
+    "per-cell BLAS gram (Arrow-batched applyInPandas) that emits only "
+    "the drop ids — "
     "within-cell work is O(cell_size^2) with cell count scaled to "
     "bound cell size (at 100 TB: spark.ml KMeans/IVF centroids as the "
     "quantizer, same downstream plan; this 8-seed skeleton is the "
@@ -523,12 +525,19 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def semdedup_parts(spark: SparkSession, sf_dir: str):
+def semdedup_parts(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = SEM_K,
+    threshold: float = SEM_COS_TH,
+):
     """The SemDeDup pipeline before the summary rollup: returns
     ``(assigned, dropped)`` — per-vector cell assignment with centroid
     cosine, and the distinct drop ids. Split out so tests can check the
     keep RULE (which member of a duplicate pair survives), which the
-    registered summary's counts cannot distinguish."""
+    registered summary's counts cannot distinguish, and so scale runs
+    can apply the K ~ N/target_cell_size rule (``k`` is the cell count;
+    the registered query pins k=SEM_K for the oracle)."""
     b0 = load(spark, sf_dir, "embeddings").select(
         "vec_id", _int_emb(F.col("embedding")).alias("e")
     )
@@ -549,43 +558,52 @@ def semdedup_parts(spark: SparkSession, sf_dir: str):
             "vec_id", "e", F.md5(F.col("vec_id").cast("string")).alias("h")
         )
         .orderBy("h", "vec_id")
-        .limit(SEM_K)
+        .limit(k)
         .collect()
     )
-    seeds = spark.createDataFrame(
-        [
-            (i + 1, r.vec_id, r.e, float(sum(x * x for x in r.e)))
-            for i, r in enumerate(seed_rows)
-        ],
-        "seed_rank long, seed_vec_id long, se array<long>, sn2 double",
-    )
+    import numpy as np
 
-    denom = F.sqrt(F.col("n2")) * F.sqrt(F.col("sn2"))
-    cent_cos = F.when(denom == 0, F.lit(0.0)).otherwise(
-        _dot(F.col("e"), F.col("se")) / denom
-    )
-    assigned = (
-        base.crossJoin(F.broadcast(seeds))
-        .withColumn("cent_cos", cent_cos)
-        .groupBy("vec_id")
-        .agg(
-            F.max(
-                F.struct(
-                    F.col("cent_cos"),
-                    (-F.col("seed_rank")).alias("neg_rank"),
-                    F.col("seed_rank"),
-                    F.col("seed_vec_id"),
-                )
-            ).alias("m"),
-            F.first("e").alias("e"),
-        )
-        .select(
-            "vec_id",
-            "e",
-            F.col("m.seed_rank").alias("cluster"),
-            F.col("m.seed_vec_id").alias("seed_vec_id"),
-            F.col("m.cent_cos").alias("cent_cos"),
-        )
+    seed_mat = np.stack([np.array(r.e, dtype="float64") for r in seed_rows])
+    seed_ids = np.array([r.vec_id for r in seed_rows], dtype="int64")
+    seed_nrm = np.sqrt((seed_mat * seed_mat).sum(axis=1))
+
+    def assign(batches):
+        # Arrow-batched BLAS assignment (faiss's IVF-assignment shape):
+        # one N×64 @ 64×K matmul per batch, map-only, no shuffle. Exact
+        # and bit-identical to the oracle's per-pair list arithmetic:
+        # every dot product and norm is an integer < 2^53 (any
+        # accumulation order gives the same double), and the cosine is
+        # formed with the one shared op order (sqrt, multiply, divide).
+        # np.argmax returns the FIRST max, i.e. the smallest seed_rank
+        # on ties — the same tie-break as the oracle's row_number. The
+        # interpreted zip_with/aggregate expression this replaces cost
+        # ~100x more per pair at k=256 (the char-entropy lesson:
+        # higher-order functions don't codegen).
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            u = np.stack(pdf["e"].to_numpy()).astype("float64")
+            dots = u @ seed_mat.T
+            den = np.sqrt(pdf["n2"].to_numpy())[:, None] * seed_nrm[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(den == 0, 0.0, dots / den)
+            best = cos.argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "e": pdf["e"],
+                    "cluster": best + 1,
+                    "seed_vec_id": seed_ids[best],
+                    "cent_cos": cos[np.arange(len(best)), best],
+                }
+            )
+
+    assigned = base.mapInPandas(
+        assign,
+        "vec_id long, e array<long>, cluster long, seed_vec_id long, "
+        "cent_cos double",
     )
 
     def drop_ids(pdf):
@@ -607,7 +625,7 @@ def semdedup_parts(spark: SparkSession, sf_dir: str):
         with np.errstate(divide="ignore", invalid="ignore"):
             cos = np.where(den == 0, 0.0, g / den)
         ia, ib = np.triu_indices(len(ids), k=1)  # sorted ids -> a < b
-        keep = cos[ia, ib] >= SEM_COS_TH
+        keep = cos[ia, ib] >= threshold
         ia, ib = ia[keep], ib[keep]
         # keep the member least similar to the centroid (paper's rule);
         # tie -> keep the smaller vec_id (a < b by construction)

@@ -171,11 +171,12 @@ def test_lifecycle_ops_plan_shapes(spark):
     assert not rep["has_python_udf"]
 
 
-def test_semdedup_assignment_is_aggregated_not_windowed(spark):
-    """SemDeDup cell assignment must plan as a broadcast seed join +
-    partial-aggregated max(struct) argmax — no Window operator (a
-    per-vector window would sort-shuffle the full corpus), map-side
-    partials present."""
+def test_semdedup_assignment_is_map_only(spark):
+    """SemDeDup cell assignment must plan as a single Arrow-batched
+    BLAS scoring pass — MAP-ONLY: no Window (a per-vector window would
+    sort-shuffle the corpus), no Exchange at all (the seed matrix is a
+    closure, the argmax happens inside the batch), faiss's
+    IVF-assignment shape."""
     from mgl870_tp02_project_01_hadoopmapreducelogs_spark.queries.vectorops import (
         semdedup_parts,
     )
@@ -183,5 +184,5 @@ def test_semdedup_assignment_is_aggregated_not_windowed(spark):
     assigned, _ = semdedup_parts(spark, SF_DIR)
     plan = executed_plan_str(assigned)
     assert "Window" not in plan, "argmax must not plan as a window"
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
-    assert "partial_max" in plan, "argmax must partial-aggregate map-side"
+    assert "Exchange" not in plan, "assignment must be map-only"
+    assert "MapInPandas" in plan
