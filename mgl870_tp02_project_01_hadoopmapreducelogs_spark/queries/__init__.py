@@ -177,8 +177,8 @@ _PRIORITY = [
     # --- driver window ends at 50 entries; rotation queue for round 6:
     # the round-5 additions with no driver verdict yet
     # (text_bpe_merge_topk, text_bpe_train, text_bpe_apply,
-    # text_char_entropy, dedup_semdedup, source_jsonl_roundtrip — all
-    # local-oracle green), the 4 r2-stale entries deferred above
+    # text_char_entropy, dedup_semdedup, source_jsonl_roundtrip,
+    # sim_mmr_topk — all local-oracle green), the 4 r2-stale entries deferred above
     # (tpch_q5_region_volume, tpch_q14_promo_share, topk_per_group,
     # time_tumbling_hourly), then whatever COVERAGE.md marks
     # stale-green after the r5 artifact lands (the r3 greens become 2

@@ -641,6 +641,159 @@ def semdedup_parts(
     return assigned, dropped
 
 
+# --- MMR diversified top-k -----------------------------------------------------
+
+#: Maximal Marginal Relevance (Carbonell & Goldstein 1998): greedily
+#: pick k items maximizing λ·relevance − (1−λ)·max-similarity-to-
+#: already-selected — THE standard diversity-aware selection for
+#: retrieval reranking and diverse few-shot/data sampling.
+MMR_K = 10
+MMR_LAMBDA = 0.7
+
+_MMR_COS = (
+    "list_sum(list_transform(list_zip({a}, {b}), p -> CAST(p[1]*p[2] AS DOUBLE)))"
+    " / (sqrt({na}) * sqrt({nb}))"
+)
+
+
+def _mmr_step_sql(i: int) -> str:
+    sel = " UNION ALL ".join(f"SELECT * FROM s{j}" for j in range(1, i))
+    if i == 1:
+        div = "0.0"
+        excl = ""
+    else:
+        cos = _MMR_COS.format(a="r.e", b="s.e", na="r.n2", nb="s.n2")
+        div = (
+            f"(SELECT MAX(CASE WHEN sqrt(r.n2) * sqrt(s.n2) = 0 THEN 0.0 "
+            f"ELSE {cos} END) FROM ({sel}) s)"
+        )
+        excl = f"WHERE r.vec_id NOT IN (SELECT vec_id FROM ({sel}))"
+    return f""",
+    s{i} AS MATERIALIZED (
+        SELECT r.vec_id, r.e, r.n2, r.rel,
+               {MMR_LAMBDA} * r.rel - {1 - MMR_LAMBDA:.1f} * {div} AS score
+        FROM rel r {excl}
+        ORDER BY score DESC, r.vec_id
+        LIMIT 1
+    )"""
+
+
+_MMR_SQL = (
+    f"""
+    WITH b0 AS (SELECT vec_id, {INT_EMB_SQL} AS e FROM embeddings),
+    base AS (
+        SELECT vec_id, e,
+               list_sum(list_transform(e, x -> CAST(x*x AS DOUBLE))) AS n2
+        FROM b0
+    ),
+    q AS (SELECT e AS qe, n2 AS qn2 FROM base WHERE vec_id = 0),
+    rel AS MATERIALIZED (
+        SELECT vec_id, e, n2,
+               CASE WHEN sqrt(n2) * sqrt(qn2) = 0 THEN 0.0
+                    ELSE """
+    + _MMR_COS.format(a="e", b="qe", na="n2", nb="qn2")
+    + """ END AS rel
+        FROM base, q WHERE vec_id != 0
+    )"""
+    + "".join(_mmr_step_sql(i) for i in range(1, MMR_K + 1))
+    + "\n    "
+    + "\n    UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS rank, vec_id, "
+        f"ROUND(rel, 4) AS rel, ROUND(score, 4) AS score FROM s{i}"
+        for i in range(1, MMR_K + 1)
+    )
+)
+
+
+@register(
+    "sim_mmr_topk",
+    _MMR_SQL,
+    doc=f"MMR diversified top-{MMR_K} (Carbonell & Goldstein 1998, "
+    f"lambda={MMR_LAMBDA}): greedy reranking that trades relevance to "
+    "the query vector against redundancy with what is already "
+    "selected — the standard diversity-aware selection for retrieval "
+    "and diverse data sampling. FULL hard oracle despite being "
+    "iterative and greedy: the DuckDB side unrolls the k steps as "
+    "chained CTEs whose diversity term is a correlated MAX over the "
+    "accumulated selection, and exact-integer cosines + one shared op "
+    "order (sqrt, multiply, divide; lambda-blend formed identically) "
+    "make every score bit-identical, so the argmax walk cannot "
+    "diverge between engines. Spark shape per step: one map-only "
+    "scoring pass over the CACHED relevance table (the diversity term "
+    "is a greatest() over at most k-1 literal vectors folded into the "
+    "plan) + TakeOrdered(1) + a 1-row collect — k bounded driver "
+    "rows, exactly the BPE-trainer loop discipline. At 100 TB the "
+    "relevance table is the (pruned) ANN candidate shortlist, not the "
+    "corpus; each step stays one shuffle-free pass over it.",
+)
+def sim_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _int_emb(F.col("embedding")).alias("e")
+    )
+    base = emb.withColumn("n2", _dot(F.col("e"), F.col("e")))
+    q = base.filter(F.col("vec_id") == 0).select(
+        F.col("e").alias("qe"), F.col("n2").alias("qn2")
+    )
+    qden = F.sqrt(F.col("n2")) * F.sqrt(F.col("qn2"))
+    rel = (
+        base.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "e",
+            "n2",
+            F.when(qden == 0, F.lit(0.0))
+            .otherwise(_dot(F.col("e"), F.col("qe")) / qden)
+            .alias("rel"),
+        )
+        .cache()
+    )
+
+    def cos_to(sel_e: list, sel_n2: float):
+        lit_e = F.array(*[F.lit(int(x)) for x in sel_e])
+        den = F.sqrt(F.col("n2")) * F.lit(math.sqrt(sel_n2))
+        return F.when(den == 0, F.lit(0.0)).otherwise(
+            _dot(F.col("e"), lit_e) / den
+        )
+
+    selected: list = []
+    out = []
+    for i in range(1, MMR_K + 1):
+        if not selected:
+            div = F.lit(0.0)
+        elif len(selected) == 1:
+            div = cos_to(selected[0][0], selected[0][1])
+        else:
+            div = F.greatest(*[cos_to(e_, n2_) for e_, n2_ in selected])
+        score = F.lit(MMR_LAMBDA) * F.col("rel") - F.lit(
+            round(1 - MMR_LAMBDA, 1)
+        ) * div
+        cand = rel.filter(
+            ~F.col("vec_id").isin([v for v, *_ in out]) if out else F.lit(True)
+        )
+        row = (
+            cand.select("vec_id", "e", "n2", "rel", score.alias("score"))
+            .orderBy(F.col("score").desc(), "vec_id")
+            .limit(1)
+            .collect()
+        )[0]
+        out.append((row.vec_id, row.rel, row.score))
+        selected.append((row.e, float(row.n2)))
+    # round IN-ENGINE (F.round is HALF_UP like SQL ROUND; python's
+    # round() is banker's and could diverge at a .00005 boundary)
+    return spark.createDataFrame(
+        [(i + 1, v, r, s_) for i, (v, r, s_) in enumerate(out)],
+        "rank long, vec_id long, rel double, score double",
+    ).select(
+        "rank",
+        "vec_id",
+        F.round("rel", 4).alias("rel"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 # --- per-label centroids (embedding-space diagnostics) ------------------------
 
 

@@ -220,3 +220,52 @@ def test_semdedup_matches_numpy_ground_truth(spark):
                 want_drops.add(b if cent[a] <= cent[b] else a)
     assert got_drops == want_drops
     assert want_drops, "planted duplicates must exercise the drop path"
+
+
+def test_mmr_matches_numpy_ground_truth(spark):
+    """Independent greedy-MMR replication in plain numpy at sf0.001:
+    same seeds, same lambda-blend, same tie-breaks — the selection walk
+    (ids AND order) must match the Spark pipeline exactly."""
+    import math
+
+    import numpy as np
+
+    from mgl870_tp02_project_01_hadoopmapreducelogs_spark.queries.vectorops import (
+        MMR_K,
+        MMR_LAMBDA,
+        sim_mmr_topk,
+    )
+
+    got = [(r.rank, r.vec_id) for r in sim_mmr_topk(spark, SF_DIR).collect()]
+
+    vecs = {
+        r.vec_id: np.array(
+            [math.floor(float(x) * 1000) for x in r.embedding], "float64"
+        )
+        for r in spark.read.parquet(SF_DIR + "/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+
+    def cos(a, b):
+        den = math.sqrt(float(a @ a)) * math.sqrt(float(b @ b))
+        return 0.0 if den == 0 else float(a @ b) / den
+
+    q = vecs[0]
+    rel = {v: cos(e, q) for v, e in vecs.items() if v != 0}
+    sel: list = []
+    lam2 = round(1 - MMR_LAMBDA, 1)
+    for _ in range(MMR_K):
+        best = None
+        for v in sorted(rel):
+            if v in [s for s, _ in sel]:
+                continue
+            div = max((cos(vecs[v], vecs[s]) for s, _ in sel), default=0.0)
+            score = MMR_LAMBDA * rel[v] - lam2 * div
+            if best is None or score > best[1]:
+                best = (v, score)
+        sel.append(best)
+    assert got == [(i + 1, v) for i, (v, _) in enumerate(sel)]
+    # diversity must bite: the walk must differ from plain relevance order
+    plain = sorted(rel, key=lambda v: (-rel[v], v))[:MMR_K]
+    assert [v for _, v in got] != plain
