@@ -121,3 +121,52 @@ def test_normalize_mirror_matches_spark(spark):
         r.n for r in df.select(TX.normalize_text(F.col("t")).alias("n")).collect()
     ]
     assert got == [_norm_py(s) for s in samples]
+
+
+# --- BPE two-space merge encoding (text_bpe_train / text_bpe_apply) ---------
+#
+# The engines apply a BPE merge as a literal string replace over a
+# two-space-delimited symbol encoding. Python's str.replace shares the
+# left-to-right restart-after-replacement semantics of Spark's replace()
+# and DuckDB's replace() (verified empirically on the overlap cases), so
+# proving the ENCODING correct against a reference list-based greedy
+# merge here covers all three engines.
+
+
+def _merge_ref(seq, a, b):
+    out, i = [], 0
+    while i < len(seq):
+        if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(seq[i])
+            i += 1
+    return out
+
+
+_sym = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")),
+    min_size=1,
+    max_size=3,
+)
+
+
+@given(st.lists(_sym, min_size=1, max_size=12), _sym, _sym)
+@settings(max_examples=300, suppress_health_check=[HealthCheck.too_slow])
+def test_two_space_replace_is_greedy_bpe_merge(seq, a, b):
+    enc = " " + "  ".join(seq) + " "
+    merged = enc.replace(f" {a}  {b} ", f" {a}{b} ")
+    assert merged.strip().split("  ") == _merge_ref(seq, a, b)
+
+
+@given(st.lists(_sym, min_size=2, max_size=12))
+@settings(max_examples=300, suppress_health_check=[HealthCheck.too_slow])
+def test_two_space_merge_overlap_chains(seq):
+    # the classic failure mode: 'a a a a' with pair (a,a) must merge
+    # GREEDILY left-to-right, never the overlapping middle pair
+    a = seq[0]
+    enc = " " + "  ".join([a] * len(seq)) + " "
+    merged = enc.replace(f" {a}  {a} ", f" {a}{a} ")
+    want = [a + a] * (len(seq) // 2) + [a] * (len(seq) % 2)
+    assert merged.strip().split("  ") == want
