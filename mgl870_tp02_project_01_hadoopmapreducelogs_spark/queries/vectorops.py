@@ -173,6 +173,108 @@ def sim_lsh_sign_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sim_triplet_mining",
+    f"""
+    WITH b0 AS (SELECT vec_id, {INT_EMB_SQL} AS e FROM embeddings),
+    base AS (
+        SELECT vec_id, e,
+               list_sum(list_transform(e, x -> CAST(x*x AS DOUBLE))) AS n2
+        FROM b0
+    ),
+    scored AS (
+        SELECT a.vec_id AS anchor_id, c.vec_id,
+               CASE WHEN sqrt(a.n2) * sqrt(c.n2) = 0 THEN 0.0
+                    ELSE list_sum(list_transform(list_zip(a.e, c.e),
+                                                 p -> CAST(p[1]*p[2] AS DOUBLE)))
+                         / (sqrt(a.n2) * sqrt(c.n2)) END AS cos
+        FROM base a JOIN base c ON a.vec_id != c.vec_id
+        WHERE a.vec_id < 5
+    ),
+    pos AS (
+        SELECT anchor_id, vec_id AS pos_id, cos AS pos_cos FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                         ORDER BY cos DESC, vec_id) AS rnk
+            FROM scored) WHERE rnk = 1
+    ),
+    neg AS (
+        SELECT anchor_id, vec_id AS neg_id, cos AS neg_cos FROM (
+            SELECT s.anchor_id, s.vec_id, s.cos,
+                   ROW_NUMBER() OVER (PARTITION BY s.anchor_id
+                                      ORDER BY s.cos DESC, s.vec_id) AS rnk
+            FROM scored s JOIN pos p
+              ON s.anchor_id = p.anchor_id AND s.cos < p.pos_cos
+        ) WHERE rnk = 1
+    )
+    SELECT p.anchor_id, p.pos_id, ROUND(p.pos_cos, 4) AS pos_cos,
+           n.neg_id, ROUND(n.neg_cos, 4) AS neg_cos
+    FROM pos p JOIN neg n ON p.anchor_id = n.anchor_id
+    """,
+    doc="Semi-hard triplet mining for contrastive embedding training "
+    "(Schroff et al. 2015, FaceNet): per anchor, positive = nearest "
+    "neighbor, negative = the HARDEST candidate strictly less similar "
+    "than the positive — the semi-hard band that makes triplet loss "
+    "converge. The strictly-less comparison runs on unrounded "
+    "bit-identical doubles (exact-integer dot products, shared op "
+    "order), so the mined triplets cannot differ between engines. "
+    "Spark shape: one broadcast of the anchor set, one map-only "
+    "scoring pass, two rank-1 windows partitioned by anchor — at "
+    "100 TB anchors are a batch (bounded) and candidates come from "
+    "the ANN shortlist, so the scoring join never approaches "
+    "corpus x corpus.",
+)
+def sim_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _int_emb(F.col("embedding")).alias("e")
+    )
+    base = base.withColumn("n2", _dot(F.col("e"), F.col("e")))
+    anchors = base.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("e").alias("ae"),
+        F.col("n2").alias("an2"),
+    )
+    den = F.sqrt(F.col("n2")) * F.sqrt(F.col("an2"))
+    scored = (
+        base.crossJoin(F.broadcast(anchors))
+        .filter(F.col("vec_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "vec_id",
+            F.when(den == 0, F.lit(0.0))
+            .otherwise(_dot(F.col("e"), F.col("ae")) / den)
+            .alias("cos"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.col("cos").desc(), "vec_id")
+    pos = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("pos_id"),
+            F.col("cos").alias("pos_cos"),
+        )
+    )
+    neg = (
+        scored.join(pos, "anchor_id")
+        .filter(F.col("cos") < F.col("pos_cos"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("neg_id"),
+            F.col("cos").alias("neg_cos"),
+        )
+    )
+    return pos.join(neg, "anchor_id").select(
+        "anchor_id",
+        "pos_id",
+        F.round("pos_cos", 4).alias("pos_cos"),
+        "neg_id",
+        F.round("neg_cos", 4).alias("neg_cos"),
+    )
+
+
 # Banded sign-LSH knobs for the registered query. Bucket-size math:
 # with B bands of k sign bits, a pair at angle θ matches ≥1 band with
 # prob 1-(1-(1-θ/π)^k)^B, and candidate volume is ~B·n²/2^(k+1) per
