@@ -130,60 +130,62 @@ from . import (  # noqa: E402,F401
 
 # --- driver-facing ordering -------------------------------------------------
 # The correctness driver checks the FIRST 50 registered queries only, so
-# ordering is evidence budget. Round-5 rotation (the queue announced in
-# round 4): (a) the 15 entries that have NEVER been driver-sampled — the
-# round-4 lifecycle ops, the PQ pair (sim_pq_topk rows-only, riding with
-# its sim_pq_recall oracle companion), the bigram LM, the drift/health
-# audits, the mixture solver, and the S2/S3/S6 source oracles; (b) the
-# 11 oldest stale greens (last confirmed r1, 3 rounds ago); (c) 24 of
-# the 28 r2-stale greens. The 4 r2-stale entries left out —
-# tpch_q5_region_volume, tpch_q14_promo_share, topk_per_group,
-# time_tumbling_hourly — each have an r3/r4-green family neighbour
-# (20 TPC-H greens r3, k1_k2 r4, streaming_hourly_counts r4) and head
-# the round-6 queue. Everything else keeps its r3/r4 green + pytest +
-# the pre-commit local oracle gate (scripts/check_oracle.py).
+# ordering is evidence budget. Round-6 rotation (the queue announced in
+# round 5): (a) the 8 round-5 additions that have NEVER been
+# driver-sampled (all local-oracle green, and the BPE/SemDeDup family
+# carries FULL hard oracles); (b) the 4 r2-stale greens deferred in
+# round 5 (3 rounds old now — the oldest evidence anywhere); (c) 38 of
+# the 50 r3-stale greens: the full TPC-H r3 block, the streaming r3
+# block, the join/window/DQ relational cohort, and the dedup/vector
+# entries — including dedup_embedding_planted, whose planted-twin
+# construction was made engine-unambiguous this round (ADVICE r5) and
+# should be re-hashed by the driver. The 12 r3-stale entries deferred —
+# text_vocab_topk, text_sample_stratified, text_pack_sequences,
+# text_length_quantiles, text_chunk_documents, text_mask_pii,
+# text_tfidf_topk, text_oov_rate, corpus_stats_by_language,
+# dedup_keep_best, dedup_lsh_recall, sim_quantized_topk — each have an
+# r5-green family neighbour (6 text_* entries green r5,
+# dedup_anchor/minhash/exact green r4/r5, sim_knn/sim_lsh green r5)
+# and head the round-7 queue.
 _PRIORITY = [
-    # (a) never driver-sampled: round-4 lifecycle / index ops
-    "dedup_incremental_index", "streaming_incremental_index",
-    "corpus_shuffle_deterministic", "split_leakage_audit",
-    "ml_kfold_assignment", "streaming_late_data_audit",
-    # (a) PQ ANN pair (topk rows-only by design + recall oracle)
-    "sim_pq_recall", "sim_pq_topk",
-    # (a) LM quality filter, DQ audits, mixture solver
-    "text_bigram_logprob", "dq_corpus_drift", "dq_embedding_health",
-    "corpus_mixture_solver",
-    # (a) source oracles
-    "s2_single_file_source", "s3_malformed_line_audit",
-    "s6_memory_table_source",
-    # (b) r1-stale re-samples (3 rounds old)
-    "window_rank_analytics", "setop_intersect_except",
-    "p2_p3_projection_drop", "p5_row_selection_by_key",
-    "a6_class_histogram", "a8_distinct_sort", "a10_correlation_pruning",
-    "a11_describe", "k3_k4_sorted_preview", "join_left_anti",
-    "setop_union_distinct",
-    # (c) r2-stale re-samples (2 rounds old)
-    "rollup_region_nation", "cube_status_priority", "unpivot_measures",
-    "sessionize_events", "session_window_native", "json_extract_props",
-    "skew_hot_key_cap", "window_moving_stats", "join_window_alignment",
-    "a3_try_cast_coercion",
-    "text_token_count", "text_fingerprint", "text_repetition_fraction",
-    "text_quality_filter", "text_contamination_check",
-    "text_remove_dup_spans",
-    "dedup_anchor_containment", "streaming_sliding_counts",
-    "streaming_minhash_dedup",
-    "multimodal_ppm_roundtrip", "multimodal_resize",
-    "multimodal_frame_sample",
-    "sim_knn_join", "sim_lsh_sign_buckets",
-    # --- driver window ends at 50 entries; rotation queue for round 6:
-    # the round-5 additions with no driver verdict yet
-    # (text_bpe_merge_topk, text_bpe_train, text_bpe_apply,
-    # text_char_entropy, dedup_semdedup, source_jsonl_roundtrip,
-    # sim_mmr_topk — all local-oracle green), the 4 r2-stale entries deferred above
-    # (tpch_q5_region_volume, tpch_q14_promo_share, topk_per_group,
-    # time_tumbling_hourly), then whatever COVERAGE.md marks
-    # stale-green after the r5 artifact lands (the r3 greens become 2
-    # rounds old in round 6 — prioritise the r3 TPC-H block and the
-    # streaming r3 greens).
+    # (a) never driver-sampled: round-5 additions
+    "dedup_semdedup", "sim_mmr_topk", "sim_triplet_mining",
+    "source_jsonl_roundtrip",
+    "text_bpe_merge_topk", "text_bpe_train", "text_bpe_apply",
+    "text_char_entropy",
+    # (b) r2-stale re-samples (3 rounds old)
+    "tpch_q5_region_volume", "tpch_q14_promo_share", "topk_per_group",
+    "time_tumbling_hourly",
+    # (c) r3-stale re-samples (2 rounds old): mining/state + relational
+    "s5_catalog_accumulation", "t1c_drain_invariants",
+    "groupingsets_mixed", "range_join_event_pairs",
+    "dq_referential_audit", "stats_hourly_rate_anomaly",
+    "join_full_outer_reconcile", "agg_ordered_collect", "join_fuzzy_match",
+    "ml_correlation_pruner", "ml_split_deterministic",
+    # (c) the r3 TPC-H block
+    "tpch_q2_min_cost_supplier", "tpch_q4_order_priority",
+    "tpch_q7_nation_volume", "tpch_q8_market_share",
+    "tpch_q9_product_profit", "tpch_q10_returned_items",
+    "tpch_q11_important_stock", "tpch_q12_late_shipments",
+    "tpch_q13_order_count_dist", "tpch_q15_top_supplier",
+    "tpch_q16_supplier_cnt", "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_volume", "tpch_q19_disjunctive_filter",
+    "tpch_q20_excess_suppliers", "tpch_q21_waiting_suppliers",
+    "tpch_q22_sales_opportunity",
+    # (c) the r3 streaming block
+    "streaming_new_template_feed", "streaming_drain_invariants",
+    "streaming_static_enrichment", "streaming_stream_stream_join",
+    "streaming_dedup_exact",
+    # (c) r3 dedup/vector entries (embedding_planted re-hashed after the
+    # round-6 pre-alias perturbation fix)
+    "dedup_minhash_groups", "dedup_simhash", "dedup_connected_components",
+    "dedup_embedding_planted", "sim_label_centroids",
+    # --- driver window ends at 50 entries; rotation queue for round 7:
+    # the 12 r3-stale entries deferred above (text family + keep_best /
+    # lsh_recall / quantized_topk), then the r4 greens as they turn 2
+    # rounds old (f-family, t1a/t1b/t2/t4, w1/w2, k1_k2, ml invariant
+    # companions, multimodal byte stats, pipeline recipes), then the
+    # round-6 additions (dedup_semdedup_kmeans) once registered.
 ]
 
 

@@ -2172,16 +2172,21 @@ def text_bpe_merge_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BPE_ROUNDS = 5
 
+# AS MATERIALIZED throughout: DuckDB inlines plain CTEs at every
+# reference, and each unrolled round references the whole prefix chain
+# several times (the scalar-subquery merge rules alone reference t{r}
+# 4x) — without materialization the chain re-evaluates multiplicatively
+# (measured: 50s -> ~2s at sf0.01 for text_bpe_apply).
 _BPE_WC_SQL = """
-    words AS (
+    words AS MATERIALIZED (
         SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
         FROM documents
     ),
-    wc AS (
+    wc AS MATERIALIZED (
         SELECT w, CAST(count(*) AS BIGINT) AS n_w FROM words
         WHERE len(w) >= 2 GROUP BY w
     ),
-    w0 AS (
+    w0 AS MATERIALIZED (
         SELECT ' ' || array_to_string(regexp_extract_all(w, '.'), '  ')
                    || ' ' AS s,
                n_w
@@ -2197,7 +2202,7 @@ def _bpe_round_sql(r: int) -> str:
     )
     apply_w = (
         f""",
-    w{r} AS (
+    w{r} AS MATERIALIZED (
         SELECT replace(s, {merged},
                  ' ' || replace((SELECT pair FROM t{r}), ' ', '') || ' ') AS s,
                n_w
@@ -2212,7 +2217,7 @@ def _bpe_round_sql(r: int) -> str:
         FROM (SELECT string_split(trim(s), '  ') AS el, n_w FROM {prev}),
              unnest(generate_series(1, len(el) - 1)) AS t(i)
     ),
-    t{r} AS (
+    t{r} AS MATERIALIZED (
         SELECT pair, CAST(SUM(n_w) AS BIGINT) AS n
         FROM p{r} GROUP BY pair ORDER BY n DESC, pair LIMIT 1
     ){apply_w}"""
@@ -2340,8 +2345,8 @@ def _bpe_apply_round_sql(r: int) -> str:
         f"|| split_part((SELECT pair FROM t{r}), ' ', 2) || ' '"
     )
     return f""",
-    a{r} AS (
-        SELECT doc_id,
+    a{r} AS MATERIALIZED (
+        SELECT w,
                CASE WHEN (SELECT pair FROM t{r}) IS NULL THEN s
                     ELSE replace(s, {pat},
                            ' ' || replace((SELECT pair FROM t{r}), ' ', '')
@@ -2351,33 +2356,38 @@ def _bpe_apply_round_sql(r: int) -> str:
     )"""
 
 
+# The replace chain runs over DISTINCT words (vocab-bounded), not word
+# occurrences, then joins token counts back — the same dictionary shape
+# as the Spark side. Cut the sf0.01 oracle from ~111s to seconds.
 _BPE_APPLY_SQL = (
     "WITH "
     + _BPE_WC_SQL
     + "".join(_bpe_round_sql(r) for r in range(1, BPE_ROUNDS + 1))
     + """,
-    aw AS (
+    aw AS MATERIALIZED (
         SELECT doc_id, w FROM (
             SELECT doc_id,
                    unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
             FROM documents)
         WHERE w != ''
     ),
-    enc AS (
-        SELECT doc_id,
+    enc AS MATERIALIZED (
+        SELECT w,
                ' ' || array_to_string(regexp_extract_all(w, '.'), '  ')
                    || ' ' AS s
-        FROM aw
+        FROM (SELECT DISTINCT w FROM aw)
     )"""
     + "".join(_bpe_apply_round_sql(r) for r in range(1, BPE_ROUNDS + 1))
-    + f"""
+    + f""",
+    wt AS (
+        SELECT w, len(string_split(trim(s), '  ')) AS n_toks
+        FROM a{BPE_ROUNDS}
+    )
     SELECT doc_id,
            CAST(count(*) AS BIGINT) AS n_words,
-           CAST(SUM(len(string_split(trim(s), '  '))) AS BIGINT)
-             AS n_bpe_tokens,
-           ROUND(CAST(SUM(len(string_split(trim(s), '  '))) AS DOUBLE)
-                 / count(*), 4) AS fertility
-    FROM a{BPE_ROUNDS} GROUP BY doc_id"""
+           CAST(SUM(n_toks) AS BIGINT) AS n_bpe_tokens,
+           ROUND(CAST(SUM(n_toks) AS DOUBLE) / count(*), 4) AS fertility
+    FROM aw JOIN wt USING (w) GROUP BY doc_id"""
 )
 
 
@@ -2391,14 +2401,13 @@ _BPE_APPLY_SQL = (
     "that decides whether a tokenizer suits a corpus and sizes the "
     "training-token budget. Still a FULL hard oracle: the DuckDB side "
     "re-learns the merges in CTEs and applies the same guarded "
-    "replace chain. Spark shape: after the vocab-bounded trainer, "
-    "application is ONE map-only projection over the exploded word "
-    "table (the merge rules are literal-string constants folded into "
-    "the plan — no join, no broadcast table needed at 5 merges; a "
-    "30k-merge production list would instead join words against a "
-    "broadcast vocab->tokenization dictionary built once on the "
-    "DISTINCT words, which this word-level shape makes a drop-in "
-    "swap) followed by a per-doc partial-agg'd count rollup.",
+    "replace chain. Spark shape: after the vocab-bounded trainer, the "
+    "replace chain tokenizes each DISTINCT word exactly once (the "
+    "production dictionary shape — a 30k-merge list costs the same "
+    "vocab-bounded pass), the occurrence table broadcast-joins the "
+    "word->token-count dictionary, and a per-doc partial-agg'd rollup "
+    "finishes: at 100 TB the expensive string work never touches "
+    "corpus-sized rows, only the vocabulary.",
 )
 def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = learn_bpe_merges(spark, sf_dir)
@@ -2417,9 +2426,12 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _, pair, _n in merges:
         a, b = pair.split(" ")
         s = F.replace(s, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
-    n_toks = F.size(F.split(F.trim(s), "  "))
+    # vocab-bounded dictionary: tokenize each distinct word once
+    wt = words.select("w").distinct().select(
+        "w", F.size(F.split(F.trim(s), "  ")).alias("n_toks")
+    )
     return (
-        words.select("doc_id", n_toks.alias("n_toks"))
+        words.join(F.broadcast(wt), "w")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_words"),

@@ -447,6 +447,43 @@ PLANT_COS_TH = 0.99
 PLANT_EVERY = 25
 PLANT_OFFSET = 1_000_000
 
+#: planted-twin construction shared by the SQL oracles. The perturbed
+#: vector is built in an INNER projection where ``vec_id`` can only be
+#: the input column, and the +OFFSET twin id is applied in the outer
+#: select — important because the two engines resolve a name that
+#: collides with a sibling alias differently (Spark 4.1 binds the
+#: lambda's ``vec_id`` to the lateral sibling alias, DuckDB 1.0 to the
+#: input column; verified empirically). Deriving the perturbation from
+#: the pre-offset id in separate selects removes the ambiguity in both
+#: engines. DuckDB's lambda index is 1-based, Spark's 0-based — the
+#: Spark side adds 1 so both compute ``(orig_id + i₁) % 3 - 1``.
+_PLANTED_BASE_SQL = f"""
+        SELECT vec_id, e FROM b0
+        UNION ALL
+        SELECT vec_id + {PLANT_OFFSET} AS vec_id, e
+        FROM (SELECT vec_id,
+                     list_transform(e, (x, i) -> x + ((vec_id + i) % 3 - 1)) AS e
+              FROM b0 WHERE vec_id % {PLANT_EVERY} = 0)
+"""
+
+
+def _with_planted(b0: DataFrame) -> DataFrame:
+    """Spark twin of ``_PLANTED_BASE_SQL`` — perturbation computed from
+    the pre-offset id in an inner select (see the SQL comment above for
+    the cross-engine name-resolution trap this avoids)."""
+    planted = (
+        b0.filter(F.col("vec_id") % PLANT_EVERY == 0)
+        .select(
+            "vec_id",
+            F.transform(
+                "e", lambda x, i: x + ((F.col("vec_id") + i + 1) % 3 - 1)
+            ).alias("e"),
+        )
+        .select((F.col("vec_id") + PLANT_OFFSET).alias("vec_id"), "e")
+    )
+    return b0.unionByName(planted)
+
+
 _PLANT_BANDS_SQL = " UNION ALL ".join(
     _band_bucket_sql(b, PLANT_BITS) for b in range(PLANT_BANDS)
 )
@@ -456,13 +493,7 @@ _PLANT_BANDS_SQL = " UNION ALL ".join(
     "dedup_embedding_planted",
     f"""
     WITH b0 AS (SELECT vec_id, {INT_EMB_SQL} AS e FROM embeddings),
-    base AS (
-        SELECT vec_id, e FROM b0
-        UNION ALL
-        SELECT vec_id + {PLANT_OFFSET} AS vec_id,
-               list_transform(e, (x, i) -> x + ((vec_id + i) % 3 - 1)) AS e
-        FROM b0 WHERE vec_id % {PLANT_EVERY} = 0
-    ),
+    base AS ({_PLANTED_BASE_SQL}),
     bands AS ({_PLANT_BANDS_SQL}),
     cand AS (
         SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
@@ -502,13 +533,7 @@ def dedup_embedding_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     b0 = load(spark, sf_dir, "embeddings").select(
         "vec_id", _int_emb(F.col("embedding")).alias("e")
     )
-    planted = b0.filter(F.col("vec_id") % PLANT_EVERY == 0).select(
-        (F.col("vec_id") + PLANT_OFFSET).alias("vec_id"),
-        F.transform(
-            "e", lambda x, i: x + ((F.col("vec_id") + i + 1) % 3 - 1)
-        ).alias("e"),
-    )
-    base = b0.unionByName(planted)
+    base = _with_planted(b0)
     return embedding_near_pairs(
         base, bands=PLANT_BANDS, bits=PLANT_BITS, threshold=PLANT_COS_TH
     )
@@ -529,13 +554,7 @@ SEM_COS_TH = 0.9
     "dedup_semdedup",
     f"""
     WITH b0 AS (SELECT vec_id, {INT_EMB_SQL} AS e FROM embeddings),
-    base AS (
-        SELECT vec_id, e FROM b0
-        UNION ALL
-        SELECT vec_id + {PLANT_OFFSET} AS vec_id,
-               list_transform(e, (x, i) -> x + ((vec_id + i) % 3 - 1)) AS e
-        FROM b0 WHERE vec_id % {PLANT_EVERY} = 0
-    ),
+    base AS ({_PLANTED_BASE_SQL}),
     withn AS (
         SELECT vec_id, e,
                list_sum(list_transform(e, x -> CAST(x*x AS DOUBLE))) AS n2
@@ -643,15 +662,7 @@ def semdedup_parts(
     b0 = load(spark, sf_dir, "embeddings").select(
         "vec_id", _int_emb(F.col("embedding")).alias("e")
     )
-    planted = b0.filter(F.col("vec_id") % PLANT_EVERY == 0).select(
-        (F.col("vec_id") + PLANT_OFFSET).alias("vec_id"),
-        F.transform(
-            "e", lambda x, i: x + ((F.col("vec_id") + i + 1) % 3 - 1)
-        ).alias("e"),
-    )
-    base = b0.unionByName(planted).withColumn(
-        "n2", _dot(F.col("e"), F.col("e"))
-    )
+    base = _with_planted(b0).withColumn("n2", _dot(F.col("e"), F.col("e")))
 
     # seed selection is a TakeOrdered top-k + an 8-row driver collect —
     # model-scale state, same footing as IVF/PQ codebooks
@@ -734,13 +745,164 @@ def semdedup_parts(
         drop = np.where(cent[ia] <= cent[ib], ids[ib], ids[ia])
         return pd.DataFrame({"vec_id": drop}).astype({"vec_id": "int64"})
 
-    dropped = (
+    dropped = _semdedup_drop_stage(assigned, threshold)
+    return assigned, dropped
+
+
+def _semdedup_drop_stage(assigned: DataFrame, threshold: float) -> DataFrame:
+    """The SemDeDup within-cell duplicate-drop stage, shared by the
+    seed-cell and KMeans-cell variants: per-cell BLAS gram over the
+    integer embeddings (exact — products/sums < 2^53), pairs with
+    cos >= threshold are duplicates, and the member MORE similar to its
+    centroid drops (the paper keeps the outlier). ``assigned`` needs
+    columns (cluster, vec_id, e, cent_cos). Bounded O(cell_size^2) per
+    cell; cell count is the knob that bounds cell size at scale."""
+
+    def drop_ids(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"vec_id": []}).astype({"vec_id": "int64"})
+        cent = pdf["cent_cos"].to_numpy()
+        u = np.stack(pdf["e"].to_numpy()).astype("float64")
+        g = u @ u.T
+        nrm = np.sqrt(np.diagonal(g))
+        den = np.outer(nrm, nrm)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.where(den == 0, 0.0, g / den)
+        ia, ib = np.triu_indices(len(ids), k=1)  # sorted ids -> a < b
+        keep = cos[ia, ib] >= threshold
+        ia, ib = ia[keep], ib[keep]
+        # keep the member least similar to the centroid (paper's rule);
+        # tie -> keep the smaller vec_id (a < b by construction)
+        drop = np.where(cent[ia] <= cent[ib], ids[ib], ids[ia])
+        return pd.DataFrame({"vec_id": drop}).astype({"vec_id": "int64"})
+
+    return (
         assigned.select("cluster", "vec_id", "e", "cent_cos")
         .groupBy("cluster")
         .applyInPandas(drop_ids, "vec_id long")
         .distinct()
     )
-    return assigned, dropped
+
+
+@register(
+    "dedup_semdedup_kmeans",
+    f"""
+    SELECT CAST((SELECT count(*) FROM embeddings)
+              + (SELECT count(*) FROM embeddings
+                 WHERE vec_id % {PLANT_EVERY} = 0) AS BIGINT) AS n_vectors,
+           TRUE AS cells_at_most_k,
+           TRUE AS every_vector_assigned_once,
+           TRUE AS dropped_one_per_planted_pair
+    """,
+    doc="SemDeDup with the PROMISED 100 TB quantizer: spark.ml KMeans "
+    f"centroids (k={SEM_K}, distributed fit) replace dedup_semdedup's "
+    "md5-order seed cells; the downstream plan — per-vector centroid "
+    "cosine, one shuffle on the cell id, per-cell bounded BLAS gram, "
+    "keep-the-least-centroid-similar — is byte-for-byte the same "
+    "stage (_semdedup_drop_stage). Checked as an invariant oracle "
+    "(KMeans carving is engine-specific, so the cell layout itself "
+    "has no SQL twin — same style as t1c_drain_invariants): "
+    "n_vectors is VALUE-checked against DuckDB's independent count "
+    "of corpus + planted twins (a mapInPandas stage that drops or "
+    "duplicates a row breaks the hash), cell count must not exceed "
+    "k, every vector is assigned exactly once, and the drop set must "
+    "be exactly one member of each planted near-identical pair "
+    "(cos ~0.9999 twins land in one euclidean cell regardless of "
+    "carving; max non-planted pair cos ~0.51 stays below the 0.9 "
+    "duplicate threshold).",
+)
+def dedup_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    b0 = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _int_emb(F.col("embedding")).alias("e")
+    )
+    base = _with_planted(b0).withColumn(
+        "n2", _dot(F.col("e"), F.col("e"))
+    )
+    with_vec = base.withColumn(
+        "v", array_to_vector(F.col("e").cast("array<double>"))
+    )
+    km = KMeans(
+        k=SEM_K, seed=42, featuresCol="v", predictionCol="cell"
+    ).fit(with_vec)
+
+    # centroid table is model-scale: broadcast-join it and form the
+    # centroid cosine in one codegen'd expression (same op order as the
+    # seed variant: sqrt, multiply, divide)
+    centers = spark.createDataFrame(
+        [
+            (i, [float(x) for x in c])
+            for i, c in enumerate(km.clusterCenters())
+        ],
+        "cell int, c array<double>",
+    )
+    cent_dot = F.aggregate(
+        F.zip_with("e", "c", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cent_n2 = F.aggregate(
+        F.transform("c", lambda y: y * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    assigned = (
+        km.transform(with_vec)
+        .join(F.broadcast(centers), "cell")
+        .select(
+            "vec_id",
+            "e",
+            (F.col("cell") + 1).cast("long").alias("cluster"),
+            F.when(
+                F.sqrt(F.col("n2")) * F.sqrt(cent_n2) == 0, F.lit(0.0)
+            )
+            .otherwise(cent_dot / (F.sqrt(F.col("n2")) * F.sqrt(cent_n2)))
+            .alias("cent_cos"),
+        )
+    )
+    dropped = _semdedup_drop_stage(assigned, SEM_COS_TH)
+
+    drops = {r.vec_id for r in dropped.collect()}
+    planted_orig = {
+        r.vec_id
+        for r in b0.filter(F.col("vec_id") % PLANT_EVERY == 0)
+        .select("vec_id")
+        .collect()
+    }
+    pair_ok = len(drops) == len(planted_orig) and all(
+        (v % PLANT_EVERY == 0) or (v >= PLANT_OFFSET and (v - PLANT_OFFSET) % PLANT_EVERY == 0)
+        for v in drops
+    ) and len({v % PLANT_OFFSET for v in drops}) == len(planted_orig)
+    stats = (
+        assigned.groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("n_assign"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.max("n_assign").alias("max_assign"),
+        )
+        .first()
+    )
+    n_cells = assigned.select("cluster").distinct().count()
+    return spark.createDataFrame(
+        [
+            (
+                stats["n_vectors"],
+                n_cells <= SEM_K,
+                stats["max_assign"] == 1,
+                bool(pair_ok),
+            )
+        ],
+        "n_vectors long, cells_at_most_k boolean, "
+        "every_vector_assigned_once boolean, "
+        "dropped_one_per_planted_pair boolean",
+    )
 
 
 # --- MMR diversified top-k -----------------------------------------------------

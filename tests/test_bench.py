@@ -20,11 +20,12 @@ def test_headline_names_resolve_and_are_unique():
 def test_driver_window_is_oracle_bearing_and_stable():
     """The correctness driver samples the FIRST 50 registry entries; a
     careless registration order change would silently burn evidence
-    slots. Pin: the window matches the round-5 rotation plan — the 15
-    never-driver-sampled entries first, then the r1-stale re-samples,
-    then the r2-stale re-samples. The only rows-only entry allowed in
-    the window is the DELIBERATE one (sim_pq_topk is rows-only by
-    design and rides with its sim_pq_recall oracle companion)."""
+    slots. Pin: the window matches the round-6 rotation plan — the 8
+    never-driver-sampled round-5 additions first, then the 4 r2-stale
+    re-samples (oldest evidence anywhere), then 38 of the r3-stale
+    greens (TPC-H block, streaming block, dedup/vector entries
+    including the re-fixed dedup_embedding_planted). Every window
+    entry must be oracle-bearing this round."""
     import sys
 
     sys.path.insert(0, ".")
@@ -32,28 +33,28 @@ def test_driver_window_is_oracle_bearing_and_stable():
 
     window = list(REGISTRY)[:50]
     no_oracle = [n for n in window if REGISTRY[n].oracle is None]
-    assert no_oracle == ["sim_pq_topk"], (
+    assert no_oracle == [], (
         f"unexpected rows-only entries in the driver window: {no_oracle}"
     )
-    # anchors of the round-5 rotation plan
+    # anchors of the round-6 rotation plan
     for must in (
-        "dedup_incremental_index",
-        "streaming_incremental_index",
-        "corpus_shuffle_deterministic",
-        "split_leakage_audit",
-        "ml_kfold_assignment",
-        "streaming_late_data_audit",
-        "sim_pq_recall",
-        "sim_pq_topk",
-        "text_bigram_logprob",
-        "dq_corpus_drift",
-        "dq_embedding_health",
-        "corpus_mixture_solver",
-        "s2_single_file_source",
-        "s3_malformed_line_audit",
-        "s6_memory_table_source",
-        "window_rank_analytics",
-        "a6_class_histogram",
-        "multimodal_ppm_roundtrip",
+        "dedup_semdedup",
+        "sim_mmr_topk",
+        "sim_triplet_mining",
+        "source_jsonl_roundtrip",
+        "text_bpe_merge_topk",
+        "text_bpe_train",
+        "text_bpe_apply",
+        "text_char_entropy",
+        "tpch_q5_region_volume",
+        "tpch_q14_promo_share",
+        "topk_per_group",
+        "time_tumbling_hourly",
+        "tpch_q2_min_cost_supplier",
+        "tpch_q22_sales_opportunity",
+        "streaming_dedup_exact",
+        "dedup_embedding_planted",
+        "dedup_connected_components",
+        "sim_label_centroids",
     ):
         assert must in window, f"{must} fell out of the driver window"

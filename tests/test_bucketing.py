@@ -5,6 +5,9 @@ from mgl870_tp02_project_01_hadoopmapreducelogs_spark.sources import bucketing
 
 
 def test_cobucketed_join_plans_no_shuffle(spark, tmp_path):
+    # save/restore the PRIOR value (not a hardcoded default) — same
+    # pattern as test_bucketed_index_anti_join_shuffles_batch_only below
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         left = spark.range(10_000).select(
@@ -26,7 +29,7 @@ def test_cobucketed_join_plans_no_shuffle(spark, tmp_path):
         plain = left.join(right, "k")
         assert plan_report(plain)["n_exchanges"] > 0
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS t_bucket_left")
         spark.sql("DROP TABLE IF EXISTS t_bucket_right")
 

@@ -84,6 +84,7 @@ def test_planted_dedup_lsh_candidate_volume_prunes(spark):
         PLANT_EVERY,
         PLANT_OFFSET,
         _int_emb,
+        _with_planted,
     )
     from mgl870_tp02_project_01_hadoopmapreducelogs_spark.queries import load
 
@@ -91,13 +92,7 @@ def test_planted_dedup_lsh_candidate_volume_prunes(spark):
     b0 = load(spark, sf_dir, "embeddings").select(
         "vec_id", _int_emb(F.col("embedding")).alias("e")
     )
-    planted = b0.filter(F.col("vec_id") % PLANT_EVERY == 0).select(
-        (F.col("vec_id") + PLANT_OFFSET).alias("vec_id"),
-        F.transform(
-            "e", lambda x, i: x + ((F.col("vec_id") + i + 1) % 3 - 1)
-        ).alias("e"),
-    )
-    base = b0.unionByName(planted)
+    base = _with_planted(b0)
     n = base.count()
 
     def bucket(b):
@@ -186,12 +181,13 @@ def test_semdedup_matches_numpy_ground_truth(spark):
     vecs = dict(raw)
     for vid in sorted(raw):
         if vid % PLANT_EVERY == 0:
-            # both engines resolve `vec_id` inside the transform lambda
-            # to the sibling alias (vid + PLANT_OFFSET), not the input
-            # column — lateral column alias resolution
-            pid = vid + PLANT_OFFSET
-            vecs[pid] = [
-                x + ((pid + i + 1) % 3 - 1) for i, x in enumerate(raw[vid])
+            # the perturbation is derived from the PRE-offset id (the
+            # engines disagree on whether a lambda's `vec_id` binds to a
+            # sibling alias, so _with_planted computes it in an inner
+            # select before applying the +PLANT_OFFSET twin id); i+1
+            # mirrors DuckDB's 1-based lambda index
+            vecs[vid + PLANT_OFFSET] = [
+                x + ((vid + i + 1) % 3 - 1) for i, x in enumerate(raw[vid])
             ]
     seeds = sorted(
         raw, key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v)
@@ -220,6 +216,28 @@ def test_semdedup_matches_numpy_ground_truth(spark):
                 want_drops.add(b if cent[a] <= cent[b] else a)
     assert got_drops == want_drops
     assert want_drops, "planted duplicates must exercise the drop path"
+
+
+def test_semdedup_kmeans_invariants_hold_at_other_scale(spark):
+    """The dedup_semdedup_kmeans invariants are registered (and driver-
+    hashed) at sf0.01; re-assert them at sf0.001 so they are properties
+    of the ALGORITHM, not artifacts of one corpus: every vector
+    assigned exactly once, at most K cells, and the drop set is exactly
+    one member of each planted near-identical pair regardless of how
+    KMeans carves the space."""
+    from mgl870_tp02_project_01_hadoopmapreducelogs_spark.queries import REGISTRY
+
+    row = REGISTRY["dedup_semdedup_kmeans"].run(spark, SF_DIR).first()
+    n_raw = spark.read.parquet(SF_DIR + "/embeddings.parquet").count()
+    n_planted = (
+        spark.read.parquet(SF_DIR + "/embeddings.parquet")
+        .filter("vec_id % 25 = 0")
+        .count()
+    )
+    assert row.n_vectors == n_raw + n_planted
+    assert row.cells_at_most_k
+    assert row.every_vector_assigned_once
+    assert row.dropped_one_per_planted_pair
 
 
 def test_mmr_matches_numpy_ground_truth(spark):
