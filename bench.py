@@ -11,7 +11,7 @@ inflated recorded times 4-8x over a clean re-run of the same plans on
 the same data. The fix bounds session state without forfeiting the
 legitimate cache reuse that a real analytics session gets:
 
-- the headline set is split into 6 CHUNKS of related queries (mining,
+- the headline set is split into 8 CHUNKS of related queries (mining,
   TPC-H, shingle-dedup, vector-similarity, text-tail, pipelines); each
   chunk runs in a FRESH subprocess (own JVM, 16g heap — local mode
   driver==executor), so no chunk inherits another's heap state and
@@ -85,15 +85,25 @@ CHUNKS = [
         "text_quality_score",
         "dedup_incremental_index",
     ],
-    # vector-similarity family (shared embeddings scan + norms)
+    # ANN / similarity-search family (shared embeddings scan + norms).
+    # Round 6 adds the registered-but-unbenched round-5 ops (mmr,
+    # triplet mining) and splits the embedding-dedup half into its own
+    # chunk — together they would hit 10 queries, the shared-session
+    # noise level that forced the round-5 text split at 11.
     [
         "sim_cosine_topk",
         "sim_knn_join",
         "sim_quantized_topk",
         "sim_pq_topk",
+        "sim_mmr_topk",
+        "sim_triplet_mining",
+    ],
+    # embedding-dedup family (shared embeddings scan + planted twins)
+    [
         "dedup_embedding_cosine",
         "dedup_embedding_planted",
         "dedup_semdedup",
+        "dedup_semdedup_kmeans",
     ],
     # text-tail family (shared token tables). Split out of the vector
     # chunk in round 5: at 11 queries that chunk's shared-session noise
@@ -109,6 +119,7 @@ CHUNKS = [
         "text_bigram_logprob",
         "text_bpe_merge_topk",
         "text_bpe_train",
+        "text_bpe_apply",
         "text_char_entropy",
     ],
     # curation pipelines + remaining aggregates. c4_style runs FIRST:

