@@ -189,6 +189,60 @@ def run_chunk(names: list[str], sf_dir: str) -> None:
     print(json.dumps(times), flush=True)
 
 
+def _external_busy_frac(window_s: float = 2.0) -> float:
+    """Fraction of total CPU busy over a short window, sampled from
+    /proc/stat deltas. Called BETWEEN chunk subprocesses, when this
+    process tree is idle — so busy CPU is external load by
+    construction (unlike loadavg, which decays over minutes and would
+    mostly re-measure our own just-finished chunk)."""
+    import time as _time
+
+    def snap():
+        with open("/proc/stat") as f:
+            parts = f.readline().split()[1:]
+        vals = [int(x) for x in parts]
+        idle = vals[3] + (vals[4] if len(vals) > 4 else 0)  # idle+iowait
+        return idle, sum(vals)
+
+    i0, t0 = snap()
+    _time.sleep(window_s)
+    i1, t1 = snap()
+    dt = t1 - t0
+    return 0.0 if dt <= 0 else 1.0 - (i1 - i0) / dt
+
+
+def _wait_for_quiet_machine(
+    max_busy: float = 0.15, max_wait_s: float = 180.0
+) -> None:
+    """Hold a chunk launch until external CPU use drops below
+    ``max_busy``, bounded by ``max_wait_s`` (never hang the driver).
+
+    Rationale: min-of-N sampling absorbs per-query jitter but NOT
+    sustained external load spanning a whole chunk — that exact failure
+    inflated two r4 mining numbers 2.5-3.5x and reproduced during a
+    round-6 local run (t1a 0.63s quiet vs 1.30s under a sustained
+    ~5-core external transient, identical code). Waiting out the
+    transient protects the recorded artifact; if the machine never
+    quiets we proceed anyway and the artifact is no worse than before."""
+    import time as _time
+
+    waited = 0.0
+    while waited < max_wait_s:
+        try:
+            busy = _external_busy_frac()
+        except OSError:
+            return
+        waited += 2.0
+        if busy < max_busy:
+            return
+        sys.stderr.write(
+            f"bench: external CPU {busy:.0%} >= {max_busy:.0%}; waiting "
+            f"for quiet machine ({waited:.0f}/{max_wait_s:.0f}s)\n"
+        )
+        _time.sleep(8.0)
+        waited += 8.0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -206,6 +260,7 @@ def main() -> None:
     chunk_timeout = int(os.environ.get("SPARK_GRAFT_BENCH_TIMEOUT", "900"))
     times: dict[str, float] = {}
     for names in CHUNKS:
+        _wait_for_quiet_machine()
         # one retry per chunk: a timeout or malformed output should cost
         # one chunk re-run, not the 10+ minutes of completed chunks
         for attempt in (1, 2):

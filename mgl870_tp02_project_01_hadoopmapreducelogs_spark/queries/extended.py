@@ -281,6 +281,55 @@ def _lloyd(x, k: int, seed: int, iters: int = 20):
     return centers
 
 
+def pq_fit(emb: DataFrame, m: int = 16, ksub: int = 16):
+    """Fit the per-subspace PQ codebooks on a TakeOrdered-bounded
+    deterministic sample (a bare limit() is partition-order-dependent
+    on a real cluster). Returns ``(fit_rows, books, dsub)`` — the
+    collected sample rows double as a query-vector cache."""
+    import numpy as np
+
+    rows = emb.orderBy("vec_id").limit(PQ_FIT_CAP).collect()
+    sample = np.array([r.e for r in rows], dtype=np.float64)
+    dsub = sample.shape[1] // m
+    books = [
+        _lloyd(sample[:, j * dsub : (j + 1) * dsub], ksub, seed=42 + j)
+        for j in range(m)
+    ]
+    return rows, books, dsub
+
+
+def pq_encode(emb: DataFrame, books: list, dsub: int) -> DataFrame:
+    """The at-ingest materialization step of the PQ 100 TB story:
+    encode each vector to its m codes (1-based, ready for element_at)
+    in one Arrow-batched BLAS pass. At scale this runs once in the
+    write path and queries scan ONLY the code column (16 small ints ~
+    16 bytes/vector vs 512 for the raw doubles) —
+    tests/test_extended.py pins that plan property and that ADC over
+    materialized codes returns the same top-k as the fused pq_topk."""
+    import numpy as np
+
+    books_arr = np.stack(books)
+    m = books_arr.shape[0]
+
+    def enc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            u = np.stack(pdf["e"].to_numpy()).astype("float64")
+            usub = u.reshape(len(u), m, 1, dsub)
+            d = ((usub - books_arr[None]) ** 2).sum(-1)
+            codes = (d.argmin(-1) + 1).astype("int32")
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "code": list(codes)}
+            )
+
+    return emb.select("vec_id", "e").mapInPandas(
+        enc, "vec_id long, code array<int>"
+    )
+
+
 def pq_topk(
     spark: SparkSession,
     sf_dir: str,
@@ -312,16 +361,7 @@ def pq_topk(
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    # TakeOrdered-bounded deterministic sample (a bare limit() is
-    # partition-order-dependent on a real cluster)
-    rows = emb.orderBy("vec_id").limit(PQ_FIT_CAP).collect()
-    sample = np.array([r.e for r in rows], dtype=np.float64)
-    dim = sample.shape[1]
-    dsub = dim // m
-    books = [
-        _lloyd(sample[:, j * dsub : (j + 1) * dsub], ksub, seed=42 + j)
-        for j in range(m)
-    ]
+    rows, books, dsub = pq_fit(emb, m=m, ksub=ksub)
 
     # the query vector is usually already in the fit sample — only pay
     # a point-lookup scan when it is not

@@ -89,3 +89,78 @@ def test_pq_shortlist_rescore_recall(spark):
             emb[vid] @ q / (np.linalg.norm(emb[vid]) * np.linalg.norm(q))
         )
         assert abs(cos - truth) <= 1.5e-4, (vid, cos, truth)
+
+
+def test_pq_materialized_codes_scan_reads_only_codes(spark, tmp_path):
+    """The PQ 100 TB claim as a checked plan: codes materialized once
+    at ingest (pq_encode), then the ADC shortlist pass scans ONLY the
+    (vec_id, code) columns — 16 small ints per vector, never the raw
+    doubles — and full vectors are touched only for the constant-size
+    shortlist join. Must return EXACTLY the fused pq_topk's top-k."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from mgl870_tp02_project_01_hadoopmapreducelogs_spark.plans.audit import (
+        explain_str,
+    )
+    from mgl870_tp02_project_01_hadoopmapreducelogs_spark.queries import (
+        extended,
+        load,
+    )
+
+    m, ksub, shortlist, k = 16, 16, 50, 10
+    emb = load(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    rows, books, dsub = extended.pq_fit(emb, m=m, ksub=ksub)
+
+    # ingest-time materialization (at 100 TB this is the write path)
+    path = str(tmp_path / "pq_codes")
+    extended.pq_encode(emb, books, dsub).write.parquet(path)
+
+    # query time: ADC tables from the query vector + codebooks, applied
+    # as element_at lookups over the codes-only scan
+    qe = np.array({r.vec_id: r.e for r in rows}[0], dtype=np.float64)
+    tables = [
+        ((books[j] - qe[j * dsub : (j + 1) * dsub]) ** 2).sum(axis=1)
+        for j in range(m)
+    ]
+    codes = spark.read.parquet(path).select("vec_id", "code")
+    adc = None
+    for j in range(m):
+        tbl = F.array(*[F.lit(float(v)) for v in tables[j]])
+        term = F.element_at(tbl, F.element_at("code", j + 1))
+        adc = term if adc is None else adc + term
+    short = (
+        codes.filter(F.col("vec_id") != 0)
+        .select("vec_id", adc.alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), "vec_id")
+        .limit(shortlist)
+    )
+    # the shortlist plan must read ONLY vec_id+code from the codes file
+    # and never the embeddings table
+    plan = explain_str(short, "formatted")
+    assert "pq_codes" in plan and "embeddings" not in plan
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and "code" in read_schema[0]
+    assert "embedding" not in read_schema[0]
+
+    # exact rescore on the constant-size shortlist only
+    from mgl870_tp02_project_01_hadoopmapreducelogs_spark.functions import (
+        vectors as V,
+    )
+
+    q = spark.createDataFrame([(list(map(float, qe)),)], "qe array<double>")
+    got = (
+        F.broadcast(short.select("vec_id"))
+        .join(emb, "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(V.cosine(F.col("e"), F.col("qe")), 4).alias("cos"))
+        .orderBy(F.col("cos").desc(), "vec_id")
+        .limit(k)
+        .collect()
+    )
+    want = extended.pq_topk(spark, SF_DIR, query_id=0, k=k).collect()
+    assert [(r.vec_id, r.cos) for r in got] == [
+        (r.vec_id, r.cos) for r in want
+    ]
