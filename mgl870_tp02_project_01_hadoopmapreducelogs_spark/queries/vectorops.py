@@ -47,6 +47,67 @@ def _cos_pre(a, b, na, nb):
     return F.when(na * nb == 0, F.lit(0.0)).otherwise(_dot(a, b) / (na * nb))
 
 
+def anchor_cosine_scan(
+    base: DataFrame, anchors: list, carry_e: bool = False
+) -> DataFrame:
+    """Exact-integer cosine of every row of ``base`` (vec_id, e) against
+    a small broadcast anchor set, as ONE Arrow-batched BLAS map pass —
+    the shared kernel behind the brute-force, kNN-join, triplet-mining,
+    and MMR relevance scans. Bit-identical to the interpreted
+    ``_cos_pre`` expression chain AND the DuckDB oracles' list
+    arithmetic: dot products and squared norms are integer sums, exact
+    in float64 under any accumulation order, and the cosine keeps the
+    one shared op order (sqrt, multiply, divide; 0.0 on a zero
+    denominator). Anchors are bounded model-scale state (a query
+    vector, a training batch) riding as a closure; the scan is map-only
+    — zero exchanges — so the downstream TakeOrdered / per-anchor
+    rank-1 window receives (n_anchors x corpus) rows without any pair
+    join. Replaces the interpreted higher-order-function formulation
+    (measured 3-7x slower at 100x — SCALE_NOTES.md round 6, the same
+    lesson as the SemDeDup/PQ/entropy rewrites)."""
+    import numpy as np
+
+    A = np.array([e for _, e in anchors], dtype="float64")
+    aid = np.array([i for i, _ in anchors], dtype="int64")
+    an = np.sqrt((A * A).sum(axis=1))
+    k = len(aid)
+    schema = "anchor_id long, vec_id long, cos double"
+    if carry_e:
+        schema += ", e array<bigint>, n2 double"
+
+    def scan(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            u = np.stack(pdf["e"].to_numpy()).astype("float64")
+            n2 = (u * u).sum(axis=1)
+            dots = u @ A.T
+            den = np.sqrt(n2)[:, None] * an[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(den == 0.0, 0.0, dots / den)
+            n = len(u)
+            out = {
+                "anchor_id": np.tile(aid, n),
+                "vec_id": np.repeat(pdf["vec_id"].to_numpy(), k),
+                "cos": cos.ravel(),
+            }
+            if carry_e:
+                rep = np.repeat(np.arange(n), k)
+                out["e"] = pdf["e"].to_numpy()[rep]
+                out["n2"] = np.repeat(n2, k)
+            yield pd.DataFrame(out)
+
+    return base.select("vec_id", "e").mapInPandas(scan, schema)
+
+
+def _collect_anchors(base: DataFrame, pred) -> list:
+    """Collect a bounded anchor set (vec_id, e) — one tiny TakeOrdered-
+    free point scan; anchors are model-scale driver state."""
+    return [(r.vec_id, list(r.e)) for r in base.filter(pred).collect()]
+
+
 COS_SQL = """
     list_sum(list_transform(list_zip(e, qv), p -> CAST(p[1]*p[2] AS DOUBLE)))
     / (sqrt(list_sum(list_transform(e, x -> CAST(x*x AS DOUBLE))))
@@ -74,17 +135,10 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", _int_emb(F.col("embedding")).alias("e")
     )
-    emb = emb.withColumn("nrm", _norm(F.col("e")))
-    q = emb.filter(F.col("vec_id") == 0).select(
-        F.col("e").alias("qv"), F.col("nrm").alias("nq")
-    )
-    cos = F.round(
-        _cos_pre(F.col("e"), F.col("qv"), F.col("nrm"), F.col("nq")), 4
-    )
+    anchors = _collect_anchors(emb, F.col("vec_id") == 0)
     return (
-        emb.filter(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(q))
-        .select("vec_id", cos.alias("cos"))
+        anchor_cosine_scan(emb.filter(F.col("vec_id") != 0), anchors)
+        .select("vec_id", F.round("cos", 4).alias("cos"))
         .orderBy(F.col("cos").desc(), "vec_id")
         .limit(10)
     )
@@ -118,19 +172,15 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = load(spark, sf_dir, "embeddings").select(
         "vec_id", _int_emb(F.col("embedding")).alias("e")
     )
-    base = base.withColumn("nrm", _norm(F.col("e")))
-    q = base.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("e").alias("qe"),
-        F.col("nrm").alias("nq"),
-    )
-    cos = F.round(
-        _cos_pre(F.col("e"), F.col("qe"), F.col("nrm"), F.col("nq")), 4
-    )
+    anchors = _collect_anchors(base, F.col("vec_id") < 5)
     scored = (
-        base.crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos"))
+        anchor_cosine_scan(base, anchors)
+        .filter(F.col("vec_id") != F.col("anchor_id"))
+        .select(
+            F.col("anchor_id").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("cos", 4).alias("cos"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
     return (
@@ -227,23 +277,9 @@ def sim_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = load(spark, sf_dir, "embeddings").select(
         "vec_id", _int_emb(F.col("embedding")).alias("e")
     )
-    base = base.withColumn("n2", _dot(F.col("e"), F.col("e")))
-    anchors = base.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("anchor_id"),
-        F.col("e").alias("ae"),
-        F.col("n2").alias("an2"),
-    )
-    den = F.sqrt(F.col("n2")) * F.sqrt(F.col("an2"))
-    scored = (
-        base.crossJoin(F.broadcast(anchors))
-        .filter(F.col("vec_id") != F.col("anchor_id"))
-        .select(
-            "anchor_id",
-            "vec_id",
-            F.when(den == 0, F.lit(0.0))
-            .otherwise(_dot(F.col("e"), F.col("ae")) / den)
-            .alias("cos"),
-        )
+    anchor_rows = _collect_anchors(base, F.col("vec_id") < 5)
+    scored = anchor_cosine_scan(base, anchor_rows).filter(
+        F.col("vec_id") != F.col("anchor_id")
     )
     w = Window.partitionBy("anchor_id").orderBy(F.col("cos").desc(), "vec_id")
     pos = (
@@ -1006,22 +1042,10 @@ def sim_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", _int_emb(F.col("embedding")).alias("e")
     )
-    base = emb.withColumn("n2", _dot(F.col("e"), F.col("e")))
-    q = base.filter(F.col("vec_id") == 0).select(
-        F.col("e").alias("qe"), F.col("n2").alias("qn2")
-    )
-    qden = F.sqrt(F.col("n2")) * F.sqrt(F.col("qn2"))
+    q_anchor = _collect_anchors(emb, F.col("vec_id") == 0)
     pool = (
-        base.filter(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(q))
-        .select(
-            "vec_id",
-            "e",
-            "n2",
-            F.when(qden == 0, F.lit(0.0))
-            .otherwise(_dot(F.col("e"), F.col("qe")) / qden)
-            .alias("rel"),
-        )
+        anchor_cosine_scan(emb.filter(F.col("vec_id") != 0), q_anchor, carry_e=True)
+        .select("vec_id", "e", "n2", F.col("cos").alias("rel"))
         .orderBy(F.col("rel").desc(), "vec_id")
         .limit(MMR_POOL)
         .collect()
