@@ -15,7 +15,7 @@ legitimate cache reuse that a real analytics session gets:
   TPC-H, shingle-dedup, vector-similarity, text-tail, pipelines); each
   chunk runs in a FRESH subprocess (own JVM, 16g heap — local mode
   driver==executor), so no chunk inherits another's heap state and
-  accumulation is bounded at <=9 queries;
+  accumulation is bounded at <=10 queries;
 - each chunk session pays an untimed warm-up — a tiny read, a
   mapInPandas no-op (the Python worker-pool fork costs ~4 s on first
   Arrow use), and one untimed run of the chunk's FIRST query (whole-
