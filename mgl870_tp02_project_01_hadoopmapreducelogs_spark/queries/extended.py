@@ -14,7 +14,7 @@ from . import load, register
 from .logpipe import TEMPLATES_SQL
 
 
-def _scratch_dir(spark: SparkSession, tag: str) -> str:
+def _scratch_dir(tag: str) -> str:
     """Stable per-process scratch path for sink-roundtrip queries.
     Every write under it uses mode('overwrite'), so repeated
     invocations (bench warm-up + samples, repeated driver checks)
@@ -290,6 +290,12 @@ def pq_fit(emb: DataFrame, m: int = 16, ksub: int = 16):
 
     rows = emb.orderBy("vec_id").limit(PQ_FIT_CAP).collect()
     sample = np.array([r.e for r in rows], dtype=np.float64)
+    if sample.ndim != 2 or sample.shape[1] % m != 0:
+        raise ValueError(
+            f"pq_fit: embedding dim {sample.shape[-1] if sample.ndim == 2 else '?'} "
+            f"must be divisible by m={m} (the BLAS encode reshapes to "
+            "(n, m, dsub); pad or pick m | dim)"
+        )
     dsub = sample.shape[1] // m
     books = [
         _lloyd(sample[:, j * dsub : (j + 1) * dsub], ksub, seed=42 + j)
@@ -782,7 +788,7 @@ def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a stable path mode("overwrite") reclaims the previous invocation's
     # copy — bench warm-up + samples would otherwise stack several
     # gzipped corpus copies in /tmp per run
-    base = _scratch_dir(spark, "sg_jsonl")
+    base = _scratch_dir("sg_jsonl")
     docs.write.mode("overwrite").option("compression", "gzip").json(
         f"{base}/corpus"
     )
@@ -821,7 +827,7 @@ def s4_s5_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .logpipe import _masked
 
     catalog = mining.mine_exact(_masked(spark, sf_dir))
-    base = _scratch_dir(spark, "sg_sinks")
+    base = _scratch_dir("sg_sinks")
     sinks.write_csv(catalog.select("cluster_id", "size", "template"), f"{base}/csv")
     sinks.write_catalog(catalog, f"{base}/parquet")
     csv_back = (

@@ -67,13 +67,18 @@ def anchor_cosine_scan(
     lesson as the SemDeDup/PQ/entropy rewrites)."""
     import numpy as np
 
+    schema = "anchor_id long, vec_id long, cos double"
+    if carry_e:
+        schema += ", e array<bigint>, n2 double"
+    if not anchors:
+        # no anchors -> no pairs; mirror the empty result the broadcast
+        # crossJoin formulation produced (e.g. the query vector's id is
+        # absent from a filtered corpus)
+        return base.sparkSession.createDataFrame([], schema)
     A = np.array([e for _, e in anchors], dtype="float64")
     aid = np.array([i for i, _ in anchors], dtype="int64")
     an = np.sqrt((A * A).sum(axis=1))
     k = len(aid)
-    schema = "anchor_id long, vec_id long, cos double"
-    if carry_e:
-        schema += ", e array<bigint>, n2 double"
 
     def scan(batches):
         import pandas as pd
@@ -755,32 +760,6 @@ def semdedup_parts(
         "cent_cos double",
     )
 
-    def drop_ids(pdf):
-        import numpy as np
-        import pandas as pd
-
-        pdf = pdf.sort_values("vec_id")
-        ids = pdf["vec_id"].to_numpy()
-        if len(ids) < 2:
-            return pd.DataFrame({"vec_id": []}).astype({"vec_id": "int64"})
-        cent = pdf["cent_cos"].to_numpy()
-        # float64 gram is exact here (integer products/sums < 2^53) and
-        # bit-identical to the oracle's list arithmetic — see
-        # embedding_near_pairs for the argument
-        u = np.stack(pdf["e"].to_numpy()).astype("float64")
-        g = u @ u.T
-        nrm = np.sqrt(np.diagonal(g))
-        den = np.outer(nrm, nrm)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            cos = np.where(den == 0, 0.0, g / den)
-        ia, ib = np.triu_indices(len(ids), k=1)  # sorted ids -> a < b
-        keep = cos[ia, ib] >= threshold
-        ia, ib = ia[keep], ib[keep]
-        # keep the member least similar to the centroid (paper's rule);
-        # tie -> keep the smaller vec_id (a < b by construction)
-        drop = np.where(cent[ia] <= cent[ib], ids[ib], ids[ia])
-        return pd.DataFrame({"vec_id": drop}).astype({"vec_id": "int64"})
-
     dropped = _semdedup_drop_stage(assigned, threshold)
     return assigned, dropped
 
@@ -833,7 +812,8 @@ def _semdedup_drop_stage(assigned: DataFrame, threshold: float) -> DataFrame:
                  WHERE vec_id % {PLANT_EVERY} = 0) AS BIGINT) AS n_vectors,
            TRUE AS cells_at_most_k,
            TRUE AS every_vector_assigned_once,
-           TRUE AS dropped_one_per_planted_pair
+           TRUE AS drops_only_planted_pair_members,
+           TRUE AS some_duplicates_dropped
     """,
     doc="SemDeDup with the PROMISED 100 TB quantizer: spark.ml KMeans "
     f"centroids (k={SEM_K}, distributed fit) replace dedup_semdedup's "
@@ -846,76 +826,26 @@ def _semdedup_drop_stage(assigned: DataFrame, threshold: float) -> DataFrame:
     "n_vectors is VALUE-checked against DuckDB's independent count "
     "of corpus + planted twins (a mapInPandas stage that drops or "
     "duplicates a row breaks the hash), cell count must not exceed "
-    "k, every vector is assigned exactly once, and the drop set must "
-    "be exactly one member of each planted near-identical pair "
-    "(cos ~0.9999 twins land in one euclidean cell regardless of "
-    "carving; max non-planted pair cos ~0.51 stays below the 0.9 "
-    "duplicate threshold).",
+    "k, every vector is assigned exactly once, every dropped id is a "
+    "planted-pair member (max non-planted pair cos ~0.51 stays far "
+    "below the 0.9 duplicate threshold REGARDLESS of carving), and at "
+    "least one duplicate drops. The stronger 'exactly one drop per "
+    "planted pair' property — true whenever no cell boundary splits a "
+    "twin pair — is deliberately pytest-scoped "
+    "(tests/test_vectors.py), not oracle-pinned: a KMeans boundary "
+    "grazing one of the ~80 pairs on a future testdata refresh should "
+    "fail a test, not the driver's correctness artifact.",
 )
 def dedup_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    b0 = load(spark, sf_dir, "embeddings").select(
-        "vec_id", _int_emb(F.col("embedding")).alias("e")
-    )
-    base = _with_planted(b0).withColumn(
-        "n2", _dot(F.col("e"), F.col("e"))
-    )
-    with_vec = base.withColumn(
-        "v", array_to_vector(F.col("e").cast("array<double>"))
-    )
-    km = KMeans(
-        k=SEM_K, seed=42, featuresCol="v", predictionCol="cell"
-    ).fit(with_vec)
-
-    # centroid table is model-scale: broadcast-join it and form the
-    # centroid cosine in one codegen'd expression (same op order as the
-    # seed variant: sqrt, multiply, divide)
-    centers = spark.createDataFrame(
-        [
-            (i, [float(x) for x in c])
-            for i, c in enumerate(km.clusterCenters())
-        ],
-        "cell int, c array<double>",
-    )
-    cent_dot = F.aggregate(
-        F.zip_with("e", "c", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    cent_n2 = F.aggregate(
-        F.transform("c", lambda y: y * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    assigned = (
-        km.transform(with_vec)
-        .join(F.broadcast(centers), "cell")
-        .select(
-            "vec_id",
-            "e",
-            (F.col("cell") + 1).cast("long").alias("cluster"),
-            F.when(
-                F.sqrt(F.col("n2")) * F.sqrt(cent_n2) == 0, F.lit(0.0)
-            )
-            .otherwise(cent_dot / (F.sqrt(F.col("n2")) * F.sqrt(cent_n2)))
-            .alias("cent_cos"),
-        )
-    )
-    dropped = _semdedup_drop_stage(assigned, SEM_COS_TH)
-
+    assigned, dropped = semdedup_kmeans_parts(spark, sf_dir)
+    assigned = assigned.cache()  # drop stage + invariant rollup reuse it
     drops = {r.vec_id for r in dropped.collect()}
-    planted_orig = {
-        r.vec_id
-        for r in b0.filter(F.col("vec_id") % PLANT_EVERY == 0)
-        .select("vec_id")
-        .collect()
-    }
-    pair_ok = len(drops) == len(planted_orig) and all(
-        (v % PLANT_EVERY == 0) or (v >= PLANT_OFFSET and (v - PLANT_OFFSET) % PLANT_EVERY == 0)
-        for v in drops
-    ) and len({v % PLANT_OFFSET for v in drops}) == len(planted_orig)
+
+    def is_pair_member(v: int) -> bool:
+        return (v % PLANT_EVERY == 0 and v < PLANT_OFFSET) or (
+            v >= PLANT_OFFSET and (v - PLANT_OFFSET) % PLANT_EVERY == 0
+        )
+
     stats = (
         assigned.groupBy("vec_id")
         .agg(F.count(F.lit(1)).alias("n_assign"))
@@ -925,20 +855,72 @@ def dedup_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .first()
     )
-    n_cells = assigned.select("cluster").distinct().count()
+    n_cells = assigned.agg(F.countDistinct("cluster")).first()[0]
+    assigned.unpersist()
     return spark.createDataFrame(
         [
             (
                 stats["n_vectors"],
                 n_cells <= SEM_K,
                 stats["max_assign"] == 1,
-                bool(pair_ok),
+                all(is_pair_member(v) for v in drops),
+                len(drops) > 0,
             )
         ],
         "n_vectors long, cells_at_most_k boolean, "
         "every_vector_assigned_once boolean, "
-        "dropped_one_per_planted_pair boolean",
+        "drops_only_planted_pair_members boolean, "
+        "some_duplicates_dropped boolean",
     )
+
+
+def semdedup_kmeans_parts(
+    spark: SparkSession, sf_dir: str, k: int = SEM_K
+):
+    """The KMeans-quantized SemDeDup pipeline before the invariant
+    rollup: returns ``(assigned, dropped)`` — mirrors
+    ``semdedup_parts`` so tests can assert the STRONG drop property
+    (exactly one drop per planted pair) that the registered invariant
+    deliberately relaxes, and so scale runs can pass the
+    K ~ N/target_cell_size rule."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    b0 = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _int_emb(F.col("embedding")).alias("e")
+    )
+    base = _with_planted(b0).withColumn("n2", _dot(F.col("e"), F.col("e")))
+    with_vec = base.withColumn(
+        "v", array_to_vector(F.col("e").cast("array<double>"))
+    )
+    km = KMeans(
+        k=k, seed=42, featuresCol="v", predictionCol="cell"
+    ).fit(with_vec)
+
+    # centroid table is model-scale: broadcast-join it and form the
+    # centroid cosine with the module's shared helpers (same op order
+    # as the seed variant: sqrt, multiply, divide)
+    centers = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())],
+        "cell int, c array<double>",
+    )
+    assigned = (
+        km.transform(with_vec)
+        .join(F.broadcast(centers), "cell")
+        .select(
+            "vec_id",
+            "e",
+            (F.col("cell") + 1).cast("long").alias("cluster"),
+            _cos_pre(
+                F.col("e"),
+                F.col("c"),
+                F.sqrt(F.col("n2")),
+                F.sqrt(_dot(F.col("c"), F.col("c"))),
+            ).alias("cent_cos"),
+        )
+    )
+    dropped = _semdedup_drop_stage(assigned, SEM_COS_TH)
+    return assigned, dropped
 
 
 # --- MMR diversified top-k -----------------------------------------------------

@@ -221,23 +221,37 @@ def test_semdedup_matches_numpy_ground_truth(spark):
 def test_semdedup_kmeans_invariants_hold_at_other_scale(spark):
     """The dedup_semdedup_kmeans invariants are registered (and driver-
     hashed) at sf0.01; re-assert them at sf0.001 so they are properties
-    of the ALGORITHM, not artifacts of one corpus: every vector
-    assigned exactly once, at most K cells, and the drop set is exactly
-    one member of each planted near-identical pair regardless of how
-    KMeans carves the space."""
+    of the ALGORITHM, not artifacts of one corpus — plus the STRONG
+    drop property (exactly one drop per planted pair) that the
+    registered invariant deliberately relaxes to stay robust against a
+    KMeans cell boundary grazing a twin pair on some future corpus: a
+    split pair should fail THIS test, not the driver's artifact."""
     from mgl870_tp02_project_01_hadoopmapreducelogs_spark.queries import REGISTRY
+    from mgl870_tp02_project_01_hadoopmapreducelogs_spark.queries.vectorops import (
+        PLANT_EVERY,
+        PLANT_OFFSET,
+        semdedup_kmeans_parts,
+    )
 
     row = REGISTRY["dedup_semdedup_kmeans"].run(spark, SF_DIR).first()
     n_raw = spark.read.parquet(SF_DIR + "/embeddings.parquet").count()
     n_planted = (
         spark.read.parquet(SF_DIR + "/embeddings.parquet")
-        .filter("vec_id % 25 = 0")
+        .filter(f"vec_id % {PLANT_EVERY} = 0")
         .count()
     )
     assert row.n_vectors == n_raw + n_planted
     assert row.cells_at_most_k
     assert row.every_vector_assigned_once
-    assert row.dropped_one_per_planted_pair
+    assert row.drops_only_planted_pair_members
+    assert row.some_duplicates_dropped
+
+    # strong form: on THIS corpus no cell boundary splits a twin pair,
+    # so exactly one member of every planted pair drops
+    _, dropped = semdedup_kmeans_parts(spark, SF_DIR)
+    drops = {r.vec_id for r in dropped.collect()}
+    assert len(drops) == n_planted
+    assert len({v % PLANT_OFFSET for v in drops}) == n_planted
 
 
 def test_mmr_matches_numpy_ground_truth(spark):
