@@ -531,21 +531,35 @@ def simhash_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def simhash_near_pairs(hashes: DataFrame, max_hamming: int = 2) -> DataFrame:
-    """Near-dup pairs by 1-bit-neighbor bucket probing.
+    """Near-dup pairs by 1-bit-neighbor bucket probing over DISTINCT
+    fingerprints.
 
-    Each doc is emitted under 33 bucket keys — its simhash plus every
-    1-bit flip. Two docs at hamming distance d share a key iff d ≤ 2
-    (d=0: same hash; d=1: one's neighbor is the other's hash; d=2:
-    flipping one differing bit on each side meets in the middle), so
-    the bucket equi-join finds ALL pairs with d ≤ 2 without an O(n²)
-    cross join; an exact ``bit_count(xor)`` filter then enforces
-    ``max_hamming``. The 33× expansion is on doc-level fingerprints
-    (one row per document), never on tokens — cheap at any corpus size.
+    Probing runs at the FINGERPRINT level: each distinct simhash is
+    emitted under 33 bucket keys — itself plus every 1-bit flip. Two
+    hashes at hamming distance d share a key iff d ≤ 2 (d=0: same
+    hash; d=1: one's neighbor is the other; d=2: flipping one
+    differing bit on each side meets in the middle), so the bucket
+    equi-join finds ALL fingerprint pairs with d ≤ 2 without an O(n²)
+    cross join; ``bit_count(xor)`` then enforces ``max_hamming``
+    exactly. Doc pairs come from expanding the (tiny) fingerprint-pair
+    table against the fp→doc membership, plus direct same-fingerprint
+    (hamming 0) pairs.
+
+    Why distinct-first matters at scale (round-6 lesson, measured at
+    100x / 500k docs where perturbed near-copies collapse to 97k
+    distinct fingerprints with identical-fp groups of ~2300 docs): the
+    earlier doc-level probing rediscovered every within-group pair in
+    ALL 33 buckets — a 33× duplicated, quadratic candidate stream that
+    a doc-pair `distinct()` then had to absorb (215s; this shape runs
+    in ~25s with the same output). The pair OUTPUT is still inherently
+    quadratic in duplicate-group size — that is the query's answer —
+    but no work is duplicated getting there; group-level consumers
+    should use dedup_minhash_groups-style semantics instead.
     """
     if max_hamming > 2:
         raise ValueError("1-bit probing only guarantees pairs at hamming <= 2")
-    keys = hashes.select(
-        "doc_id",
+    fps = hashes.select("simhash").distinct()
+    keys = fps.select(
         "simhash",
         F.explode(
             F.array(
@@ -557,24 +571,51 @@ def simhash_near_pairs(hashes: DataFrame, max_hamming: int = 2) -> DataFrame:
             )
         ).alias("bucket"),
     )
-    a = keys.select(
-        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"), "bucket"
-    )
-    b = keys.select(
-        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"), "bucket"
-    )
-    pairs = (
-        a.join(b, "bucket")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "ha", "hb")
-        .distinct()
-    )
+    fa = keys.select(F.col("simhash").alias("ha"), "bucket")
+    fb = keys.select(F.col("simhash").alias("hb"), "bucket")
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return (
-        pairs.withColumn("hamming", ham.cast("long"))
+    fp_pairs = (
+        fa.join(fb, "bucket")
+        .filter(F.col("ha") < F.col("hb"))
+        .select("ha", "hb")
+        .distinct()
+        .withColumn("hamming", ham.cast("long"))
         .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
     )
+    m = hashes.select("doc_id", "simhash")
+    # add the self-pair (h, h, hamming 0) rows so same-fingerprint doc
+    # pairs fall out of the same expansion as cross-fingerprint ones
+    fp_pairs = fp_pairs.unionByName(
+        fps.select(
+            F.col("simhash").alias("ha"),
+            F.col("simhash").alias("hb"),
+            F.lit(0).cast("long").alias("hamming"),
+        )
+    )
+    # expand the (fingerprint-level, sublinear — broadcastable at any
+    # corpus size) pair table against membership: two broadcast hash
+    # joins, map-only over the cached fingerprints, no doc-level
+    # distinct needed (fp_pairs is distinct, docs unique per fp). For
+    # self-pairs da<db picks each unordered doc pair once; for ha<hb
+    # pairs the doc sets are disjoint and least/greatest orders them.
+    cross = (
+        F.broadcast(fp_pairs)
+        .join(
+            m.select(F.col("doc_id").alias("da"), F.col("simhash").alias("ha")),
+            "ha",
+        )
+        .join(
+            m.select(F.col("doc_id").alias("db"), F.col("simhash").alias("hb")),
+            "hb",
+        )
+        .filter((F.col("ha") != F.col("hb")) | (F.col("da") < F.col("db")))
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "hamming",
+        )
+    )
+    return cross
 
 
 # DuckDB lacks hex->int, so the oracle extracts each of the 32 hash bits
