@@ -15,6 +15,10 @@ def test_headline_names_resolve_and_are_unique():
     assert len(set(HEADLINE)) == len(HEADLINE), "duplicate headline query"
     missing = [n for n in HEADLINE if n not in REGISTRY]
     assert not missing, f"headline names not in REGISTRY: {missing}"
+    # shared-session noise bound: r5 measured visible per-query signal
+    # degradation at 11 queries/chunk; keep every chunk at <=10
+    oversized = [c[0] for c in CHUNKS if len(c) > 10]
+    assert not oversized, f"chunk too large (noise bound): {oversized}"
 
 
 def test_driver_window_is_oracle_bearing_and_stable():
