@@ -176,16 +176,21 @@ _PRIORITY = [
     "streaming_new_template_feed", "streaming_drain_invariants",
     "streaming_static_enrichment", "streaming_stream_stream_join",
     "streaming_dedup_exact",
-    # (c) r3 dedup/vector entries (embedding_planted re-hashed after the
-    # round-6 pre-alias perturbation fix)
+    # (c) r3 dedup/vector entries (embedding_planted and simhash
+    # re-hashed after their round-6 rewrites), plus the round-6
+    # addition dedup_semdedup_kmeans so it carries driver evidence in
+    # its birth round instead of a round of debt (it takes the slot of
+    # sim_label_centroids — a stable r3 green whose posexplode+hash-agg
+    # family is re-confirmed via window_rank/a7 neighbors, now head of
+    # the round-7 queue)
     "dedup_minhash_groups", "dedup_simhash", "dedup_connected_components",
-    "dedup_embedding_planted", "sim_label_centroids",
+    "dedup_embedding_planted", "dedup_semdedup_kmeans",
     # --- driver window ends at 50 entries; rotation queue for round 7:
-    # the 12 r3-stale entries deferred above (text family + keep_best /
-    # lsh_recall / quantized_topk), then the r4 greens as they turn 2
-    # rounds old (f-family, t1a/t1b/t2/t4, w1/w2, k1_k2, ml invariant
-    # companions, multimodal byte stats, pipeline recipes), then the
-    # round-6 additions (dedup_semdedup_kmeans) once registered.
+    # sim_label_centroids (deferred above), the 12 r3-stale entries
+    # deferred earlier (text family + keep_best / lsh_recall /
+    # quantized_topk), then the r4 greens as they turn 2 rounds old
+    # (f-family, t1a/t1b/t2/t4, w1/w2, k1_k2, ml invariant companions,
+    # multimodal byte stats, pipeline recipes).
 ]
 
 

@@ -59,6 +59,6 @@ def test_driver_window_is_oracle_bearing_and_stable():
         "streaming_dedup_exact",
         "dedup_embedding_planted",
         "dedup_connected_components",
-        "sim_label_centroids",
+        "dedup_semdedup_kmeans",
     ):
         assert must in window, f"{must} fell out of the driver window"
