@@ -186,11 +186,12 @@ _PRIORITY = [
     "dedup_minhash_groups", "dedup_simhash", "dedup_connected_components",
     "dedup_embedding_planted", "dedup_semdedup_kmeans",
     # --- driver window ends at 50 entries; rotation queue for round 7:
-    # sim_label_centroids (deferred above), the 12 r3-stale entries
-    # deferred earlier (text family + keep_best / lsh_recall /
-    # quantized_topk), then the r4 greens as they turn 2 rounds old
-    # (f-family, t1a/t1b/t2/t4, w1/w2, k1_k2, ml invariant companions,
-    # multimodal byte stats, pipeline recipes).
+    # sim_ivf_seeded_topk (round-6 addition, full hard oracle, local
+    # gate green), sim_label_centroids (deferred above), the 12
+    # r3-stale entries deferred earlier (text family + keep_best /
+    # lsh_recall / quantized_topk), then the r4 greens as they turn 2
+    # rounds old (f-family, t1a/t1b/t2/t4, w1/w2, k1_k2, ml invariant
+    # companions, multimodal byte stats, pipeline recipes).
 ]
 
 

@@ -258,6 +258,151 @@ def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- IVF with an engine-deterministic quantizer (full hard oracle) -----------
+
+IVF_SEED_K = 8
+IVF_SEED_NPROBE = 2
+
+_IVF_COS = (
+    "CASE WHEN sqrt({na}) * sqrt({nb}) = 0 THEN 0.0 "
+    "ELSE list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(p[1]*p[2] AS DOUBLE))) / (sqrt({na}) * sqrt({nb})) END"
+)
+
+_IVF_SEEDED_SQL = f"""
+    WITH b0 AS (SELECT vec_id,
+        list_transform(embedding,
+            x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS e
+        FROM embeddings),
+    withn AS (
+        SELECT vec_id, e,
+               list_sum(list_transform(e, x -> CAST(x*x AS DOUBLE))) AS n2
+        FROM b0
+    ),
+    seeds AS (
+        SELECT seed_rank, e AS se, n2 AS sn2
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS seed_rank
+              FROM withn)
+        WHERE seed_rank <= {IVF_SEED_K}
+    ),
+    q AS (SELECT e AS qe, n2 AS qn2 FROM withn WHERE vec_id = 0),
+    assigned AS (
+        SELECT vec_id, e, n2, seed_rank AS cell FROM (
+            SELECT v.vec_id, v.e, v.n2, s.seed_rank,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                       {_IVF_COS.format(a="v.e", b="s.se", na="v.n2", nb="s.sn2")}
+                       DESC, s.seed_rank) AS rnk
+            FROM withn v, seeds s) WHERE rnk = 1
+    ),
+    probe AS (
+        SELECT seed_rank AS cell FROM (
+            SELECT s.seed_rank,
+                   {_IVF_COS.format(a="q.qe", b="s.se", na="q.qn2", nb="s.sn2")}
+                     AS qcos
+            FROM seeds s, q
+            ORDER BY qcos DESC, s.seed_rank LIMIT {IVF_SEED_NPROBE})
+    )
+    SELECT vec_id,
+           ROUND({_IVF_COS.format(a="a.e", b="q.qe", na="a.n2", nb="q.qn2")}, 4)
+             AS cos
+    FROM assigned a JOIN probe p ON a.cell = p.cell, q
+    WHERE a.vec_id != 0
+    ORDER BY {_IVF_COS.format(a="a.e", b="q.qe", na="a.n2", nb="q.qn2")} DESC,
+             vec_id
+    LIMIT 10
+"""
+
+
+@register(
+    "sim_ivf_seeded_topk",
+    _IVF_SEEDED_SQL,
+    doc="IVF ANN under an ENGINE-DETERMINISTIC quantizer, as a FULL "
+    f"hard oracle: cells are the corpus's {IVF_SEED_K} md5-order seed "
+    "vectors (the dedup_semdedup trick applied to similarity search), "
+    f"the query probes its nprobe={IVF_SEED_NPROBE} best cells, and "
+    "probed candidates rescore exactly — assignment argmax, probe "
+    "order, and the final top-10 are all formed from exact-integer "
+    "cosines with one shared op order, so the whole IVF pipeline "
+    "hash-checks against DuckDB's unrolled twin. Completes the IVF "
+    "duality: sim_ivf_topk keeps the production spark.ml KMeans "
+    "quantizer (rows-only + recall invariant), this entry pins the "
+    "identical plan SHAPE under a quantizer both engines can compute. "
+    "Spark shape: ONE Arrow-batched map pass computes the 8-seed "
+    "assignment argmax AND the query cosine per row (seed matrix and "
+    "query vector as closures — zero exchanges, the faiss IVF-scan "
+    "shape), then a pushable cell filter + TakeOrdered(10). At 100 TB "
+    "cell ids are materialized at ingest and the filter prunes "
+    "cell-partitioned files before the scan.",
+)
+def sim_ivf_seeded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from .vectorops import _int_emb
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _int_emb(F.col("embedding")).alias("e")
+    )
+    # seeds: md5-order TakeOrdered + bounded collect (model-scale state,
+    # same footing as IVF/PQ codebooks)
+    seed_rows = (
+        emb.select("vec_id", "e", F.md5(F.col("vec_id").cast("string")).alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(IVF_SEED_K)
+        .collect()
+    )
+    S = np.array([r.e for r in seed_rows], dtype="float64")
+    sn = np.sqrt((S * S).sum(axis=1))
+    q_hit = emb.filter(F.col("vec_id") == 0).first()
+    if q_hit is None:
+        raise ValueError("sim_ivf_seeded_topk: query vec_id 0 not found")
+    qe = np.array(q_hit["e"], dtype="float64")
+    qn = np.sqrt(float(qe @ qe))
+
+    # probe cells: driver-side over the bounded seed set, same
+    # arithmetic as the oracle (exact-integer dots; ties -> lower rank,
+    # which stable argsort on (-qcos, rank) delivers)
+    sd = S @ qe
+    sden = sn * qn
+    with np.errstate(divide="ignore", invalid="ignore"):
+        qcos_seeds = np.where(sden == 0, 0.0, sd / sden)
+    probe = [
+        int(i) + 1
+        for i in sorted(range(IVF_SEED_K), key=lambda i: (-qcos_seeds[i], i))[
+            :IVF_SEED_NPROBE
+        ]
+    ]
+
+    def scan(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            u = np.stack(pdf["e"].to_numpy()).astype("float64")
+            n2 = (u * u).sum(axis=1)
+            nrm = np.sqrt(n2)
+            den = nrm[:, None] * sn[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(den == 0.0, 0.0, (u @ S.T) / den)
+            # first max = smallest seed rank on ties (oracle row_number)
+            cell = cos.argmax(axis=1) + 1
+            qden = nrm * qn
+            with np.errstate(divide="ignore", invalid="ignore"):
+                qcos = np.where(qden == 0.0, 0.0, (u @ qe) / qden)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "cell": cell, "qcos": qcos}
+            )
+
+    scanned = emb.mapInPandas(scan, "vec_id long, cell int, qcos double")
+    return (
+        scanned.filter(F.col("cell").isin(probe) & (F.col("vec_id") != 0))
+        .orderBy(F.col("qcos").desc(), "vec_id")
+        .limit(10)
+        .select("vec_id", F.round("qcos", 4).alias("cos"))
+    )
+
+
 # --- product-quantization ANN ------------------------------------------------
 
 PQ_FIT_CAP = 4096  # sample size for codebook training: model-scale, like

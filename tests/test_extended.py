@@ -164,3 +164,18 @@ def test_pq_materialized_codes_scan_reads_only_codes(spark, tmp_path):
     assert [(r.vec_id, r.cos) for r in got] == [
         (r.vec_id, r.cos) for r in want
     ]
+
+
+def test_ivf_seeded_topk_recall_vs_exact(spark):
+    """The seeded-quantizer IVF is a FULL hash oracle for the pipeline,
+    but it must also stay honest as an ANN: its nprobe=2 top-10 must
+    recover at least half of the exact brute-force top-10."""
+    from mgl870_tp02_project_01_hadoopmapreducelogs_spark.queries import (
+        REGISTRY,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    got = {r.vec_id for r in REGISTRY["sim_ivf_seeded_topk"].run(spark, sf).collect()}
+    exact = {r.vec_id for r in REGISTRY["sim_cosine_topk"].run(spark, sf).collect()}
+    assert len(got) == 10
+    assert len(got & exact) >= 5, f"recall {len(got & exact)}/10"
