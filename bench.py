@@ -3,7 +3,16 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total_sec>, "unit": "sec",
-   "queries": {"<name>": sec, ...}, "sf": <sf>}
+   "queries": {"<name>": sec, ...}, "sf": <sf>,
+   "calibration_probe_ms": [per-chunk fixed matmul, ms]}
+
+calibration_probe_ms is a fixed single-thread 512^3 float64 matmul
+(min-of-3) timed at the END of each chunk, in chunk order. It exists
+because round 6 caught the IDENTICAL commit measuring 0.63s vs 1.21s
+for the same query in different hours with /proc/stat showing zero
+external load both times — hypervisor-level dilation no local gate can
+see. Compare a round's probes position-for-position against another
+round's before attributing wall-time drift to a plan change.
 
 Methodology (reproducibility-first). The round-2 artifact proved that
 one 39-query session accumulates cached blocks + JVM heap pressure that
@@ -188,7 +197,30 @@ def run_chunk(names: list[str], sf_dir: str) -> None:
         while max(samples) / min(samples) > 1.5 and len(samples) < 5:
             samples.append(run(name))
         times[name] = round(min(samples), 3)
+    times["__probe_ms__"] = _cpu_probe_ms()
     print(json.dumps(times), flush=True)
+
+
+def _cpu_probe_ms() -> float:
+    """Fixed single-thread CPU calibration probe (min-of-3 512^3 float64
+    matmuls, ~20-40ms each): recorded per chunk as ``__probe_ms__`` so
+    cross-round wall-time comparisons can separate host-performance
+    drift from plan regressions. Motivation (round 6): the IDENTICAL
+    commit measured t1a at 0.63s and 1.21s in different hours with
+    /proc/stat showing 0% external busy both times — hypervisor-level
+    dilation that no local gate can see. If a round's probe is 1.5-2x
+    another's, its wall numbers are dilated by the host, not the code."""
+    import time as _time
+
+    import numpy as np
+
+    a = np.ones((512, 512), dtype="float64") * 1.0001
+    best = float("inf")
+    for _ in range(3):
+        t0 = _time.perf_counter()
+        (a @ a).sum()
+        best = min(best, _time.perf_counter() - t0)
+    return round(best * 1000, 2)
 
 
 def _external_busy_frac(window_s: float = 2.0) -> float:
@@ -261,6 +293,7 @@ def main() -> None:
     # make_scaled_data 100x runs, where single queries reach minutes)
     chunk_timeout = int(os.environ.get("SPARK_GRAFT_BENCH_TIMEOUT", "900"))
     times: dict[str, float] = {}
+    probes: list[float] = []
     for names in CHUNKS:
         _wait_for_quiet_machine()
         # one retry per chunk: a timeout or malformed output should cost
@@ -307,8 +340,13 @@ def main() -> None:
             # a chunk result must cover exactly its names — a truncated-
             # but-parsable earlier line (partial dict) would otherwise
             # surface later as a bare KeyError that names no chunk
+            probe = None
+            if isinstance(parsed, dict):
+                probe = parsed.pop("__probe_ms__", None)
             if isinstance(parsed, dict) and set(parsed) == set(names):
                 times.update(parsed)
+                if probe is not None:
+                    probes.append(probe)
                 break
             got = sorted(parsed) if isinstance(parsed, dict) else None
             sys.stderr.write(
@@ -334,6 +372,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # fixed single-thread matmul per chunk (ms): compare
+                # across rounds to separate host-performance dilation
+                # from plan regressions (see _cpu_probe_ms)
+                "calibration_probe_ms": probes,
             }
         )
     )
