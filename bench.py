@@ -4,15 +4,19 @@
 Prints ONE JSON line:
   {"metric": "...", "value": <total_sec>, "unit": "sec",
    "queries": {"<name>": sec, ...}, "sf": <sf>,
-   "calibration_probe_ms": [per-chunk fixed matmul, ms]}
+   "calibration_probe_ms": [per-chunk fixed matmul, ms],
+   "calibration_jvm_probe_ms": [per-chunk fixed codegen agg, ms]}
 
-calibration_probe_ms is a fixed single-thread 512^3 float64 matmul
-(min-of-3) timed at the END of each chunk, in chunk order. It exists
-because round 6 caught the IDENTICAL commit measuring 0.63s vs 1.21s
-for the same query in different hours with /proc/stat showing zero
-external load both times — hypervisor-level dilation no local gate can
-see. Compare a round's probes position-for-position against another
-round's before attributing wall-time drift to a plan change.
+The calibration probes are fixed workloads timed at the END of each
+chunk, in chunk order: a single-thread 512^3 float64 matmul (min-of-3)
+and a whole-stage-codegen sum over an in-memory 50M range (min-of-2,
+exercises the JVM exactly like the queries). They exist because round
+6 caught the IDENTICAL commit measuring 0.63s vs 1.21s for the same
+query in different hours with /proc/stat showing zero external load
+both times — hypervisor-level dilation no local gate can see (observed
+probe swings in the same session: 2ms vs 66ms matmul). Compare a
+round's probes position-for-position against another round's before
+attributing wall-time drift to a plan change.
 
 Methodology (reproducibility-first). The round-2 artifact proved that
 one 39-query session accumulates cached blocks + JVM heap pressure that
@@ -198,6 +202,18 @@ def run_chunk(names: list[str], sf_dir: str) -> None:
             samples.append(run(name))
         times[name] = round(min(samples), 3)
     times["__probe_ms__"] = _cpu_probe_ms()
+    # JVM-side twin of the numpy probe: a fixed whole-stage-codegen
+    # aggregate over an in-memory range (no IO). The numpy matmul can
+    # read "healthy" while JVM thread scheduling is dilated — round 6
+    # observed identical-code bench totals drift 0.96x -> 1.21x across
+    # one night while matmul probes stayed flat; this probe dilates
+    # WITH the queries, so it is the one to trust for JVM wall-time.
+    t0 = time.perf_counter()
+    spark.range(50_000_000).selectExpr("sum(id % 97) AS s").collect()
+    jvm1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    spark.range(50_000_000).selectExpr("sum(id % 97) AS s").collect()
+    times["__jvm_probe_ms__"] = round(min(jvm1, time.perf_counter() - t0) * 1000, 1)
     print(json.dumps(times), flush=True)
 
 
@@ -294,6 +310,7 @@ def main() -> None:
     chunk_timeout = int(os.environ.get("SPARK_GRAFT_BENCH_TIMEOUT", "900"))
     times: dict[str, float] = {}
     probes: list[float] = []
+    jvm_probes: list[float] = []
     for names in CHUNKS:
         _wait_for_quiet_machine()
         # one retry per chunk: a timeout or malformed output should cost
@@ -340,13 +357,16 @@ def main() -> None:
             # a chunk result must cover exactly its names — a truncated-
             # but-parsable earlier line (partial dict) would otherwise
             # surface later as a bare KeyError that names no chunk
-            probe = None
+            probe = jvm_probe = None
             if isinstance(parsed, dict):
                 probe = parsed.pop("__probe_ms__", None)
+                jvm_probe = parsed.pop("__jvm_probe_ms__", None)
             if isinstance(parsed, dict) and set(parsed) == set(names):
                 times.update(parsed)
                 if probe is not None:
                     probes.append(probe)
+                if jvm_probe is not None:
+                    jvm_probes.append(jvm_probe)
                 break
             got = sorted(parsed) if isinstance(parsed, dict) else None
             sys.stderr.write(
@@ -376,6 +396,7 @@ def main() -> None:
                 # across rounds to separate host-performance dilation
                 # from plan regressions (see _cpu_probe_ms)
                 "calibration_probe_ms": probes,
+                "calibration_jvm_probe_ms": jvm_probes,
             }
         )
     )
