@@ -276,21 +276,22 @@ def _wait_for_quiet_machine(
     quiets we proceed anyway and the artifact is no worse than before."""
     import time as _time
 
-    waited = 0.0
-    while waited < max_wait_s:
+    start = _time.monotonic()
+    while True:
         try:
             busy = _external_busy_frac()
         except OSError:
             return
-        waited += 2.0
         if busy < max_busy:
+            return
+        waited = _time.monotonic() - start
+        if waited >= max_wait_s:
             return
         sys.stderr.write(
             f"bench: external CPU {busy:.0%} >= {max_busy:.0%}; waiting "
             f"for quiet machine ({waited:.0f}/{max_wait_s:.0f}s)\n"
         )
         _time.sleep(8.0)
-        waited += 8.0
 
 
 def main() -> None:
@@ -363,10 +364,11 @@ def main() -> None:
                 jvm_probe = parsed.pop("__jvm_probe_ms__", None)
             if isinstance(parsed, dict) and set(parsed) == set(names):
                 times.update(parsed)
-                if probe is not None:
-                    probes.append(probe)
-                if jvm_probe is not None:
-                    jvm_probes.append(jvm_probe)
+                # always one entry per chunk (None when a child omitted
+                # its probe) so cross-round position-for-position probe
+                # comparison can never silently shift alignment
+                probes.append(probe)
+                jvm_probes.append(jvm_probe)
                 break
             got = sorted(parsed) if isinstance(parsed, dict) else None
             sys.stderr.write(

@@ -14,17 +14,28 @@ from . import load, register
 from .logpipe import TEMPLATES_SQL
 
 
+_SCRATCH_DIRS: set = set()
+
+
 def _scratch_dir(tag: str) -> str:
     """Stable per-process scratch path for sink-roundtrip queries.
     Every write under it uses mode('overwrite'), so repeated
     invocations (bench warm-up + samples, repeated driver checks)
     reclaim the previous copy instead of accumulating fresh mkdtemp
-    trees; the pid suffix keeps concurrent sessions apart."""
+    trees; the pid suffix keeps concurrent sessions apart, and an
+    atexit sweep reclaims the dir when the process ends (bench spawns
+    one subprocess per chunk — without the sweep each left a corpus
+    copy in /tmp)."""
+    import atexit
     import os
+    import shutil
     import tempfile
 
     path = os.path.join(tempfile.gettempdir(), f"{tag}_{os.getpid()}")
     os.makedirs(path, exist_ok=True)
+    if path not in _SCRATCH_DIRS:
+        _SCRATCH_DIRS.add(path)
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
     return path
 
 # --- rollup / grouping sets ---------------------------------------------------

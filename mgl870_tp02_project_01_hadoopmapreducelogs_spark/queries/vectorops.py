@@ -1064,6 +1064,13 @@ def sim_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             score = MMR_LAMBDA * relv[j] - lam2 * div
             if best is None or score > best[1]:
                 best = (j, score)
+        if best is None:
+            raise ValueError(
+                f"sim_mmr_topk: candidate pool exhausted after "
+                f"{len(sel_idx)} of {MMR_K} selections (pool size "
+                f"{len(ids)}; is query vec_id 0 present and the corpus "
+                f">= {MMR_K + 1} vectors?)"
+            )
         j, score = best
         sel_idx.append(j)
         out.append((ids[j], relv[j], score))
