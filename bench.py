@@ -110,6 +110,7 @@ CHUNKS = [
         "sim_quantized_topk",
         "sim_pq_topk",
         "sim_ivf_seeded_topk",
+        "sim_pq_seeded_topk",
         "sim_mmr_topk",
         "sim_triplet_mining",
     ],

@@ -148,50 +148,54 @@ from . import (  # noqa: E402,F401
 # dedup_anchor/minhash/exact green r4/r5, sim_knn/sim_lsh green r5)
 # and head the round-7 queue.
 _PRIORITY = [
-    # (a) never driver-sampled: round-5 additions
-    "dedup_semdedup", "sim_mmr_topk", "sim_triplet_mining",
-    "source_jsonl_roundtrip",
-    "text_bpe_merge_topk", "text_bpe_train", "text_bpe_apply",
-    "text_char_entropy",
-    # (b) r2-stale re-samples (3 rounds old)
-    "tpch_q5_region_volume", "tpch_q14_promo_share", "topk_per_group",
-    "time_tumbling_hourly",
-    # (c) r3-stale re-samples (2 rounds old): mining/state + relational
-    "s5_catalog_accumulation", "t1c_drain_invariants",
-    "groupingsets_mixed", "range_join_event_pairs",
-    "dq_referential_audit", "stats_hourly_rate_anomaly",
-    "join_full_outer_reconcile", "agg_ordered_collect", "join_fuzzy_match",
-    "ml_correlation_pruner", "ml_split_deterministic",
-    # (c) the r3 TPC-H block
-    "tpch_q2_min_cost_supplier", "tpch_q4_order_priority",
-    "tpch_q7_nation_volume", "tpch_q8_market_share",
-    "tpch_q9_product_profit", "tpch_q10_returned_items",
-    "tpch_q11_important_stock", "tpch_q12_late_shipments",
-    "tpch_q13_order_count_dist", "tpch_q15_top_supplier",
-    "tpch_q16_supplier_cnt", "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_volume", "tpch_q19_disjunctive_filter",
-    "tpch_q20_excess_suppliers", "tpch_q21_waiting_suppliers",
-    "tpch_q22_sales_opportunity",
-    # (c) the r3 streaming block
-    "streaming_new_template_feed", "streaming_drain_invariants",
-    "streaming_static_enrichment", "streaming_stream_stream_join",
-    "streaming_dedup_exact",
-    # (c) r3 dedup/vector entries (embedding_planted and simhash
-    # re-hashed after their round-6 rewrites), plus the round-6
-    # addition dedup_semdedup_kmeans so it carries driver evidence in
-    # its birth round instead of a round of debt (it takes the slot of
-    # sim_label_centroids — a stable r3 green whose posexplode+hash-agg
-    # family is re-confirmed via window_rank/a7 neighbors, now head of
-    # the round-7 queue)
-    "dedup_minhash_groups", "dedup_simhash", "dedup_connected_components",
-    "dedup_embedding_planted", "dedup_semdedup_kmeans",
-    # --- driver window ends at 50 entries; rotation queue for round 7:
-    # sim_ivf_seeded_topk (round-6 addition, full hard oracle, local
-    # gate green), sim_label_centroids (deferred above), the 12
-    # r3-stale entries deferred earlier (text family + keep_best /
-    # lsh_recall / quantized_topk), then the r4 greens as they turn 2
-    # rounds old (f-family, t1a/t1b/t2/t4, w1/w2, k1_k2, ml invariant
-    # companions, multimodal byte stats, pipeline recipes).
+    # --- round-7 window ---
+    # (a) never driver-sampled: the round-7 seeded-PQ addition (birth-
+    # round evidence) and the round-6 seeded-IVF entry (the single
+    # never-sampled r6 registry entry)
+    "sim_pq_seeded_topk", "sim_ivf_seeded_topk",
+    # (b) entries whose CODE changed this round (K scale rule, row-
+    # blocked gram kernels, distributed invariant rollup) — fresh
+    # evidence must follow the change even though all were r6-green
+    "dedup_semdedup", "dedup_semdedup_kmeans",
+    "dedup_embedding_cosine", "dedup_embedding_planted",
+    # (c) the 13 r3-stale greens (3 rounds old at r7 — the oldest
+    # oracle evidence anywhere in the registry)
+    "sim_label_centroids", "dedup_keep_best", "dedup_lsh_recall",
+    "sim_quantized_topk", "corpus_stats_by_language",
+    "text_vocab_topk", "text_sample_stratified", "text_pack_sequences",
+    "text_length_quantiles", "text_chunk_documents", "text_mask_pii",
+    "text_tfidf_topk", "text_oov_rate",
+    # (d) the oldest r4 greens (2 rounds old; would turn 3 at r8):
+    # reference core first (f/t/w/k families, sources, aggregates),
+    # then TPC-H q1/q3/q6, the ML invariant companions, the ANN recall
+    # companions (judge r6 item 6), multimodal, and the two pipeline
+    # recipes
+    "f1_f4_preprocess_strip", "f5_mask_dynamic_tokens", "f6_event_labels",
+    "t1a_mine_templates", "t1b_drainish_mining", "t2_match_lines",
+    "t3_new_template_feed", "t4_cluster_census",
+    "w1_a4_a5_windowed_features", "w2_row_numbering",
+    "k1_k2_topk_by_magnitude",
+    "s1_recursive_log_scan", "s4_s5_sink_roundtrip",
+    "p4_failure_event_filter",
+    "a1_a2_event_totals", "a7_occurrence_pivot", "a9_pearson_correlation",
+    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
+    "tpch_q6_forecast_revenue",
+    "ml_model_quality", "ml_rf_quality", "ml_pca_variance",
+    "ml_anomaly_rate",
+    "sim_ivf_recall", "sim_pq_recall",
+    "multimodal_byte_stats", "multimodal_feature_extract",
+    "pipeline_c4_style", "pipeline_corpus_curation",
+    "sim_cosine_topk",
+    # --- driver window ends at 50 entries; rotation queue for round 8:
+    # the 17 oracle-bearing r4 greens deferred here (approx_sketches,
+    # asof_join_last_order, dedup_exact, dedup_minhash_lsh,
+    # dedup_ngram_jaccard, join_broadcast_dims, join_left_semi,
+    # ml_stratified_split_counts, ml_windowed_dataset, skew_salted_agg,
+    # streaming_hourly_counts, streaming_session_window,
+    # streaming_template_mining, text_detect_language,
+    # text_quality_score, text_sample_temperature,
+    # text_unigram_logprob), then the r5 cohort as it turns 3 rounds
+    # old (jsonl/text/pq/lifecycle entries sampled in r5 and not since).
 ]
 
 
