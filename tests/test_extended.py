@@ -198,3 +198,75 @@ def test_pq_seeded_topk_recall_vs_exact(spark):
     exact = {r.vec_id for r in REGISTRY["sim_cosine_topk"].run(spark, sf).collect()}
     assert len(got) == 10
     assert len(got & exact) >= 5, f"recall {len(got & exact)}/10"
+
+
+def test_ivf_materialized_cells_partition_pruned(spark, tmp_path):
+    """The IVF 100 TB claim as a checked plan (mirror of the PQ
+    codes-at-ingest pin): cell ids are materialized at ingest and the
+    table is laid out cell-PARTITIONED, so a query's nprobe cell filter
+    prunes partitions before the scan — the plan must carry the cell
+    predicate as a PartitionFilter, meaning unprobed cells' files are
+    never opened. Must return EXACTLY the fused ivf_topk's top-k."""
+    from pyspark.sql import functions as F
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from mgl870_tp02_project_01_hadoopmapreducelogs_spark.functions import (
+        vectors as V,
+    )
+    from mgl870_tp02_project_01_hadoopmapreducelogs_spark.plans.audit import (
+        explain_str,
+    )
+    from mgl870_tp02_project_01_hadoopmapreducelogs_spark.queries import (
+        extended,
+        load,
+    )
+
+    n_cells, nprobe, k = 8, 2, 10
+    emb = load(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    with_vec = emb.withColumn("v", array_to_vector("e"))
+    km = KMeans(
+        k=n_cells, seed=42, featuresCol="v", predictionCol="cell"
+    ).fit(with_vec)
+
+    # ingest path: materialize assignments, lay the table out by cell
+    path = str(tmp_path / "ivf_cells")
+    km.transform(with_vec).select("vec_id", "e", "cell").write.partitionBy(
+        "cell"
+    ).parquet(path)
+
+    # query path: probe order from the broadcast-small model (driver)
+    qe = emb.filter(F.col("vec_id") == 0).first()["e"]
+    dists = sorted(
+        (sum((x - c) ** 2 for x, c in zip(qe, center)), i)
+        for i, center in enumerate(km.clusterCenters())
+    )
+    probe_cells = [i for _, i in dists[:nprobe]]
+
+    q = spark.createDataFrame([(list(map(float, qe)),)], "qe array<double>")
+    cand = (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(probe_cells) & (F.col("vec_id") != 0))
+        .crossJoin(F.broadcast(q))
+    )
+    topk = (
+        cand.select(
+            "vec_id", F.round(V.cosine(F.col("e"), F.col("qe")), 4).alias("cos")
+        )
+        .orderBy(F.col("cos").desc(), "vec_id")
+        .limit(k)
+    )
+    plan = explain_str(topk, "formatted")
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "cell" in pf[0], f"cell filter not partition-pruned: {pf}"
+
+    got = [(r.vec_id, r.cos) for r in topk.collect()]
+    want = [
+        (r.vec_id, r.cos)
+        for r in extended.ivf_topk(
+            spark, SF_DIR, query_id=0, k=k, n_cells=n_cells, nprobe=nprobe
+        ).collect()
+    ]
+    assert got == want
