@@ -5,10 +5,12 @@ Prints ONE JSON line:
   {"metric": "...", "value": <total_sec>, "unit": "sec",
    "queries": {"<name>": sec, ...}, "sf": <sf>,
    "calibration_probe_ms": [per-chunk fixed matmul, ms],
+   "calibration_probe_ms_pairs": [[chunk-start ms, chunk-end ms], ...],
    "calibration_jvm_probe_ms": [per-chunk fixed codegen agg, ms]}
 
-The calibration probes are fixed workloads timed at the END of each
-chunk, in chunk order: a single-thread 512^3 float64 matmul (min-of-3)
+The calibration probes are fixed workloads timed at the START and END
+of each chunk (calibration_probe_ms keeps the end sample for
+position-for-position continuity with rounds <=6), in chunk order: a single-thread 512^3 float64 matmul (min-of-3)
 and a whole-stage-codegen sum over an in-memory 50M range (min-of-2,
 exercises the JVM exactly like the queries). They exist because round
 6 caught the IDENTICAL commit measuring 0.63s vs 1.21s for the same
@@ -189,6 +191,13 @@ def run_chunk(names: list[str], sf_dir: str) -> None:
     ).write.format("noop").mode("overwrite").save()
     run(names[0])
 
+    # numpy probe sampled at chunk START as well as end: the probe is a
+    # point sample and host dilation is bursty — round 7 recorded a
+    # chunk whose end-probe read a clean 1.92ms while a query inside it
+    # ran 2.4x dilated. A chunk is only trustworthy when BOTH samples
+    # are quiet; the pair is recorded as calibration_probe_ms_pairs.
+    probe_start = _cpu_probe_ms()
+
     times: dict[str, float] = {}
     for name in names:
         # min-of-2 baseline; sub-second queries get a guaranteed third
@@ -203,6 +212,7 @@ def run_chunk(names: list[str], sf_dir: str) -> None:
             samples.append(run(name))
         times[name] = round(min(samples), 3)
     times["__probe_ms__"] = _cpu_probe_ms()
+    times["__probe_start_ms__"] = probe_start
     # JVM-side twin of the numpy probe: a fixed whole-stage-codegen
     # aggregate over an in-memory range (no IO). The numpy matmul can
     # read "healthy" while JVM thread scheduling is dilated — round 6
@@ -313,6 +323,7 @@ def main() -> None:
     times: dict[str, float] = {}
     probes: list[float] = []
     jvm_probes: list[float] = []
+    probe_pairs: list[list[float]] = []
     for names in CHUNKS:
         _wait_for_quiet_machine()
         # one retry per chunk: a timeout or malformed output should cost
@@ -359,9 +370,10 @@ def main() -> None:
             # a chunk result must cover exactly its names — a truncated-
             # but-parsable earlier line (partial dict) would otherwise
             # surface later as a bare KeyError that names no chunk
-            probe = jvm_probe = None
+            probe = jvm_probe = probe_start = None
             if isinstance(parsed, dict):
                 probe = parsed.pop("__probe_ms__", None)
+                probe_start = parsed.pop("__probe_start_ms__", None)
                 jvm_probe = parsed.pop("__jvm_probe_ms__", None)
             if isinstance(parsed, dict) and set(parsed) == set(names):
                 times.update(parsed)
@@ -369,6 +381,7 @@ def main() -> None:
                 # its probe) so cross-round position-for-position probe
                 # comparison can never silently shift alignment
                 probes.append(probe)
+                probe_pairs.append([probe_start, probe])
                 jvm_probes.append(jvm_probe)
                 break
             got = sorted(parsed) if isinstance(parsed, dict) else None
@@ -399,6 +412,10 @@ def main() -> None:
                 # across rounds to separate host-performance dilation
                 # from plan regressions (see _cpu_probe_ms)
                 "calibration_probe_ms": probes,
+                # [start, end] numpy probe per chunk — trust a chunk's
+                # wall times only when both samples are quiet (round 7:
+                # a clean end-probe coexisted with a mid-chunk burst)
+                "calibration_probe_ms_pairs": probe_pairs,
                 "calibration_jvm_probe_ms": jvm_probes,
             }
         )
