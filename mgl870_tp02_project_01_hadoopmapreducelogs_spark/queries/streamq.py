@@ -698,31 +698,48 @@ def minhash_dedup_stream(bands: DataFrame) -> DataFrame:
     micro-batch (first-arrival-wins, the only causal option on an
     unbounded stream) or a smaller doc_id in the same batch (min-id-
     wins, which makes a single-batch run equal the batch oracle).
-    State per bucket is ONE long — bounded by bucket cardinality, not
-    corpus size.
+
+    Scale shape (round 7): keying the state op by the raw bucket
+    (band_id, band) makes the state-key cardinality ~one group per
+    distinct band hash, and ``applyInPandasWithState`` invokes the
+    Python function ONCE PER GROUP per batch — at 100x (500k docs,
+    ~1M band rows) that was ~1M interpreter calls per micro-batch and
+    dominated the measured 339s. The operator instead groups by
+    (band_id, 2-hex-char band prefix) — 512 bounded groups — and keeps
+    a band -> min_id MAP per group (parallel arrays in the state
+    struct), flagging whole groups vectorized in pandas. Same state in
+    aggregate (one long per occupied bucket, bounded by bucket
+    cardinality, not corpus size), ~1000x fewer Python boundary
+    crossings, identical semantics bucket-for-bucket.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    def flag_bucket(key, pdfs, state: GroupState):
-        ids = []
-        for pdf in pdfs:
-            ids.extend(int(x) for x in pdf["doc_id"])
-        prior = state.get[0] if state.exists else None
-        lo = min(ids)
-        out = [
-            (d, 1 if (prior is not None or d > lo) else 0) for d in ids
-        ]
-        new_min = lo if prior is None else min(lo, prior)
-        state.update((new_min,))
-        yield pd.DataFrame(out, columns=["doc_id", "is_dup"])
+    def flag_group(key, pdfs, state: GroupState):
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        prior: dict = (
+            dict(zip(state.get[0], state.get[1])) if state.exists else {}
+        )
+        lo = pdf.groupby("band")["doc_id"].transform("min")
+        is_dup = (
+            pdf["band"].isin(prior) | (pdf["doc_id"] > lo)
+        ).astype("int32")
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "is_dup": is_dup})
+        for band, m in pdf.groupby("band")["doc_id"].min().items():
+            p = prior.get(band)
+            prior[band] = int(m) if p is None else min(int(p), int(m))
+        state.update((list(prior.keys()), list(prior.values())))
 
-    return bands.groupBy("band_id", "band").applyInPandasWithState(
-        flag_bucket,
-        outputStructType="doc_id long, is_dup int",
-        stateStructType="min_id long",
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+    return (
+        bands.withColumn("pfx", F.substring("band", 1, 2))
+        .groupBy("band_id", "pfx")
+        .applyInPandasWithState(
+            flag_group,
+            outputStructType="doc_id long, is_dup int",
+            stateStructType="bands array<string>, mins array<long>",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )
 
 
