@@ -153,11 +153,13 @@ _PRIORITY = [
     # round evidence) and the round-6 seeded-IVF entry (the single
     # never-sampled r6 registry entry)
     "sim_pq_seeded_topk", "sim_ivf_seeded_topk",
-    # (b) entries whose CODE changed this round (K scale rule, row-
-    # blocked gram kernels, distributed invariant rollup) — fresh
-    # evidence must follow the change even though all were r6-green
+    # (b) entries whose CODE changed this round (K scale rule + sample-
+    # trained quantizer, row-blocked gram kernels, distributed invariant
+    # rollup, prefix-keyed streaming MinHash state) — fresh evidence
+    # must follow the change even though all were r5/r6-green
     "dedup_semdedup", "dedup_semdedup_kmeans",
     "dedup_embedding_cosine", "dedup_embedding_planted",
+    "streaming_minhash_dedup",
     # (c) the 13 r3-stale greens (3 rounds old at r7 — the oldest
     # oracle evidence anywhere in the registry)
     "sim_label_centroids", "dedup_keep_best", "dedup_lsh_recall",
@@ -185,9 +187,10 @@ _PRIORITY = [
     "sim_ivf_recall", "sim_pq_recall",
     "multimodal_byte_stats", "multimodal_feature_extract",
     "pipeline_c4_style", "pipeline_corpus_curation",
-    "sim_cosine_topk",
     # --- driver window ends at 50 entries; rotation queue for round 8:
-    # the 17 oracle-bearing r4 greens deferred here (approx_sketches,
+    # sim_cosine_topk (displaced late in r7 by the rewritten
+    # streaming_minhash_dedup — code change outranks stale refresh),
+    # then the 17 oracle-bearing r4 greens deferred here (approx_sketches,
     # asof_join_last_order, dedup_exact, dedup_minhash_lsh,
     # dedup_ngram_jaccard, join_broadcast_dims, join_left_semi,
     # ml_stratified_split_counts, ml_windowed_dataset, skew_salted_agg,
