@@ -324,11 +324,87 @@ def main() -> None:
     probes: list[float] = []
     jvm_probes: list[float] = []
     probe_pairs: list[list[float]] = []
+    dilation_retries_left = 3
     for names in CHUNKS:
         _wait_for_quiet_machine()
-        # one retry per chunk: a timeout or malformed output should cost
-        # one chunk re-run, not the 10+ minutes of completed chunks
-        for attempt in (1, 2):
+        chunk_times, pair, jvm = _exec_chunk(names, env, chunk_timeout)
+        # host-dilation retry (round 7): burst dilation is chunk-
+        # granular and time-varying — probes proved identical code
+        # measuring 0.76s vs 1.9s across runs. If this chunk's probe
+        # pair reads dilated, re-run it ONCE (globally capped at 3 to
+        # bound wall time) and keep whichever run's probes are quieter;
+        # the kept pair is what the artifact records, so a reader can
+        # still see when no quiet window was found.
+        if dilation_retries_left > 0 and _probes_dilated(pair, jvm):
+            sys.stderr.write(
+                f"chunk probes dilated (np={pair}, jvm={jvm}); retrying "
+                f"{names[0]}... chunk once for a quiet window\n"
+            )
+            dilation_retries_left -= 1
+            _wait_for_quiet_machine()
+            t2, p2, j2 = _exec_chunk(names, env, chunk_timeout)
+            if _probe_badness(p2, j2) < _probe_badness(pair, jvm):
+                chunk_times, pair, jvm = t2, p2, j2
+        times.update(chunk_times)
+        # always one entry per chunk (None when a child omitted its
+        # probe) so cross-round position-for-position probe comparison
+        # can never silently shift alignment
+        probes.append(pair[1])
+        probe_pairs.append(list(pair))
+        jvm_probes.append(jvm)
+
+    missing = [n for n in HEADLINE if n not in times]
+    if missing:
+        raise SystemExit(f"bench finished without results for: {missing}")
+    times = {n: times[n] for n in HEADLINE}
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # fixed single-thread matmul per chunk (ms): compare
+                # across rounds to separate host-performance dilation
+                # from plan regressions (see _cpu_probe_ms)
+                "calibration_probe_ms": probes,
+                # [start, end] numpy probe per chunk — trust a chunk's
+                # wall times only when both samples are quiet (round 7:
+                # a clean end-probe coexisted with a mid-chunk burst)
+                "calibration_probe_ms_pairs": probe_pairs,
+                "calibration_jvm_probe_ms": jvm_probes,
+            }
+        )
+    )
+
+
+#: numpy-probe baseline on a quiet host is ~1.5-2.6ms and the JVM probe
+#: 90-160ms (rounds 5-7); readings beyond these gates have only ever
+#: co-occurred with externally dilated wall times
+_NP_PROBE_GATE_MS = 5.0
+_JVM_PROBE_GATE_MS = 190.0
+
+
+def _probes_dilated(pair, jvm) -> bool:
+    np_bad = any(p is not None and p > _NP_PROBE_GATE_MS for p in pair)
+    return np_bad or (jvm is not None and jvm > _JVM_PROBE_GATE_MS)
+
+
+def _probe_badness(pair, jvm) -> float:
+    """Unitless severity: worst numpy sample over its gate + JVM probe
+    over its gate — used only to pick the quieter of two runs."""
+    np_worst = max((p for p in pair if p is not None), default=0.0)
+    return np_worst / _NP_PROBE_GATE_MS + (jvm or 0.0) / _JVM_PROBE_GATE_MS
+
+
+def _exec_chunk(names, env, chunk_timeout):
+    """Run one chunk subprocess and return (times, (probe_start,
+    probe_end), jvm_probe). One retry on timeout/unparseable output —
+    a malformed chunk should cost one re-run, not the 10+ minutes of
+    completed chunks."""
+    for attempt in (1, 2):
             try:
                 proc = subprocess.run(
                     [
@@ -376,14 +452,7 @@ def main() -> None:
                 probe_start = parsed.pop("__probe_start_ms__", None)
                 jvm_probe = parsed.pop("__jvm_probe_ms__", None)
             if isinstance(parsed, dict) and set(parsed) == set(names):
-                times.update(parsed)
-                # always one entry per chunk (None when a child omitted
-                # its probe) so cross-round position-for-position probe
-                # comparison can never silently shift alignment
-                probes.append(probe)
-                probe_pairs.append([probe_start, probe])
-                jvm_probes.append(jvm_probe)
-                break
+                return parsed, (probe_start, probe), jvm_probe
             got = sorted(parsed) if isinstance(parsed, dict) else None
             sys.stderr.write(
                 f"bench chunk produced no complete JSON result ({names}); "
@@ -394,32 +463,6 @@ def main() -> None:
                     f"bench chunk {names} output unparseable/incomplete twice"
                     + (f" (missing: {sorted(set(names) - set(got))})" if got else "")
                 )
-
-    missing = [n for n in HEADLINE if n not in times]
-    if missing:
-        raise SystemExit(f"bench finished without results for: {missing}")
-    times = {n: times[n] for n in HEADLINE}
-    total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                # fixed single-thread matmul per chunk (ms): compare
-                # across rounds to separate host-performance dilation
-                # from plan regressions (see _cpu_probe_ms)
-                "calibration_probe_ms": probes,
-                # [start, end] numpy probe per chunk — trust a chunk's
-                # wall times only when both samples are quiet (round 7:
-                # a clean end-probe coexisted with a mid-chunk burst)
-                "calibration_probe_ms_pairs": probe_pairs,
-                "calibration_jvm_probe_ms": jvm_probes,
-            }
-        )
-    )
 
 
 if __name__ == "__main__":
