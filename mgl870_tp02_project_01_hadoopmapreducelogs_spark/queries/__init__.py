@@ -149,10 +149,10 @@ from . import (  # noqa: E402,F401
 # and head the round-7 queue.
 _PRIORITY = [
     # --- round-7 window ---
-    # (a) never driver-sampled: the round-7 seeded-PQ addition (birth-
-    # round evidence) and the round-6 seeded-IVF entry (the single
-    # never-sampled r6 registry entry)
-    "sim_pq_seeded_topk", "sim_ivf_seeded_topk",
+    # (a) never driver-sampled: the round-7 additions (birth-round
+    # evidence: seeded PQ, Gopher repetition filters) and the round-6
+    # seeded-IVF entry (the single never-sampled r6 registry entry)
+    "sim_pq_seeded_topk", "text_gopher_repetition", "sim_ivf_seeded_topk",
     # (b) entries whose CODE changed this round (K scale rule + sample-
     # trained quantizer, row-blocked gram kernels, distributed invariant
     # rollup, prefix-keyed streaming MinHash state) — fresh evidence
@@ -176,7 +176,6 @@ _PRIORITY = [
     "t1a_mine_templates", "t1b_drainish_mining", "t2_match_lines",
     "t3_new_template_feed", "t4_cluster_census",
     "w1_a4_a5_windowed_features", "w2_row_numbering",
-    "k1_k2_topk_by_magnitude",
     "s1_recursive_log_scan", "s4_s5_sink_roundtrip",
     "p4_failure_event_filter",
     "a1_a2_event_totals", "a7_occurrence_pivot", "a9_pearson_correlation",
@@ -188,8 +187,10 @@ _PRIORITY = [
     "multimodal_byte_stats", "multimodal_feature_extract",
     "pipeline_c4_style", "pipeline_corpus_curation",
     # --- driver window ends at 50 entries; rotation queue for round 8:
-    # sim_cosine_topk (displaced late in r7 by the rewritten
-    # streaming_minhash_dedup — code change outranks stale refresh),
+    # sim_cosine_topk and k1_k2_topk_by_magnitude (displaced late in r7
+    # by the rewritten streaming_minhash_dedup and the new
+    # text_gopher_repetition — code changes and birth-round evidence
+    # outrank stale refresh; both displaced entries are plan-pinned),
     # then the 17 oracle-bearing r4 greens deferred here (approx_sketches,
     # asof_join_last_order, dedup_exact, dedup_minhash_lsh,
     # dedup_ngram_jaccard, join_broadcast_dims, join_left_semi,

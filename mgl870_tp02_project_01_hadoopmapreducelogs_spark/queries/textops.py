@@ -1522,6 +1522,195 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Gopher repetition filters (Rae et al. 2021, Table A1) ---------------------
+
+
+@register(
+    "text_gopher_repetition",
+    r"""
+    WITH docs AS (
+        SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS t,
+               length(trim(text)) AS n_chars
+        FROM documents
+        WHERE len(regexp_split_to_array(lower(trim(text)), '\s+')) >= 2
+    ),
+    big AS (
+        SELECT doc_id, n_chars, len(t) AS n_tokens,
+               array_to_string(t[p:p+1], ' ') AS bg
+        FROM (
+            SELECT doc_id, n_chars, t,
+                   unnest(generate_series(1, len(t) - 1)) AS p
+            FROM docs
+        )
+    ),
+    topb AS (
+        SELECT doc_id, n_chars, n_tokens, bg, count(*) AS cnt
+        FROM big GROUP BY doc_id, n_chars, n_tokens, bg
+        QUALIFY row_number() OVER (
+            PARTITION BY doc_id ORDER BY cnt DESC, bg ASC) = 1
+    ),
+    g5 AS (
+        SELECT doc_id, p, array_to_string(t[p:p+4], ' ') AS g
+        FROM (
+            SELECT doc_id, t,
+                   unnest(generate_series(1, len(t) - 4)) AS p
+            FROM docs WHERE len(t) >= 5
+        )
+    ),
+    dup_occ AS (
+        SELECT doc_id, p FROM (
+            SELECT doc_id, p,
+                   count(*) OVER (PARTITION BY doc_id, g) AS c
+            FROM g5
+        ) WHERE c > 1
+    ),
+    dup5 AS (
+        SELECT doc_id,
+               sum(CASE WHEN prev IS NULL THEN 5
+                        ELSE least(5, p - prev) END) AS covered_toks
+        FROM (
+            SELECT doc_id, p,
+                   lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+            FROM dup_occ
+        )
+        GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(t.n_tokens AS BIGINT) AS n_tokens,
+           t.bg AS top_bigram,
+           ROUND(t.cnt * length(t.bg) / CAST(t.n_chars AS DOUBLE), 4)
+             AS top_bigram_char_frac,
+           ROUND(COALESCE(d.covered_toks, 0) / CAST(t.n_tokens AS DOUBLE), 4)
+             AS dup_5gram_token_frac,
+           (t.cnt * length(t.bg) * 100 > t.n_chars * 20
+            OR COALESCE(d.covered_toks, 0) * 100 > t.n_tokens * 15)
+             AS gopher_repetition_flagged
+    FROM topb t LEFT JOIN dup5 d USING (doc_id)
+    """,
+    doc="Gopher/MassiveWeb repetition filters (Rae et al. 2021, Table "
+    "A1), the word-n-gram half (the corpus has no newlines, so the "
+    "line/paragraph half is inapplicable): per document, the fraction "
+    "of characters covered by the most frequent word 2-gram "
+    "(threshold 0.20) and the fraction of TOKEN POSITIONS covered by "
+    "at least one duplicated 5-gram occurrence (threshold 0.15) — the "
+    "paper's overlap-deduped coverage definition, at token rather "
+    "than character granularity so the covered set is an exact "
+    "distinct-position count in both engines. The flag compares "
+    "INTEGER products (cnt*len*100 > chars*20, covered*100 > "
+    "tokens*15) so the boundary decision is engine-exact; the "
+    "reported fractions divide the same integers as doubles "
+    "(IEEE-identical) and round after. Top-bigram ties break by "
+    "(count desc, bigram asc). Scale shape: explode is O(tokens), all "
+    "aggregations are partial-agg'd hash aggregates keyed (doc_id, "
+    "gram) / (doc_id, pos) then doc_id, the dup-gram join is "
+    "co-partitioned on (doc_id, gram), the ranking window partitions "
+    "by doc_id — nothing is corpus-global, no Python anywhere.",
+)
+def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("t"),
+            F.length(F.trim(F.col("text"))).alias("n_chars"),
+        )
+        .filter(F.size("t") >= 2)
+    )
+    big = docs.select(
+        "doc_id",
+        "n_chars",
+        F.size("t").alias("n_tokens"),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> concat_ws(' ', slice(t, i, 2)))"
+            )
+        ).alias("bg"),
+    )
+    # the (count desc, bigram asc) winner via a struct-min aggregate
+    # instead of a row_number window: min(struct(-cnt, bg)) is the same
+    # total order, but a hash aggregate partial-aggs to one candidate
+    # per doc per map partition, where a window must sort the full
+    # per-doc bigram-count table
+    top = (
+        big.groupBy("doc_id", "n_chars", "n_tokens", "bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id", "n_chars", "n_tokens")
+        .agg(
+            F.min(
+                F.struct((-F.col("cnt")).alias("neg"), F.col("bg"))
+            ).alias("w")
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            "n_tokens",
+            F.col("w.bg").alias("bg"),
+            (-F.col("w.neg")).alias("cnt"),
+        )
+    )
+    g5 = docs.filter(F.size("t") >= 5).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, size(t) - 4),"
+                " i -> concat_ws(' ', slice(t, i, 5)))"
+            )
+        ).alias("p0", "g"),
+    )
+    # covered-token-position union without materializing positions:
+    # every duplicated occurrence is a fixed-length-5 interval, so over
+    # occurrences sorted by start the union length is
+    # 5 + sum(min(5, gap)). Duplicated occurrences come from ONE hash
+    # aggregate carrying (count, positions) per (doc, gram) — partial-
+    # agg'd, no 25M-row count-window sort, no join-back recompute; the
+    # position list is bounded by within-doc gram multiplicity. The
+    # lag window then runs only on the (small) duplicated-occurrence
+    # set. (The naive join + position-explode + distinct shape measured
+    # 152s at 100x; the count-window shape 59s; this one is the plan
+    # measured in SCALE_NOTES.)
+    wp = Window.partitionBy("doc_id").orderBy("p0")
+    gap = F.col("p0") - F.lag("p0").over(wp)
+    dup5 = (
+        g5.groupBy("doc_id", "g")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.collect_list("p0").alias("ps"),
+        )
+        .filter(F.col("c") > 1)
+        .select("doc_id", F.explode("ps").alias("p0"))
+        .withColumn(
+            "contrib",
+            F.when(gap.isNull(), F.lit(5)).otherwise(F.least(F.lit(5), gap)),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("covered_toks"))
+    )
+    covered = F.coalesce(F.col("covered_toks"), F.lit(0))
+    top_chars = F.col("cnt") * F.length("top_bigram")
+    return (
+        top.join(dup5, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("bg").alias("top_bigram"),
+            F.round(
+                top_chars / F.col("n_chars").cast("double"), 4
+            ).alias("top_bigram_char_frac"),
+            F.round(
+                covered / F.col("n_tokens").cast("double"), 4
+            ).alias("dup_5gram_token_frac"),
+            (
+                (top_chars * 100 > F.col("n_chars") * 20)
+                | (covered * 100 > F.col("n_tokens") * 15)
+            ).alias("gopher_repetition_flagged"),
+        )
+    )
+
+
 # --- OOV rate vs induced vocabulary -------------------------------------------
 
 OOV_VOCAB_K = 100

@@ -295,3 +295,36 @@ def test_bigram_logprob_bounds(spark):
             assert rows[t.doc_id].n_bigrams == t.n - 1, t.doc_id
         else:
             assert t.doc_id not in rows
+
+
+def test_gopher_repetition_flags_planted_repeats(spark, tmp_path):
+    """Gopher word-n-gram repetition rules on planted docs: a doc that
+    is one bigram repeated must flag (top-2-gram char fraction ~1 >
+    0.20); a doc with a duplicated long 5-gram run flags on the
+    dup-5-gram rule; diverse text flags neither. The flag predicate is
+    integer-exact, so these are hard assertions, not tolerances."""
+    docs = spark.createDataFrame(
+        [
+            (1, ("spam ham " * 30).strip()),            # one bigram repeated
+            (2, "a b c d e f g h " * 8 + "unique tail"),  # dup 5-grams
+            (3, "the quick brown fox jumps over a lazy dog tonight"),
+        ],
+        "doc_id long, text string",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.doc_id: r
+        for r in REGISTRY["text_gopher_repetition"]
+        .run(spark, str(tmp_path))
+        .collect()
+    }
+    assert out[1].gopher_repetition_flagged
+    assert out[1].top_bigram_char_frac > 0.8
+    assert out[2].gopher_repetition_flagged
+    assert out[2].dup_5gram_token_frac > 0.15
+    assert not out[3].gopher_repetition_flagged
+    assert out[3].dup_5gram_token_frac == 0.0
+    # every fraction is a valid [0, 1] ratio
+    for r in out.values():
+        assert 0.0 <= r.top_bigram_char_frac <= 1.0
+        assert 0.0 <= r.dup_5gram_token_frac <= 1.0
