@@ -1605,7 +1605,11 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     "aggregations are partial-agg'd hash aggregates keyed (doc_id, "
     "gram) / (doc_id, pos) then doc_id, the dup-gram join is "
     "co-partitioned on (doc_id, gram), the ranking window partitions "
-    "by doc_id — nothing is corpus-global, no Python anywhere.",
+    "by doc_id — nothing is corpus-global, no Python anywhere. "
+    "Relationship to text_repetition_fraction: that entry is the cheap "
+    "1 - distinct/total 3-gram proxy; this one computes the paper's "
+    "actual per-metric thresholds (which gram repeats, how much text "
+    "it covers) and the keep/drop decision.",
 )
 def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
