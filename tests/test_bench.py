@@ -50,3 +50,20 @@ def test_driver_window_is_oracle_bearing_and_stable():
     assert no_oracle == [], (
         f"unexpected rows-only entries in the driver window: {no_oracle}"
     )
+
+
+def test_probe_dilation_gates():
+    """The bench's dilation-retry policy: quiet probe pairs pass, any
+    dilated sample (numpy start OR end over 5ms, jvm over 190ms)
+    triggers the retry, None samples are ignorable, and badness ranks a
+    quieter run below a dilated one so the retry keeps the right run."""
+    import bench
+
+    assert not bench._probes_dilated((1.9, 2.4), 150.0)
+    assert bench._probes_dilated((16.05, 2.24), 110.9)   # start burst
+    assert bench._probes_dilated((1.9, 41.1), 120.0)     # end burst
+    assert bench._probes_dilated((2.0, 2.1), 219.6)      # jvm dilation
+    assert not bench._probes_dilated((None, None), None)  # unjudgeable
+    quiet = bench._probe_badness((2.0, 2.2), 120.0)
+    loud = bench._probe_badness((33.1, 51.2), 128.4)
+    assert quiet < loud
