@@ -150,9 +150,11 @@ from . import (  # noqa: E402,F401
 _PRIORITY = [
     # --- round-7 window ---
     # (a) never driver-sampled: the round-7 additions (birth-round
-    # evidence: seeded PQ, Gopher repetition filters) and the round-6
-    # seeded-IVF entry (the single never-sampled r6 registry entry)
-    "sim_pq_seeded_topk", "text_gopher_repetition", "sim_ivf_seeded_topk",
+    # evidence: seeded PQ, Gopher repetition filters, DSIR selection)
+    # and the round-6 seeded-IVF entry (the single never-sampled r6
+    # registry entry)
+    "sim_pq_seeded_topk", "text_gopher_repetition", "text_dsir_selection",
+    "sim_ivf_seeded_topk",
     # (b) entries whose CODE changed this round (K scale rule + sample-
     # trained quantizer, row-blocked gram kernels, distributed invariant
     # rollup, prefix-keyed streaming MinHash state) — fresh evidence
@@ -178,7 +180,7 @@ _PRIORITY = [
     "w1_a4_a5_windowed_features", "w2_row_numbering",
     "s1_recursive_log_scan", "s4_s5_sink_roundtrip",
     "p4_failure_event_filter",
-    "a1_a2_event_totals", "a7_occurrence_pivot", "a9_pearson_correlation",
+    "a1_a2_event_totals", "a9_pearson_correlation",
     "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
     "tpch_q6_forecast_revenue",
     "ml_model_quality", "ml_rf_quality", "ml_pca_variance",
@@ -187,10 +189,11 @@ _PRIORITY = [
     "multimodal_byte_stats", "multimodal_feature_extract",
     "pipeline_c4_style", "pipeline_corpus_curation",
     # --- driver window ends at 50 entries; rotation queue for round 8:
-    # sim_cosine_topk and k1_k2_topk_by_magnitude (displaced late in r7
-    # by the rewritten streaming_minhash_dedup and the new
-    # text_gopher_repetition — code changes and birth-round evidence
-    # outrank stale refresh; both displaced entries are plan-pinned),
+    # sim_cosine_topk, k1_k2_topk_by_magnitude and a7_occurrence_pivot
+    # (displaced late in r7 by the rewritten streaming_minhash_dedup
+    # and the new text_gopher_repetition / text_dsir_selection — code
+    # changes and birth-round evidence outrank stale refresh; all
+    # displaced entries are plan-pinned),
     # then the 17 oracle-bearing r4 greens deferred here (approx_sketches,
     # asof_join_last_order, dedup_exact, dedup_minhash_lsh,
     # dedup_ngram_jaccard, join_broadcast_dims, join_left_semi,

