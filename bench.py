@@ -342,9 +342,20 @@ def main() -> None:
             )
             dilation_retries_left -= 1
             _wait_for_quiet_machine()
-            t2, p2, j2 = _exec_chunk(names, env, chunk_timeout)
-            if _probe_badness(p2, j2) < _probe_badness(pair, jvm):
-                chunk_times, pair, jvm = t2, p2, j2
+            # the re-run is strictly opportunistic: a crash/timeout in
+            # it must never discard the valid result already in hand
+            # (dilation correlates with slowness, so the re-run is the
+            # MORE likely one to time out)
+            try:
+                t2, p2, j2 = _exec_chunk(names, env, chunk_timeout)
+            except SystemExit as exc:
+                sys.stderr.write(
+                    f"dilation re-run failed ({exc}); keeping the "
+                    f"first run's result for {names[0]}... chunk\n"
+                )
+            else:
+                if _probe_badness(p2, j2) < _probe_badness(pair, jvm):
+                    chunk_times, pair, jvm = t2, p2, j2
         times.update(chunk_times)
         # always one entry per chunk (None when a child omitted its
         # probe) so cross-round position-for-position probe comparison

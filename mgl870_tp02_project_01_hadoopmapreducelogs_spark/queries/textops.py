@@ -1579,7 +1579,8 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT t.doc_id,
            CAST(t.n_tokens AS BIGINT) AS n_tokens,
            t.bg AS top_bigram,
-           ROUND(t.cnt * length(t.bg) / CAST(t.n_chars AS DOUBLE), 4)
+           ROUND(LEAST(1.0, t.cnt * length(t.bg)
+                            / CAST(t.n_chars AS DOUBLE)), 4)
              AS top_bigram_char_frac,
            ROUND(COALESCE(d.covered_toks, 0) / CAST(t.n_tokens AS DOUBLE), 4)
              AS dup_5gram_token_frac,
@@ -1592,7 +1593,12 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     "A1), the word-n-gram half (the corpus has no newlines, so the "
     "line/paragraph half is inapplicable): per document, the fraction "
     "of characters covered by the most frequent word 2-gram "
-    "(threshold 0.20) and the fraction of TOKEN POSITIONS covered by "
+    "(threshold 0.20; occurrences of a SELF-OVERLAPPING bigram like "
+    "'go go' in 'go go go' multi-count, so the raw ratio can exceed 1 "
+    "— the reported value clamps at 1.0 in both engines, and the flag "
+    "predicate's over-count only ever over-fires on text that is "
+    "pathological repetition anyway) and the fraction of TOKEN "
+    "POSITIONS covered by "
     "at least one duplicated 5-gram occurrence (threshold 0.15) — the "
     "paper's overlap-deduped coverage definition, at token rather "
     "than character granularity so the covered set is an exact "
@@ -1702,7 +1708,11 @@ def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_tokens").cast("long").alias("n_tokens"),
             F.col("bg").alias("top_bigram"),
             F.round(
-                top_chars / F.col("n_chars").cast("double"), 4
+                F.least(
+                    F.lit(1.0),
+                    top_chars / F.col("n_chars").cast("double"),
+                ),
+                4,
             ).alias("top_bigram_char_frac"),
             F.round(
                 covered / F.col("n_tokens").cast("double"), 4
@@ -1773,8 +1783,10 @@ _HEXPOS = "strpos('0123456789abcdef', substr(md5(w), {i}, 1)) - 1"
     "add-1-smoothed LM importance weights log p_target(x) - "
     "log p_raw(x), target = the English sub-corpus; the top-"
     f"{DSIR_K} docs by (rounded weight desc, doc_id) are the "
-    "selected batch. Scale shape: ONE explode pass over the corpus; "
-    f"both bucket-count tables are bounded at {DSIR_B} rows and "
+    "selected batch. Scale shape: TWO corpus passes — one aggregation "
+    "produces both LM tables and both totals (a conditional count "
+    "carries the target-domain side), one pass scores; "
+    f"the bucket-count table is bounded at {DSIR_B} rows and "
     "broadcast, the totals are a 1-row broadcast, the per-doc weight "
     "is a partial-agg'd hash aggregate, and the selection compiles to "
     "TakeOrderedAndProject — at 100 TB the only corpus-sized traffic "
@@ -1807,19 +1819,22 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "b", F.conv(F.substring(F.md5("w"), 1, 3), 16, 10).cast("int")
     )
-    target = tb.filter(F.col("lang") == "en")
-    ct = target.groupBy("b").agg(F.count(F.lit(1)).alias("c_t"))
-    cc = tb.groupBy("b").agg(F.count(F.lit(1)).alias("c_c"))
-    tot = target.agg(F.count(F.lit(1)).alias("t_n")).crossJoin(
-        tb.agg(F.count(F.lit(1)).alias("c_n"))
+    # both LM tables and both totals from ONE aggregation over the
+    # exploded corpus (the conditional count carries the target-domain
+    # counts), so scoring is the only other corpus pass — two total,
+    # matching the paper's two-phase estimate-then-score structure
+    bucket_counts = tb.groupBy("b").agg(
+        F.count(F.lit(1)).alias("c_c"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("c_t"),
+    )
+    tot = bucket_counts.agg(
+        F.sum("c_t").alias("t_n"), F.sum("c_c").alias("c_n")
     )
     term = F.log(
-        (F.coalesce(F.col("c_t"), F.lit(0)) + 1)
-        / (F.col("t_n") + DSIR_B).cast("double")
+        (F.col("c_t") + 1) / (F.col("t_n") + DSIR_B).cast("double")
     ) - F.log((F.col("c_c") + 1) / (F.col("c_n") + DSIR_B).cast("double"))
     return (
-        tb.join(F.broadcast(ct), "b", "left")
-        .join(F.broadcast(cc), "b")
+        tb.join(F.broadcast(bucket_counts), "b")
         .join(F.broadcast(tot))
         .groupBy("doc_id", "lang")
         .agg(

@@ -896,8 +896,9 @@ def _semdedup_drop_stage(assigned: DataFrame, threshold: float) -> DataFrame:
     "fail a test, not the driver's correctness artifact.",
 )
 def dedup_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    k = _sem_k_rule(load(spark, sf_dir, "embeddings").count())
-    assigned, dropped = semdedup_kmeans_parts(spark, sf_dir, k=k)
+    n = load(spark, sf_dir, "embeddings").count()
+    k = _sem_k_rule(n)
+    assigned, dropped = semdedup_kmeans_parts(spark, sf_dir, k=k, n_base=n)
     assigned = assigned.cache()  # drop stage + invariant rollup reuse it
 
     # the invariant rollup is itself corpus-safe (judge r6): the
@@ -946,7 +947,10 @@ def dedup_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def semdedup_kmeans_parts(
-    spark: SparkSession, sf_dir: str, k: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    k: int | None = None,
+    n_base: int | None = None,
 ):
     """The KMeans-quantized SemDeDup pipeline before the invariant
     rollup: returns ``(assigned, dropped)`` — mirrors
@@ -954,7 +958,10 @@ def semdedup_kmeans_parts(
     (exactly one drop per planted pair) that the registered invariant
     deliberately relaxes. ``k`` defaults to the same
     K = max(SEM_K, ceil(n/SEM_TARGET_CELL)) scale rule as the seeded
-    variant, so both registered entries are valid at any corpus size."""
+    variant, so both registered entries are valid at any corpus size.
+    ``n_base`` is the (pre-planting) corpus row count if the caller
+    already has it — passing it avoids a second corpus-scan count job;
+    the sampling fraction tolerates the ~1/PLANT_EVERY undercount."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -962,7 +969,8 @@ def semdedup_kmeans_parts(
         "vec_id", _int_emb(F.col("embedding")).alias("e")
     )
     if k is None:
-        k = _sem_k_rule(b0.count())
+        n_base = n_base if n_base is not None else b0.count()
+        k = _sem_k_rule(n_base)
     base = _with_planted(b0).withColumn("n2", _dot(F.col("e"), F.col("e")))
     with_vec = base.withColumn(
         "v", array_to_vector(F.col("e").cast("array<double>"))
@@ -977,7 +985,7 @@ def semdedup_kmeans_parts(
     # same cell under ANY reasonable carving (the invariant the oracle
     # actually checks).
     train_target = max(64 * k, 4096)
-    n_train_base = with_vec.count()
+    n_train_base = n_base if n_base is not None else with_vec.count()
     train = (
         with_vec
         if n_train_base <= train_target

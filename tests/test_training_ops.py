@@ -358,5 +358,5 @@ def test_dsir_selection_prefers_target_domain(spark):
     top_true = sorted(
         (r.dsir_logweight, r.doc_id) for r in all_w
     )[-len(rows):]
-    assert {d for _, d in top_true} >= set()  # sanity: non-empty path
+    assert top_true, "full weight table must be non-empty"
     assert min(ws) >= top_true[0][0]
