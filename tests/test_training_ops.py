@@ -360,3 +360,25 @@ def test_dsir_selection_prefers_target_domain(spark):
     )[-len(rows):]
     assert top_true, "full weight table must be non-empty"
     assert min(ws) >= top_true[0][0]
+
+
+def test_gopher_interval_union_formula():
+    """The covered-position formula behind dup_5gram_token_frac:
+    for fixed-length-5 intervals at sorted distinct starts,
+    5 + sum(min(5, gap)) must equal the exact union size
+    |union of [p, p+4]| — property-checked against a brute-force
+    position-set union."""
+    from hypothesis import given, strategies as st
+
+    @given(
+        st.sets(st.integers(min_value=0, max_value=200), min_size=1)
+    )
+    def check(starts):
+        ps = sorted(starts)
+        brute = len({x for p in ps for x in range(p, p + 5)})
+        formula = 5 + sum(
+            min(5, b - a) for a, b in zip(ps, ps[1:])
+        )
+        assert formula == brute
+
+    check()
