@@ -156,6 +156,14 @@ CHUNKS = [
         "dq_corpus_drift",
         "source_jsonl_roundtrip",
     ],
+    # round-7 LLM-data-selection additions — a NEW chunk appended at
+    # the end so chunks 0-6 keep their cross-round probe positions and
+    # shared-session cache dynamics (gopher shares the token explode,
+    # dsir the same tokenization)
+    [
+        "text_gopher_repetition",
+        "text_dsir_selection",
+    ],
 ]
 
 HEADLINE = [name for chunk in CHUNKS for name in chunk]
