@@ -1,12 +1,17 @@
 """Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-  {"metric": "...", "value": <total_sec>, "unit": "sec",
-   "queries": {"<name>": sec, ...}, "sf": <sf>,
-   "calibration_probe_ms": [per-chunk fixed matmul, ms],
+Prints TWO JSON lines — a calibration/audit line first, then the
+compact result line LAST (the driver tail-captures stdout with a
+bounded byte budget; round 7's single fat line outgrew it and was
+truncated from the front, so the parsed result line must stay small):
+  {"metric": "bench_calibration",
+   "calibration_probe_ms": [per-chunk fixed matmul, ms; may hold null],
    "calibration_probe_ms_pairs": [[chunk-start ms, chunk-end ms], ...],
-   "calibration_jvm_probe_ms": [per-chunk fixed codegen agg, ms]}
+   "calibration_jvm_probe_ms": [per-chunk fixed codegen agg, ms],
+   "chunk_attempts": [1|2 per chunk], "chunk_accepted_run": ["first"|"retry"]}
+  {"metric": "headline_queries_total", "value": <total_sec>,
+   "unit": "sec", "sf": <sf>, "queries": {"<name>": sec, ...}}
 
 The calibration probes are fixed workloads timed at the START and END
 of each chunk (calibration_probe_ms keeps the end sample for
@@ -332,10 +337,13 @@ def main() -> None:
     probes: list[float] = []
     jvm_probes: list[float] = []
     probe_pairs: list[list[float]] = []
+    chunk_attempts: list[int] = []
+    chunk_accepted: list[str] = []
     dilation_retries_left = 3
     for names in CHUNKS:
         _wait_for_quiet_machine()
         chunk_times, pair, jvm = _exec_chunk(names, env, chunk_timeout)
+        attempts, accepted = 1, "first"
         # host-dilation retry (round 7): burst dilation is chunk-
         # granular and time-varying — probes proved identical code
         # measuring 0.76s vs 1.9s across runs. If this chunk's probe
@@ -350,6 +358,7 @@ def main() -> None:
             )
             dilation_retries_left -= 1
             _wait_for_quiet_machine()
+            attempts = 2
             # the re-run is strictly opportunistic: a crash/timeout in
             # it must never discard the valid result already in hand
             # (dilation correlates with slowness, so the re-run is the
@@ -364,27 +373,38 @@ def main() -> None:
             else:
                 if _probe_badness(p2, j2) < _probe_badness(pair, jvm):
                     chunk_times, pair, jvm = t2, p2, j2
+                    accepted = "retry"
         times.update(chunk_times)
         # always one entry per chunk (None when a child omitted its
         # probe) so cross-round position-for-position probe comparison
-        # can never silently shift alignment
+        # can never silently shift alignment. NOTE (round 7+): entries
+        # may therefore be JSON null — rounds <=6 artifacts only ever
+        # contained floats; guard for None when consuming.
         probes.append(pair[1])
         probe_pairs.append(list(pair))
         jvm_probes.append(jvm)
+        chunk_attempts.append(attempts)
+        chunk_accepted.append(accepted)
 
     missing = [n for n in HEADLINE if n not in times]
     if missing:
         raise SystemExit(f"bench finished without results for: {missing}")
     times = {n: times[n] for n in HEADLINE}
     total = round(sum(times.values()), 3)
+    # TWO output lines (round 8 — BENCH_r07 was damaged because the
+    # driver captures only a bounded byte TAIL of stdout and the single
+    # all-in-one JSON line outgrew it, truncating from the FRONT and
+    # losing the first queries + the metric name). The calibration /
+    # retry-audit arrays go on an EARLIER line; the LAST line stays
+    # compact — metric, total, sf, and the per-query seconds only — so
+    # it always survives tail capture whole. chunk_attempts +
+    # accepted_run let a reader audit that the dilation-retry policy
+    # kept the quieter-probe run, not a cherry-picked faster one (the
+    # recorded probe pair is the ACCEPTED run's pair).
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "metric": "bench_calibration",
                 # fixed single-thread matmul per chunk (ms): compare
                 # across rounds to separate host-performance dilation
                 # from plan regressions (see _cpu_probe_ms)
@@ -394,8 +414,23 @@ def main() -> None:
                 # a clean end-probe coexisted with a mid-chunk burst)
                 "calibration_probe_ms_pairs": probe_pairs,
                 "calibration_jvm_probe_ms": jvm_probes,
+                "chunk_attempts": chunk_attempts,
+                "chunk_accepted_run": chunk_accepted,
             }
-        )
+        ),
+        flush=True,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "queries": times,
+            }
+        ),
+        flush=True,
     )
 
 

@@ -705,38 +705,62 @@ def minhash_dedup_stream(bands: DataFrame) -> DataFrame:
     Python function ONCE PER GROUP per batch — at 100x (500k docs,
     ~1M band rows) that was ~1M interpreter calls per micro-batch and
     dominated the measured 339s. The operator instead groups by
-    (band_id, 2-hex-char band prefix) — 512 bounded groups — and keeps
+    (band_id, 8-bit band-hash prefix) — 512 bounded groups — and keeps
     a band -> min_id MAP per group (parallel arrays in the state
     struct), flagging whole groups vectorized in pandas. Same state in
     aggregate (one long per occupied bucket, bounded by bucket
     cardinality, not corpus size), ~1000x fewer Python boundary
     crossings, identical semantics bucket-for-bucket.
+
+    Round 8 shaved the remaining state-ser/de floor: the 32-hex-char
+    md5 band STRING never crosses into Python — it is collapsed
+    JVM-side to ``xxhash64(band)`` (band equality <=> md5-string
+    equality modulo a 64-bit collision, ~n^2/2^64 over distinct bands,
+    and the partition prefix already conditions on 8 of those bits),
+    so Arrow transfer and state hold int64s instead of strings and the
+    in-group dedup is an int64 groupby. State growth note (ADVICE r7):
+    each group's arrays hold every distinct band ever seen under its
+    prefix and are rewritten wholesale each touched micro-batch —
+    bounded by BUCKET cardinality, not corpus size, but cumulative
+    over stream lifetime; a long-lived deployment should widen the
+    prefix (more groups => shorter arrays) as the corpus grows. The
+    round-8 schema change (arrays of long) invalidates pre-existing
+    checkpoints, as did round 7's re-keying.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def flag_group(key, pdfs, state: GroupState):
-        pdf = pd.concat(list(pdfs), ignore_index=True)
+        # guard the empty iterator (ADVICE r7): NoTimeout means Spark
+        # only invokes on data today, but a future timeoutConf change
+        # would invoke with no rows and pd.concat would raise
+        chunks = list(pdfs)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
         prior: dict = (
             dict(zip(state.get[0], state.get[1])) if state.exists else {}
         )
-        lo = pdf.groupby("band")["doc_id"].transform("min")
+        lo = pdf.groupby("band_h")["doc_id"].transform("min")
         is_dup = (
-            pdf["band"].isin(prior) | (pdf["doc_id"] > lo)
+            pdf["band_h"].isin(prior) | (pdf["doc_id"] > lo)
         ).astype("int32")
         yield pd.DataFrame({"doc_id": pdf["doc_id"], "is_dup": is_dup})
-        for band, m in pdf.groupby("band")["doc_id"].min().items():
+        for band, m in pdf.groupby("band_h")["doc_id"].min().items():
             p = prior.get(band)
             prior[band] = int(m) if p is None else min(int(p), int(m))
         state.update((list(prior.keys()), list(prior.values())))
 
     return (
-        bands.withColumn("pfx", F.substring("band", 1, 2))
+        bands.select(
+            "doc_id", "band_id", F.xxhash64("band").alias("band_h")
+        )
+        .withColumn("pfx", F.pmod("band_h", F.lit(256)).cast("int"))
         .groupBy("band_id", "pfx")
         .applyInPandasWithState(
             flag_group,
             outputStructType="doc_id long, is_dup int",
-            stateStructType="bands array<string>, mins array<long>",
+            stateStructType="bands array<long>, mins array<long>",
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

@@ -1761,18 +1761,28 @@ _HEXPOS = "strpos('0123456789abcdef', substr(md5(w), {i}, 1)) - 1"
     tot AS (
         SELECT (SELECT count(*) FROM tb WHERE {DSIR_TARGET_SQL}) AS t_n,
                (SELECT count(*) FROM tb) AS c_n
+    ),
+    -- per-bucket log-ratio quantized ONCE to nano-fixed-point (round
+    -- 8, ADVICE): per-doc sums are then exact BIGINT arithmetic, so
+    -- Spark/DuckDB accumulation-order and libm-vs-Math.log 1-ulp
+    -- differences cannot flip a weight across a ROUND(4) boundary.
+    -- The quantized term itself could only diverge if ln lands within
+    -- ~1e-6 of a half-integer at the 1e9 scale — checkable, not a
+    -- summation-order lottery.
+    terms AS (
+        SELECT cc.b,
+               CAST(ROUND((
+                   ln((COALESCE(ct.c_t, 0) + 1)
+                      / CAST(tot.t_n + {DSIR_B} AS DOUBLE))
+                 - ln((cc.c_c + 1) / CAST(tot.c_n + {DSIR_B} AS DOUBLE))
+               ) * 1e9) AS BIGINT) AS term_fp
+        FROM cc LEFT JOIN ct USING (b) CROSS JOIN tot
     )
     SELECT doc_id, lang,
            CAST(count(*) AS BIGINT) AS n_tokens,
-           ROUND(SUM(
-               ln((COALESCE(ct.c_t, 0) + 1)
-                  / CAST(tot.t_n + {DSIR_B} AS DOUBLE))
-             - ln((cc.c_c + 1) / CAST(tot.c_n + {DSIR_B} AS DOUBLE))
-           ), 4) AS dsir_logweight
+           ROUND(SUM(term_fp) / 1e9, 4) AS dsir_logweight
     FROM tb
-    LEFT JOIN ct USING (b)
-    JOIN cc USING (b)
-    CROSS JOIN tot
+    JOIN terms USING (b)
     GROUP BY doc_id, lang
     ORDER BY dsir_logweight DESC, doc_id
     LIMIT {DSIR_K}
@@ -1790,9 +1800,12 @@ _HEXPOS = "strpos('0123456789abcdef', substr(md5(w), {i}, 1)) - 1"
     "broadcast, the totals are a 1-row broadcast, the per-doc weight "
     "is a partial-agg'd hash aggregate, and the selection compiles to "
     "TakeOrderedAndProject — at 100 TB the only corpus-sized traffic "
-    "is the doc_id-keyed aggregation shuffle. The rounded weight (not "
-    "the raw double) is the sort key so float summation-order noise "
-    "cannot reorder near-ties across engines.",
+    "is the doc_id-keyed aggregation shuffle. Engine-exactness: each "
+    "bucket's log-ratio is quantized ONCE to nano-fixed-point (round "
+    "*1e9 to BIGINT) and per-doc weights are integer sums of those "
+    "terms, so float accumulation order and 1-ulp ln differences "
+    "cannot flip a weight across the ROUND(4) boundary or reorder the "
+    "selection.",
 )
 def text_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
@@ -1833,13 +1846,21 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     term = F.log(
         (F.col("c_t") + 1) / (F.col("t_n") + DSIR_B).cast("double")
     ) - F.log((F.col("c_c") + 1) / (F.col("c_n") + DSIR_B).cast("double"))
+    # quantize the per-BUCKET term to nano-fixed-point once (round 8,
+    # ADVICE): the per-doc sum becomes exact integer arithmetic, immune
+    # to float accumulation order (which differs between Spark's
+    # partial-agg tree and DuckDB's scan order) and to JVM-Math.log vs
+    # libm 1-ulp drift. Sums stay far under 2^53, so the final /1e9
+    # double division is bit-identical in both engines before ROUND(4).
+    bucket_terms = bucket_counts.join(F.broadcast(tot)).select(
+        "b", F.round(term * 1e9, 0).cast("long").alias("term_fp")
+    )
     return (
-        tb.join(F.broadcast(bucket_counts), "b")
-        .join(F.broadcast(tot))
+        tb.join(F.broadcast(bucket_terms), "b")
         .groupBy("doc_id", "lang")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.round(F.sum(term), 4).alias("dsir_logweight"),
+            F.round(F.sum("term_fp") / 1e9, 4).alias("dsir_logweight"),
         )
     )
 
