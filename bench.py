@@ -161,13 +161,16 @@ CHUNKS = [
         "dq_corpus_drift",
         "source_jsonl_roundtrip",
     ],
-    # round-7 LLM-data-selection additions — a NEW chunk appended at
+    # round-7/8 LLM-data-curation additions — a NEW chunk appended at
     # the end so chunks 0-6 keep their cross-round probe positions and
-    # shared-session cache dynamics (gopher shares the token explode,
-    # dsir the same tokenization)
+    # shared-session cache dynamics (all four share the lower/trim/
+    # split tokenization subtree; exact-substring additionally shares
+    # gopher's posexplode-over-sliding-windows shape)
     [
         "text_gopher_repetition",
         "text_dsir_selection",
+        "dedup_exact_substring",
+        "text_quality_classifier",
     ],
 ]
 

@@ -757,6 +757,137 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", keep.alias("keep"))
 
 
+# --- learned quality classifier (CCNet/GPT-3-style linear scorer) -------------
+
+#: DuckDB md5-hex-digit arithmetic: value of hex digit ``i`` (1-based)
+#: of md5 of token column ``w`` — shared by the classifier and the
+#: DSIR LM-table bucketing below
+_HEXPOS = "strpos('0123456789abcdef', substr(md5(w), {i}, 1)) - 1"
+
+#: hashed-unigram feature space of the shipped linear model (same md5
+#: 3-hex-digit bucketing as the DSIR LM tables — engine-exact)
+QCLF_B = 4096
+#: fixed-point scale: a weight integer w_fp represents w_fp / 2^16
+QCLF_SCALE = 65536
+
+_QHEX = "strpos('0123456789abcdef', substr(md5('qw' || CAST(b AS VARCHAR)), {i}, 1)) - 1"
+_QW_SQL = (
+    f"(({_QHEX.format(i=1)}) * 4096 + ({_QHEX.format(i=2)}) * 256"
+    f" + ({_QHEX.format(i=3)}) * 16 + ({_QHEX.format(i=4)})) - 32768"
+)
+
+
+@register(
+    "text_quality_classifier",
+    rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+        FROM documents
+    ),
+    tb AS (
+        SELECT doc_id,
+               ({_HEXPOS.format(i=1)}) * 256
+             + ({_HEXPOS.format(i=2)}) * 16
+             + ({_HEXPOS.format(i=3)}) AS b
+        FROM toks
+    ),
+    weights AS (
+        SELECT b, {_QW_SQL} AS w_fp
+        FROM (SELECT unnest(generate_series(0, {QCLF_B} - 1)) AS b)
+    ),
+    scored AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               SUM(w_fp) AS logit_fp
+        FROM tb JOIN weights USING (b)
+        GROUP BY doc_id
+    ),
+    heur AS (SELECT doc_id, {QF_KEEP_SQL} AS hk FROM documents)
+    SELECT s.doc_id, s.n_tokens,
+           ROUND(s.logit_fp / ({QCLF_SCALE}.0 * s.n_tokens), 4) AS clf_logit,
+           s.logit_fp > 0 AS clf_label,
+           h.hk AS heuristic_keep,
+           (s.logit_fp > 0 AND h.hk) AS keep
+    FROM scored s JOIN heur h USING (doc_id)
+    """,
+    doc="Learned quality-classifier scoring (the CCNet / GPT-3 "
+    "fastText-style linear filter): a PRE-TRAINED linear model over "
+    f"hashed unigrams ({QCLF_B} buckets, same md5-derived bucketing "
+    "as the DSIR LM tables) is shipped as a literal weight table, "
+    "mean-pooled per document into a logit, thresholded at 0, and "
+    "composed with the text_quality_filter heuristic gates into the "
+    "final keep decision — completing the published filtering stack "
+    "(heuristics -> learned classifier). The weights here are "
+    "DETERMINISTIC md5-derived fixed-point integers standing in for "
+    "trained fastText weights (no model file ships with the repo); "
+    "what is under test is the Spark serving pattern: the weight "
+    f"table is bounded at {QCLF_B} rows and BROADCAST, scoring is one "
+    "corpus pass (explode -> broadcast hash join -> partial-agg'd "
+    "doc-keyed sum), and the label threshold compares the exact "
+    "INTEGER weight sum so the decision boundary is engine-exact; "
+    "the reported logit divides the same integers as doubles "
+    "(IEEE-identical) and rounds after. Swapping in real trained "
+    "weights is a data change, not a plan change. At 100 TB the only "
+    "corpus-sized traffic is the doc_id aggregation shuffle — "
+    "identical envelope to text_dsir_selection's scoring pass.",
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tb = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("w"),
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("w"), 1, 3), 16, 10).cast("int").alias("b"),
+    )
+    weights = spark.range(QCLF_B).select(
+        F.col("id").cast("int").alias("b"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("qw"), F.col("id").cast("string"))),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("long")
+            - 32768
+        ).alias("w_fp"),
+    )
+    scored = (
+        tb.join(F.broadcast(weights), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("w_fp").alias("logit_fp"),
+        )
+    )
+    t = F.col("text")
+    heur = docs.select(
+        "doc_id",
+        (
+            (TX.token_count(t) >= QF_MIN_TOKENS)
+            & (TX.punct_ratio(t) < QF_MAX_PUNCT)
+            & (TX.stopword_ratio(t, "en") >= QF_MIN_STOPWORD)
+        ).alias("hk"),
+    )
+    return scored.join(heur, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            F.col("logit_fp")
+            / (F.lit(float(QCLF_SCALE)) * F.col("n_tokens")),
+            4,
+        ).alias("clf_logit"),
+        (F.col("logit_fp") > 0).alias("clf_label"),
+        F.col("hk").alias("heuristic_keep"),
+        ((F.col("logit_fp") > 0) & F.col("hk")).alias("keep"),
+    )
+
+
 # --- benchmark contamination check ---------------------------------------------
 
 
@@ -1736,7 +1867,8 @@ DSIR_K = 50
 #: the target-domain sample: English docs (the corpus's majority lang)
 DSIR_TARGET_SQL = "lang = 'en'"
 
-_HEXPOS = "strpos('0123456789abcdef', substr(md5(w), {i}, 1)) - 1"
+# (_HEXPOS — the DuckDB md5-hex-digit bucket arithmetic shared with the
+# quality classifier — is defined above the classifier section)
 
 
 @register(
@@ -1862,6 +1994,139 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_tokens"),
             F.round(F.sum("term_fp") / 1e9, 4).alias("dsir_logweight"),
         )
+    )
+
+
+# --- exact-substring duplicate discovery (Lee et al. 2022) --------------------
+
+#: the ExactSubstr threshold: a token run is a duplicate iff it spans
+#: >= this many tokens and occurs >= 2 times anywhere in the corpus
+EXSUB_K = 50
+
+
+@register(
+    "dedup_exact_substring",
+    rf"""
+    WITH docs AS (
+        SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        FROM documents
+    ),
+    d2 AS (SELECT doc_id, t, len(t) AS n_tokens FROM docs),
+    g AS (
+        SELECT doc_id, p, array_to_string(t[p:p+{EXSUB_K}-1], ' ') AS gram
+        FROM (
+            SELECT doc_id, t,
+                   unnest(generate_series(1, n_tokens - {EXSUB_K} + 1)) AS p
+            FROM d2 WHERE n_tokens >= {EXSUB_K}
+        )
+    ),
+    dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+    occ AS (
+        SELECT doc_id, p FROM g WHERE gram IN (SELECT gram FROM dup)
+    ),
+    cov AS (
+        SELECT doc_id,
+               sum(CASE WHEN prev IS NULL THEN {EXSUB_K}
+                        ELSE least({EXSUB_K}, p - prev) END) AS covered
+        FROM (
+            SELECT doc_id, p,
+                   lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+            FROM occ
+        )
+        GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(d.n_tokens AS BIGINT) AS n_tokens,
+           CAST(COALESCE(c.covered, 0) AS BIGINT) AS dup_span_tokens,
+           ROUND(COALESCE(c.covered, 0) / CAST(d.n_tokens AS DOUBLE), 4)
+             AS dup_span_frac,
+           COALESCE(c.covered, 0) > 0 AS has_dup_span
+    FROM d2 d LEFT JOIN cov c USING (doc_id)
+    """,
+    doc="Exact-substring duplicate DISCOVERY (Lee et al. 2022, "
+    "'Deduplicating Training Data Makes Language Models Better', the "
+    f"ExactSubstr {EXSUB_K}-token rule): per document, how many token "
+    f"positions are covered by some >= {EXSUB_K}-token run that occurs "
+    ">= 2 times ANYWHERE in the corpus — the span set ExactSubstr "
+    "would cut. The paper builds a corpus-wide suffix array; the "
+    "Spark-native equivalent notes that a duplicated run of length "
+    f">= {EXSUB_K} is exactly a chain of duplicated {EXSUB_K}-grams, "
+    "so sliding window fingerprints + a corpus-wide frequency filter "
+    "find the same covered set: per-token xxhash64, per-position "
+    f"xxhash64 over the {EXSUB_K}-token hash slice (the gram STRING "
+    "is never materialized — O(n*K) long-hashing, no O(n*K) char "
+    "copying), groupBy(fingerprint) HAVING count>1, left-semi join "
+    "back, then the per-doc fixed-interval union formula "
+    "(K + sum(min(K, gap)) over position-sorted occurrences — the "
+    "same property-tested formula as text_gopher_repetition's "
+    "dup-5-gram coverage). The DuckDB oracle groups by the raw gram "
+    "string, so the hash-vs-string equivalence classes (identical "
+    "modulo a 64-bit collision) are themselves under test. "
+    "Complements text_remove_dup_spans, which removes KNOWN spans — "
+    "this entry is the missing corpus-wide discovery half. Scale "
+    "shape: one fingerprint aggregate + one semi join, both shuffled "
+    "on the 8-byte fingerprint (~24 B/row — no gram strings ever "
+    "shuffle); the frequency filter is a partial-agg'd hash "
+    "aggregate; the lag window partitions by doc_id over only the "
+    "duplicated-occurrence set; nothing is corpus-global. Skew-safe: "
+    "a boilerplate gram repeated in every document stays one "
+    "(fingerprint, count) row — occurrences are never collected into "
+    "a list. Reference has no analogue (its dedup surface is template "
+    "clustering, process_logs_v10.py:59-81).",
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d2 = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("t"),
+    ).select("doc_id", F.size("t").alias("n_tokens"), "t")
+    # token hashes first, then per-position fingerprints over hash
+    # slices — two selects so the lambda never references a sibling
+    # alias (the Spark-vs-DuckDB lateral-binding divergence)
+    th = d2.filter(F.col("n_tokens") >= EXSUB_K).select(
+        "doc_id",
+        "n_tokens",
+        F.expr("transform(t, tok -> xxhash64(tok))").alias("th"),
+    )
+    g = th.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, n_tokens - {EXSUB_K} + 1),"
+                f" i -> xxhash64(slice(th, i, {EXSUB_K})))"
+            )
+        ).alias("p0", "fp"),
+    )
+    dup = (
+        g.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .select("fp")
+    )
+    occ = g.join(dup, "fp", "left_semi")
+    wp = Window.partitionBy("doc_id").orderBy("p0")
+    gap = F.col("p0") - F.lag("p0").over(wp)
+    cov = (
+        occ.withColumn(
+            "contrib",
+            F.when(gap.isNull(), F.lit(EXSUB_K)).otherwise(
+                F.least(F.lit(EXSUB_K), gap)
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("covered"))
+    )
+    covered = F.coalesce(F.col("covered"), F.lit(0))
+    return d2.join(cov, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        covered.cast("long").alias("dup_span_tokens"),
+        F.round(covered / F.col("n_tokens").cast("double"), 4).alias(
+            "dup_span_frac"
+        ),
+        (covered > 0).alias("has_dup_span"),
     )
 
 

@@ -218,3 +218,29 @@ def test_dsir_selection_broadcasts_lm_tables_and_takes_ordered(spark):
     assert rep["has_broadcast_join"]
     assert rep["has_take_ordered"]
     assert not rep["has_python_udf"]
+
+
+def test_exact_substring_shuffles_fingerprints_not_grams(spark):
+    """ExactSubstr discovery must never shuffle gram strings: the
+    frequency filter and the semi join key on the 8-byte xxhash64
+    fingerprint, aggregation is partial-agg'd, the only window is the
+    per-doc lag over the duplicated-occurrence set, and nothing drops
+    to Python."""
+    df = REGISTRY["dedup_exact_substring"].run(spark, SF_DIR)
+    rep = plan_report(df)
+    assert not rep["has_python_udf"]
+    assert rep["has_partial_agg"]
+    simple = explain_str(df, "simple")
+    assert simple.count("Window") == 1, simple
+    assert "LeftSemi" in simple, "dup-fingerprint filter must be a semi join"
+
+
+def test_quality_classifier_broadcasts_weights_single_pass(spark):
+    """The learned quality scorer's weight table is bounded (4096 rows)
+    and must broadcast; scoring is one codegen'd corpus pass with a
+    partial-agg'd doc-keyed sum and no Python anywhere."""
+    df = REGISTRY["text_quality_classifier"].run(spark, SF_DIR)
+    rep = plan_report(df)
+    assert rep["has_broadcast_join"]
+    assert rep["has_partial_agg"]
+    assert not rep["has_python_udf"]

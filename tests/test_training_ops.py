@@ -362,6 +362,82 @@ def test_dsir_selection_prefers_target_domain(spark):
     assert min(ws) >= top_true[0][0]
 
 
+def test_exact_substring_planted_shared_run(spark, tmp_path):
+    """ExactSubstr (Lee et al. 2022) on planted docs: two docs sharing
+    an identical 60-token run must both have exactly that run covered
+    (the 50-gram chain reconstructs the full 60-token span via the
+    interval-union formula); a unique doc and a doc shorter than 50
+    tokens are untouched. Coverage arithmetic is integer-exact."""
+    common = " ".join(f"w{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [
+            (1, common),                                        # 60 toks
+            (2, " ".join(f"u{i}" for i in range(10)) + " " + common),
+            (3, " ".join(f"v{i}" for i in range(55))),          # unique
+            (4, " ".join(f"x{i}" for i in range(20))),          # < K toks
+        ],
+        "doc_id long, text string",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.doc_id: r
+        for r in REGISTRY["dedup_exact_substring"]
+        .run(spark, str(tmp_path))
+        .collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    assert (out[1].dup_span_tokens, out[1].dup_span_frac) == (60, 1.0)
+    assert out[2].n_tokens == 70
+    assert out[2].dup_span_tokens == 60  # only the shared run, not u*
+    assert out[2].dup_span_frac == 0.8571
+    for d in (3, 4):
+        assert out[d].dup_span_tokens == 0
+        assert not out[d].has_dup_span
+    assert out[1].has_dup_span and out[2].has_dup_span
+
+
+def test_exact_substring_invariants_on_corpus(spark):
+    """Corpus-run bounds: coverage never exceeds the doc's tokens, the
+    flag is exactly coverage>0, docs shorter than the 50-token window
+    can never be covered, and the output is one row per document."""
+    rows = REGISTRY["dedup_exact_substring"].run(spark, SF_DIR).collect()
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert len(rows) == n_docs
+    for r in rows:
+        assert 0 <= r.dup_span_tokens <= r.n_tokens
+        assert r.has_dup_span == (r.dup_span_tokens > 0)
+        if r.n_tokens < 50:
+            assert r.dup_span_tokens == 0
+
+
+def test_quality_classifier_composition_and_signs(spark):
+    """The learned-classifier entry must agree with its parts: the
+    heuristic column equals text_quality_filter's keep per doc, the
+    final keep is the AND of label and heuristic, the label agrees in
+    sign with the reported logit (the label thresholds the exact
+    integer sum, the logit is its rounded mean), one row per doc, and
+    the scoring is deterministic across runs."""
+    rows = REGISTRY["text_quality_classifier"].run(spark, SF_DIR).collect()
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert len(rows) == n_docs
+    heur = {
+        r.doc_id: r.keep
+        for r in REGISTRY["text_quality_filter"].run(spark, SF_DIR).collect()
+    }
+    for r in rows:
+        assert r.heuristic_keep == heur[r.doc_id]
+        assert r.keep == (r.clf_label and r.heuristic_keep)
+        if r.clf_logit > 0:
+            assert r.clf_label
+        if r.clf_logit < 0:
+            assert not r.clf_label
+    again = REGISTRY["text_quality_classifier"].run(spark, SF_DIR).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # the synthetic model must actually separate: both labels occur
+    labels = {r.clf_label for r in rows}
+    assert labels == {True, False}
+
+
 def test_gopher_interval_union_formula():
     """The covered-position formula behind dup_5gram_token_frac:
     for fixed-length-5 intervals at sorted distinct starts,
