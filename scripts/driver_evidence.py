@@ -17,7 +17,12 @@ sys.path.insert(0, ".")
 MARK = "## Driver evidence (auto-generated — scripts/driver_evidence.py)"
 
 
-def main() -> None:
+def render_section(repo_root: str = ".") -> str:
+    """The full auto-generated section text, derivable purely from the
+    CORRECTNESS_r*.json artifacts + the registry. Exposed so
+    tests/test_docs.py can assert COVERAGE.md carries EXACTLY this text
+    — the table can then never silently drift from recorded evidence
+    (judge r7 ask #3)."""
     from mgl870_tp02_project_01_hadoopmapreducelogs_spark.queries import REGISTRY
 
     verdicts: dict[str, str] = {}
@@ -25,7 +30,7 @@ def main() -> None:
     # numeric round order: lexicographic sort would put r10 before r2
     # and let a stale verdict overwrite a newer one
     paths = sorted(
-        glob.glob("CORRECTNESS_r*.json"),
+        glob.glob(f"{repo_root}/CORRECTNESS_r*.json"),
         key=lambda p: int(re.search(r"r(\d+)", p).group(1)),
     )
     latest_round = (
@@ -84,12 +89,17 @@ def main() -> None:
     summary = ", ".join(f"{k}: {v}" for k, v in sorted(counts.items()))
     lines.insert(4, f"**Totals**: {summary}.")
     lines.insert(5, "")
+    return "\n".join(lines) + "\n"
 
+
+def main() -> None:
+    section = render_section()
     text = open("COVERAGE.md").read()
     if MARK in text:
         text = text[: text.index(MARK)].rstrip() + "\n\n"
-    text += "\n".join(lines) + "\n"
+    text += section
     open("COVERAGE.md", "w").write(text)
+    summary = section.splitlines()[4]
     print(f"COVERAGE.md driver-evidence section updated ({summary})")
 
 

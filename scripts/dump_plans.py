@@ -37,6 +37,11 @@ SINGLE_PART_OK = {
                                               # stats + divergence count), both
                                               # partial-agg'd map-side before the
                                               # single-partition final
+    "text_dsir_selection": ("scalar", 1),     # 1-row LM totals (t_n, c_n)
+                                              # aggregated from the bounded
+                                              # 4096-row bucket table, partials
+                                              # map-side, result broadcast into
+                                              # the per-bucket term quantization
 }
 
 #: queries whose DISTRIBUTED work executes eagerly during construction
