@@ -163,14 +163,18 @@ CHUNKS = [
     ],
     # round-7/8 LLM-data-curation additions — a NEW chunk appended at
     # the end so chunks 0-6 keep their cross-round probe positions and
-    # shared-session cache dynamics (all four share the lower/trim/
+    # shared-session cache dynamics (all share the lower/trim/
     # split tokenization subtree; exact-substring additionally shares
-    # gopher's posexplode-over-sliding-windows shape)
+    # gopher's posexplode-over-sliding-windows shape; ccnet/softdedup/
+    # bm25 are the round-8 second wave over the same subtree)
     [
         "text_gopher_repetition",
         "text_dsir_selection",
         "dedup_exact_substring",
         "text_quality_classifier",
+        "text_ccnet_buckets",
+        "dedup_soft_reweight",
+        "text_bm25_search",
     ],
 ]
 

@@ -179,6 +179,9 @@ _PRIORITY = [
     "join_window_alignment", "setop_union_distinct",
     "rollup_region_nation", "window_rank_analytics", "text_token_count",
     # --- driver window ends at 50 entries; rotation queue for round 9:
+    # FIRST the never-sampled round-8 additions (text_ccnet_buckets,
+    # dedup_soft_reweight, text_bm25_search — full oracles, added after
+    # the r8 window was pinned), then
     # the 31 remaining r5-cohort entries (corpus_mixture_solver,
     # corpus_shuffle_deterministic, cube_status_priority,
     # dedup_anchor_containment, dedup_incremental_index,

@@ -3152,3 +3152,365 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist.groupBy("doc_id").agg(
         F.round((F.log(n) - s / n) / F.log(F.lit(2.0)), 4).alias("entropy_bits")
     )
+
+
+# --- CCNet perplexity bucketing (Wenzek et al. 2020) ---------------------------
+
+#: hashed-unigram LM bucket count for the per-language CCNet LMs (same
+#: md5-derived bucketing as the DSIR tables)
+CCNET_B = 4096
+
+
+@register(
+    "text_ccnet_buckets",
+    rf"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+        FROM documents
+    ),
+    tb AS (
+        SELECT doc_id, lang,
+               ({_HEXPOS.format(i=1)}) * 256
+             + ({_HEXPOS.format(i=2)}) * 16
+             + ({_HEXPOS.format(i=3)}) AS b
+        FROM toks
+    ),
+    lm AS (SELECT lang, b, count(*) AS c FROM tb GROUP BY lang, b),
+    tot AS (SELECT lang, sum(c) AS n FROM lm GROUP BY lang),
+    -- per-(lang, bucket) NLL term quantized ONCE to nano-fixed-point:
+    -- per-doc sums are exact BIGINT arithmetic (same guard as
+    -- text_dsir_selection)
+    terms AS (
+        SELECT lm.lang, lm.b,
+               CAST(ROUND(-ln((lm.c + 1)
+                              / CAST(tot.n + {CCNET_B} AS DOUBLE)) * 1e9)
+                    AS BIGINT) AS nll_fp
+        FROM lm JOIN tot USING (lang)
+    ),
+    scored AS (
+        SELECT doc_id, lang,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               SUM(nll_fp) AS s
+        FROM tb JOIN terms USING (lang, b)
+        GROUP BY doc_id, lang
+    )
+    SELECT doc_id, lang, n_tokens, avg_token_nll, ppl_tercile,
+           CASE ppl_tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS ccnet_bucket
+    FROM (
+        SELECT doc_id, lang, n_tokens,
+               ROUND(s / CAST(n_tokens AS DOUBLE) / 1e9, 4)
+                 AS avg_token_nll,
+               ntile(3) OVER (
+                   PARTITION BY lang
+                   ORDER BY s / CAST(n_tokens AS DOUBLE), doc_id
+               ) AS ppl_tercile
+        FROM scored
+    )
+    """,
+    doc="CCNet perplexity bucketing (Wenzek et al. 2020, 'CCNet: "
+    "Extracting High Quality Monolingual Datasets from Web Crawl "
+    "Data'): per LANGUAGE, score every document with that language's "
+    "own LM and split the language's corpus into equal head / middle "
+    "/ tail terciles by per-token perplexity — the paper's central "
+    "move (a doc is judged against its language's distribution, not "
+    "the corpus-wide one, so low-resource languages are not globally "
+    f"out-scored). The LM here is the hashed-unigram ({CCNET_B} "
+    "md5-derived buckets, add-1 smoothing) stand-in for KenLM — the "
+    "same serving pattern as the DSIR tables: per-(lang, bucket) NLL "
+    "terms are quantized ONCE to nano-fixed-point so per-doc sums are "
+    "exact BIGINT arithmetic and the tercile cut (ordered by the "
+    "IEEE-identical double s/n, doc_id tie-break) cannot flip on "
+    "accumulation order. Scale shape: the LM table is bounded at "
+    f"n_langs x {CCNET_B} rows and BROADCAST; one corpus pass builds "
+    "it, one scores (doc-keyed partial-agg'd sum); the tercile NTILE "
+    "partitions by language — CCNet itself globally sorts each "
+    "language shard by perplexity, and at 100 TB the drop-in "
+    "replacement is two approx-percentile thresholds per language "
+    "(a broadcast n_langs x 2 table + one codegen'd CASE) instead of "
+    "the full per-language sort; the registered query keeps the exact "
+    "NTILE so the cut is oracle-checkable.",
+)
+def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    tb = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("w"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.conv(F.substring(F.md5("w"), 1, 3), 16, 10).cast("int").alias("b"),
+    )
+    lm = tb.groupBy("lang", "b").agg(F.count(F.lit(1)).alias("c"))
+    tot = lm.groupBy("lang").agg(F.sum("c").alias("n"))
+    terms = lm.join(tot, "lang").select(
+        "lang",
+        "b",
+        F.round(
+            -F.log(
+                (F.col("c") + 1) / (F.col("n") + CCNET_B).cast("double")
+            )
+            * 1e9,
+            0,
+        )
+        .cast("long")
+        .alias("nll_fp"),
+    )
+    scored = (
+        tb.join(F.broadcast(terms), ["lang", "b"])
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("nll_fp").alias("s"),
+        )
+    )
+    key = F.col("s") / F.col("n_tokens").cast("double")
+    tile = F.ntile(3).over(
+        Window.partitionBy("lang").orderBy(key, "doc_id")
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.round(key / 1e9, 4).alias("avg_token_nll"),
+        tile.alias("ppl_tercile"),
+    ).select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "avg_token_nll",
+        "ppl_tercile",
+        F.when(F.col("ppl_tercile") == 1, "head")
+        .when(F.col("ppl_tercile") == 2, "middle")
+        .otherwise("tail")
+        .alias("ccnet_bucket"),
+    )
+
+
+# --- SoftDeDup duplication reweighting (She et al. 2024) -----------------------
+
+#: n-gram width for the commonness estimate
+SOFT_W = 5
+
+
+@register(
+    "dedup_soft_reweight",
+    rf"""
+    WITH docs AS (
+        SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        FROM documents
+    ),
+    base AS (SELECT doc_id, len(t) AS n_tokens, t FROM docs),
+    g AS (
+        SELECT doc_id, array_to_string(t[p:p+{SOFT_W}-1], ' ') AS g
+        FROM (
+            SELECT doc_id, t,
+                   unnest(generate_series(1, n_tokens - {SOFT_W} + 1)) AS p
+            FROM base WHERE n_tokens >= {SOFT_W}
+        )
+    ),
+    -- ln(1) = 0: singleton grams contribute nothing, so only grams
+    -- with corpus count >= 2 carry a term (shrinks the join side)
+    counts AS (
+        SELECT g, count(*) AS c FROM g GROUP BY g HAVING count(*) >= 2
+    ),
+    terms AS (
+        SELECT g, CAST(ROUND(ln(c) * 1e9) AS BIGINT) AS t_fp FROM counts
+    ),
+    contrib AS (
+        SELECT doc_id, SUM(t_fp) AS s_fp
+        FROM g JOIN terms USING (g)
+        GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           CAST(GREATEST(0, b.n_tokens - {SOFT_W} + 1) AS BIGINT)
+             AS n_grams,
+           ROUND(CASE WHEN b.n_tokens < {SOFT_W} THEN 0.0
+                 ELSE COALESCE(c.s_fp, 0) / 1e9
+                      / GREATEST(1, b.n_tokens - {SOFT_W} + 1) END, 4)
+             AS commonness,
+           ROUND(1.0 / (1.0 + CASE WHEN b.n_tokens < {SOFT_W} THEN 0.0
+                 ELSE COALESCE(c.s_fp, 0) / 1e9
+                      / GREATEST(1, b.n_tokens - {SOFT_W} + 1) END), 4)
+             AS soft_weight
+    FROM base b LEFT JOIN contrib c USING (doc_id)
+    """,
+    doc="SoftDeDup duplication reweighting (She et al. 2024, "
+    "'SoftDedup: an Efficient Data Reweighting Method for Speeding Up "
+    "Language Model Pre-training'): instead of REMOVING duplicates, "
+    "down-weight common text — per document, 'data commonness' is the "
+    f"mean log corpus-frequency of its sliding {SOFT_W}-gram "
+    "occurrences, and the sampling weight is 1/(1+commonness), so "
+    "unique text keeps weight ~1 and boilerplate decays smoothly "
+    "(the paper's fix for hard dedup's recall/diversity loss). "
+    "Engine-exactness: ln(count) is quantized ONCE per distinct gram "
+    "count to nano-fixed-point, per-doc sums are exact BIGINT "
+    "arithmetic, and the final divisions are IEEE-identical doubles "
+    "rounded after. Scale shape: one explode pass, a partial-agg'd "
+    "gram-count aggregate, and a gram-keyed join back — and because "
+    "ln(1)=0, only grams with corpus count >= 2 carry a term, so the "
+    "join side is the DUPLICATED-gram table (at web scale the vast "
+    "majority of 5-grams are unique, making that side small); docs "
+    f"under {SOFT_W} tokens get commonness 0 / weight 1 via the left "
+    "join, never a divide-by-zero. Complements dedup_exact / "
+    "dedup_minhash_lsh (which drop) and text_gopher_repetition "
+    "(within-doc repetition): this is the cross-corpus soft policy.",
+)
+def dedup_soft_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("t")
+    )
+    base = docs.select("doc_id", F.size("t").alias("n_tokens"), "t")
+    grams = base.filter(F.col("n_tokens") >= SOFT_W).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {SOFT_W - 1}),"
+                f" i -> concat_ws(' ', slice(t, i, {SOFT_W})))"
+            )
+        ).alias("g"),
+    )
+    counts = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+    )
+    terms = counts.select(
+        "g", F.round(F.log("c") * 1e9, 0).cast("long").alias("t_fp")
+    )
+    contrib = (
+        grams.join(terms, "g").groupBy("doc_id").agg(F.sum("t_fp").alias("s_fp"))
+    )
+    raw = F.when(F.col("n_tokens") < SOFT_W, F.lit(0.0)).otherwise(
+        F.coalesce(F.col("s_fp"), F.lit(0))
+        / F.lit(1e9)
+        / F.greatest(F.lit(1), F.col("n_tokens") - (SOFT_W - 1))
+    )
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(contrib, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.greatest(F.lit(0), F.col("n_tokens") - (SOFT_W - 1))
+            .cast("long")
+            .alias("n_grams"),
+            F.round(raw, 4).alias("commonness"),
+            F.round(F.lit(1.0) / (F.lit(1.0) + raw), 4).alias("soft_weight"),
+        )
+    )
+
+
+# --- BM25 lexical retrieval (Robertson & Zaragoza 2009) ------------------------
+
+#: the fixed benchmark query (one rare + two common corpus terms)
+BM25_TERMS = ("dup", "spark", "window")
+BM25_TOPK = 10
+
+
+@register(
+    "text_bm25_search",
+    rf"""
+    WITH docs AS (
+        SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, len(t) AS dl FROM docs),
+    stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM dl),
+    tf AS (
+        SELECT doc_id, w, count(*) AS tf
+        FROM (SELECT doc_id, unnest(t) AS w FROM docs)
+        WHERE w IN ('{BM25_TERMS[0]}', '{BM25_TERMS[1]}', '{BM25_TERMS[2]}')
+        GROUP BY doc_id, w
+    ),
+    dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+    sc AS (
+        SELECT t.doc_id,
+               CAST(ROUND(
+                 ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                 * ((t.tf * 2.2)
+                    / (t.tf + 1.2 * (0.25 + 0.75
+                       * (l.dl / (CAST(s.total_dl AS DOUBLE) / s.n_docs)))))
+                 * 1e9) AS BIGINT) AS s_fp
+        FROM tf t
+        JOIN dfreq d USING (w)
+        JOIN dl l USING (doc_id)
+        CROSS JOIN stats s
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_terms_matched,
+           ROUND(SUM(s_fp) / 1e9, 4) AS bm25_score
+    FROM sc GROUP BY doc_id
+    ORDER BY SUM(s_fp) DESC, doc_id
+    LIMIT {BM25_TOPK}
+    """,
+    doc="BM25 lexical retrieval (Robertson & Zaragoza 2009, the Lucene "
+    "log(1 + (N-df+0.5)/(df+0.5)) idf variant, k1=1.2 b=0.75): top-"
+    f"{BM25_TOPK} documents for the fixed query {BM25_TERMS} — the "
+    "keyword-search side of corpus tooling (find the training docs "
+    "that match an eval probe, audit what a term's top sources are) "
+    "complementing the embedding-space sim_* entries. Scale shape: "
+    "the posting-list pass filters the exploded token stream to the "
+    "query terms BEFORE any aggregation (predicate on the explode "
+    "output — at 100 TB the surviving stream is query-sized, not "
+    "corpus-sized), df and the length stats are tiny broadcasts, "
+    "per-(doc,term) scores quantize to nano-fixed-point so the "
+    "per-doc sum is exact BIGINT arithmetic, and the final ranking "
+    "compiles to TakeOrderedAndProject (never a global sort). "
+    "Tie-break (score desc, doc_id) on the INTEGER score.",
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("t")
+    )
+    dl = docs.select("doc_id", F.size("t").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
+    )
+    tf = (
+        docs.select("doc_id", F.explode("t").alias("w"))
+        .filter(F.col("w").isin(*BM25_TERMS))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    avgdl = F.col("total_dl").cast("double") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tfc = (F.col("tf") * 2.2) / (
+        F.col("tf") + 1.2 * (0.25 + 0.75 * (F.col("dl") / avgdl))
+    )
+    sc = (
+        tf.join(F.broadcast(dfreq), "w")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(idf * tfc * 1e9, 0).cast("long").alias("s_fp"),
+        )
+    )
+    return (
+        sc.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms_matched"),
+            F.sum("s_fp").alias("score_fp"),
+        )
+        .orderBy(F.col("score_fp").desc(), "doc_id")
+        .limit(BM25_TOPK)
+        .select(
+            "doc_id",
+            "n_terms_matched",
+            F.round(F.col("score_fp") / 1e9, 4).alias("bm25_score"),
+        )
+    )

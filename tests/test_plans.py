@@ -244,3 +244,33 @@ def test_quality_classifier_broadcasts_weights_single_pass(spark):
     assert rep["has_broadcast_join"]
     assert rep["has_partial_agg"]
     assert not rep["has_python_udf"]
+
+
+def test_ccnet_lm_table_broadcasts_and_stays_jvm(spark):
+    """The per-language LM table (n_langs x 4096 rows) must broadcast
+    onto the scoring pass; nothing in the chain may drop to Python.
+    The tercile window partitions by lang — never SinglePartition."""
+    df = REGISTRY["text_ccnet_buckets"].run(spark, SF_DIR)
+    rep = plan_report(df)
+    assert rep["has_broadcast_join"], "LM table must broadcast"
+    assert not rep["has_python_udf"]
+    assert "SinglePartition" not in explain_str(df, "simple")
+
+
+def test_bm25_plans_take_ordered_with_broadcast_stats(spark):
+    """BM25 ranking must compile to TakeOrderedAndProject (top-k, not a
+    global sort); df/length-stats joins are tiny broadcasts."""
+    df = REGISTRY["text_bm25_search"].run(spark, SF_DIR)
+    rep = plan_report(df)
+    assert rep["has_take_ordered"], "top-k must plan as TakeOrderedAndProject"
+    assert rep["has_broadcast_join"]
+    assert not rep["has_python_udf"]
+
+
+def test_soft_reweight_partial_aggs_and_stays_jvm(spark):
+    """SoftDedup commonness: gram counting must partial-agg map-side
+    and the whole chain stays JVM-side (codegen'd explode + hash
+    aggregate + gram-keyed join)."""
+    rep = plan_report(REGISTRY["dedup_soft_reweight"].run(spark, SF_DIR))
+    assert rep["has_partial_agg"]
+    assert not rep["has_python_udf"]

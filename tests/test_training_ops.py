@@ -458,3 +458,127 @@ def test_gopher_interval_union_formula():
         assert formula == brute
 
     check()
+
+
+def test_ccnet_terciles_balanced_and_ordered(spark):
+    """CCNet bucketing invariants on the real corpus: within every
+    language the three terciles differ in size by at most 1 (NTILE
+    contract), and because the cut orders by the raw per-token NLL,
+    the ROUNDED avg_token_nll is monotone head <= middle <= tail
+    (rounding is monotone, ties allowed)."""
+    rows = REGISTRY["text_ccnet_buckets"].run(spark, SF_DIR).collect()
+    assert rows
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, {}).setdefault(r.ppl_tercile, []).append(
+            r.avg_token_nll
+        )
+        assert r.ccnet_bucket == {1: "head", 2: "middle", 3: "tail"}[
+            r.ppl_tercile
+        ]
+        assert r.avg_token_nll > 0  # NLL of a probability < 1
+    for lang, tiles in by_lang.items():
+        sizes = [len(tiles.get(k, [])) for k in (1, 2, 3)]
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+        for lo, hi in ((1, 2), (2, 3)):
+            if tiles.get(lo) and tiles.get(hi):
+                assert max(tiles[lo]) <= min(tiles[hi]), (lang, lo, hi)
+
+
+def test_ccnet_rare_token_doc_lands_in_tail(spark, tmp_path):
+    """A doc made of corpus-singleton tokens has the highest per-token
+    NLL under its language's LM and must land in the tail tercile;
+    languages are scored independently (the other language's docs do
+    not shift it)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "common common common common", "en"),
+            (2, "common common common mixed", "en"),
+            (3, "common mixed mixed mixed", "en"),
+            (4, "zebra qoph xylem", "en"),  # singletons -> max NLL
+            (5, "autre langue texte ici", "fr"),
+            (6, "autre langue texte ici", "fr"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.doc_id: r
+        for r in REGISTRY["text_ccnet_buckets"]
+        .run(spark, str(tmp_path))
+        .collect()
+    }
+    assert out[4].ccnet_bucket == "tail"
+    assert out[4].avg_token_nll == max(
+        out[d].avg_token_nll for d in (1, 2, 3, 4)
+    )
+    # fr is its own partition: 2 docs over 3 tiles -> terciles 1 and 2
+    assert {out[5].ppl_tercile, out[6].ppl_tercile} == {1, 2}
+
+
+def test_soft_reweight_planted_duplicates(spark, tmp_path):
+    """SoftDedup reweighting on planted docs: an exact duplicate pair
+    gets commonness ln(2) and weight 1/(1+ln 2); a unique doc keeps
+    commonness 0 / weight 1; a doc under 5 tokens is weight 1 by
+    definition. Values are engine-exact fixed-point, so these are
+    equality assertions."""
+    import math
+
+    twenty = " ".join(f"w{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (1, twenty),
+            (2, twenty),  # exact duplicate of 1: every 5-gram count = 2
+            (3, " ".join(f"u{i}" for i in range(20))),  # unique
+            (4, "a b c"),  # < 5 tokens
+        ],
+        "doc_id long, text string",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.doc_id: r
+        for r in REGISTRY["dedup_soft_reweight"]
+        .run(spark, str(tmp_path))
+        .collect()
+    }
+    ln2_fp = round(math.log(2) * 1e9)
+    expected_c = round(ln2_fp / 1e9 / 1, 4)  # avg over identical terms
+    assert out[1].commonness == round(math.log(2), 4) == expected_c
+    assert out[2].commonness == out[1].commonness
+    assert out[1].soft_weight == round(1.0 / (1.0 + ln2_fp * 16 / 1e9 / 16), 4)
+    assert out[3].commonness == 0.0 and out[3].soft_weight == 1.0
+    assert out[4].n_grams == 0
+    assert out[4].commonness == 0.0 and out[4].soft_weight == 1.0
+    # weights decay monotonically in commonness, bounded (0, 1]
+    for r in out.values():
+        assert 0.0 < r.soft_weight <= 1.0
+
+
+def test_bm25_ranking_invariants_and_length_norm(spark, tmp_path):
+    """BM25 on planted docs: a doc matching the rare term + common
+    terms outranks a common-term-only doc (idf); of two docs with the
+    same tf, the longer one scores lower (length normalization); docs
+    with no query term are absent."""
+    filler = " ".join(f"f{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (1, "dup spark window " + " ".join(f"x{i}" for i in range(10))),
+            (2, "spark window spark " + " ".join(f"y{i}" for i in range(10))),
+            (3, "spark window spark " + filler),  # same tf, longer
+            (4, "no query terms here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    rows = REGISTRY["text_bm25_search"].run(spark, str(tmp_path)).collect()
+    scores = {r.doc_id: r.bm25_score for r in rows}
+    assert 4 not in scores
+    assert scores[1] > scores[2] > scores[3]
+    got = {r.doc_id: r.n_terms_matched for r in rows}
+    assert got[1] == 3 and got[2] == 2 and got[3] == 2
+    # corpus run: top-k bounded, scores sorted non-increasing
+    top = REGISTRY["text_bm25_search"].run(spark, SF_DIR).collect()
+    assert 0 < len(top) <= 10
+    ss = [r.bm25_score for r in top]
+    assert all(a >= b for a, b in zip(ss, ss[1:]))
+    assert all(1 <= r.n_terms_matched <= 3 for r in top)
