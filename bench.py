@@ -176,6 +176,13 @@ CHUNKS = [
         "dedup_soft_reweight",
         "text_bm25_search",
     ],
+    # round-8 wave 3: combined IVF-PQ (embeddings subtree) + the
+    # per-source curation rollup — own chunk so the curation chunk
+    # stays under 8 queries and earlier probe positions hold
+    [
+        "sim_ivfpq_seeded_topk",
+        "dq_source_profile",
+    ],
 ]
 
 HEADLINE = [name for chunk in CHUNKS for name in chunk]

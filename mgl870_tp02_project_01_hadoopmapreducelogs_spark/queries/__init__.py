@@ -180,7 +180,8 @@ _PRIORITY = [
     "rollup_region_nation", "window_rank_analytics", "text_token_count",
     # --- driver window ends at 50 entries; rotation queue for round 9:
     # FIRST the never-sampled round-8 additions (text_ccnet_buckets,
-    # dedup_soft_reweight, text_bm25_search — full oracles, added after
+    # dedup_soft_reweight, text_bm25_search, sim_ivfpq_seeded_topk,
+    # dq_source_profile — full oracles, added after
     # the r8 window was pinned), then
     # the 31 remaining r5-cohort entries (corpus_mixture_solver,
     # corpus_shuffle_deterministic, cube_status_priority,

@@ -794,6 +794,190 @@ def sim_pq_seeded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- combined IVF-PQ (the production FAISS index shape) ----------------------
+
+IVFPQ_SHORTLIST = 50
+
+_IVFPQ_SQL = f"""
+    WITH b0 AS (SELECT vec_id,
+        list_transform(embedding,
+            x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS e
+        FROM embeddings),
+    withn AS (
+        SELECT vec_id, e,
+               list_sum(list_transform(e, x -> CAST(x*x AS DOUBLE))) AS n2
+        FROM b0
+    ),
+    seeds32 AS (
+        SELECT seed_rank, e AS se, n2 AS sn2
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS seed_rank
+              FROM withn)
+        WHERE seed_rank <= {PQS_KSUB}
+    ),
+    seeds8 AS (SELECT * FROM seeds32 WHERE seed_rank <= {IVF_SEED_K}),
+    q AS (SELECT e AS qe, n2 AS qn2 FROM withn WHERE vec_id = 0),
+    assigned AS (
+        SELECT vec_id, e, cell FROM (
+            SELECT v.vec_id, v.e, s.seed_rank AS cell,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                       {_IVF_COS.format(a="v.e", b="s.se", na="v.n2", nb="s.sn2")}
+                       DESC, s.seed_rank) AS rnk
+            FROM withn v, seeds8 s) WHERE rnk = 1
+    ),
+    probe AS (
+        SELECT seed_rank AS cell FROM (
+            SELECT s.seed_rank,
+                   {_IVF_COS.format(a="q.qe", b="s.se", na="q.qn2", nb="s.sn2")}
+                     AS qcos
+            FROM seeds8 s, q
+            ORDER BY qcos DESC, s.seed_rank LIMIT {IVF_SEED_NPROBE})
+    ),
+    cand AS (
+        SELECT a.vec_id, a.e FROM assigned a JOIN probe p ON a.cell = p.cell
+        WHERE a.vec_id != 0
+    ),
+    subs AS (SELECT j FROM range({PQS_M}) t(j)),
+    dists AS (
+        SELECT c.vec_id, s.j, sd.seed_rank,
+               {_PQS_SUB_D2.format(a="c.e", b="sd.se", d=PQS_DSUB)} AS d2
+        FROM cand c, subs s, seeds32 sd
+    ),
+    codes AS (
+        SELECT vec_id, j, seed_rank AS code FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                         ORDER BY d2, seed_rank) AS rnk
+            FROM dists) WHERE rnk = 1
+    ),
+    qtab AS (
+        SELECT s.j, sd.seed_rank,
+               {_PQS_SUB_D2.format(a="q.qe", b="sd.se", d=PQS_DSUB)} AS qd2
+        FROM q, subs s, seeds32 sd
+    ),
+    adc AS (
+        SELECT c.vec_id, SUM(t.qd2) AS adc_dist
+        FROM codes c JOIN qtab t ON c.j = t.j AND c.code = t.seed_rank
+        GROUP BY c.vec_id
+    ),
+    short AS (SELECT vec_id FROM adc
+              ORDER BY adc_dist, vec_id LIMIT {IVFPQ_SHORTLIST}),
+    scored AS (
+        SELECT w.vec_id,
+               ROUND({_IVF_COS.format(a="w.e", b="q.qe", na="w.n2", nb="q.qn2")},
+                     4) AS cos
+        FROM short JOIN withn w USING (vec_id), q
+    )
+    SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id LIMIT 10
+"""
+
+
+@register(
+    "sim_ivfpq_seeded_topk",
+    _IVFPQ_SQL,
+    doc="Combined IVF-PQ ANN — the production FAISS index shape "
+    "(IndexIVFPQ: coarse cells prune the SCAN, PQ codes prune the "
+    "BYTES) — under the engine-deterministic seed quantizers, as a "
+    f"FULL hard oracle: the {IVF_SEED_K} md5-order seeds form the "
+    f"coarse cells (argmax exact-integer cosine), the query probes "
+    f"nprobe={IVF_SEED_NPROBE} cells, and ONLY probed-cell vectors "
+    f"are PQ-coded against the {PQS_KSUB}-seed subvector codebook "
+    f"({PQS_M}x{PQS_DSUB}), ADC-shortlisted to {IVFPQ_SHORTLIST}, "
+    "then exactly rescored — composing the two independently proven "
+    "pipelines (sim_ivf_seeded_topk, sim_pq_seeded_topk) end to end. "
+    "All arithmetic is exact-integer sums / IEEE-identical doubles; "
+    "every argmax/argmin tie breaks to the smaller seed rank in both "
+    "engines. Spark shape: ONE Arrow-batched map pass computes the "
+    "cell argmax, applies the probe filter IN the batch (cells prune "
+    "before any PQ work — at 100 TB the cell filter prunes "
+    "cell-partitioned files before the scan and the surviving "
+    f"shortlist scan reads {PQS_M} B/vector of codes), codes only the "
+    "survivors, then TakeOrdered(shortlist) + constant-size exact "
+    "rescore. Zero exchanges before the shortlist TakeOrdered.",
+)
+def sim_ivfpq_seeded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from .vectorops import _cos, _int_emb
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _int_emb(F.col("embedding")).alias("e")
+    )
+    seed_rows = (
+        emb.select("vec_id", "e", F.md5(F.col("vec_id").cast("string")).alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(PQS_KSUB)
+        .collect()
+    )
+    S32 = np.array([r.e for r in seed_rows], dtype="float64")
+    if S32.shape[1] != PQS_M * PQS_DSUB:
+        raise ValueError(
+            f"sim_ivfpq_seeded_topk: embedding dim {S32.shape[1]} != "
+            f"{PQS_M}x{PQS_DSUB}"
+        )
+    S8 = S32[:IVF_SEED_K]
+    sn8 = np.sqrt((S8 * S8).sum(axis=1))
+    books = S32.reshape(PQS_KSUB, PQS_M, PQS_DSUB).transpose(1, 0, 2)
+    q_hit = emb.filter(F.col("vec_id") == 0).first()
+    if q_hit is None:
+        raise ValueError("sim_ivfpq_seeded_topk: query vec_id 0 not found")
+    qe = np.array(q_hit["e"], dtype="float64")
+    qn = np.sqrt(float(qe @ qe))
+    qtab = ((qe.reshape(PQS_M, 1, PQS_DSUB) - books) ** 2).sum(-1)
+    # probe cells driver-side over the bounded seed set (oracle
+    # arithmetic: exact-integer dots, ties -> smaller seed rank)
+    sd = S8 @ qe
+    sden = sn8 * qn
+    with np.errstate(divide="ignore", invalid="ignore"):
+        qcos_seeds = np.where(sden == 0, 0.0, sd / sden)
+    probe = np.array(
+        sorted(range(IVF_SEED_K), key=lambda i: (-qcos_seeds[i], i))[
+            :IVF_SEED_NPROBE
+        ]
+    ) + 1
+
+    def scan(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            u = np.stack(pdf["e"].to_numpy()).astype("float64")
+            n2 = (u * u).sum(axis=1)
+            nrm = np.sqrt(n2)
+            den = nrm[:, None] * sn8[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(den == 0.0, 0.0, (u @ S8.T) / den)
+            cell = cos.argmax(axis=1) + 1  # first max -> smaller rank
+            keep = np.isin(cell, probe) & (pdf["vec_id"].to_numpy() != 0)
+            if not keep.any():
+                continue
+            uk = u[keep]
+            usub = uk.reshape(len(uk), PQS_M, 1, PQS_DSUB)
+            d = ((usub - books[None]) ** 2).sum(-1)
+            codes = d.argmin(-1)  # first min -> smaller seed rank
+            adc = qtab[np.arange(PQS_M)[None, :], codes].sum(-1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy()[keep],
+                    "e": pdf["e"].to_numpy()[keep],
+                    "adc_dist": adc,
+                }
+            )
+
+    short = (
+        emb.mapInPandas(scan, "vec_id long, e array<bigint>, adc_dist double")
+        .orderBy(F.col("adc_dist").asc(), "vec_id")
+        .limit(IVFPQ_SHORTLIST)
+    )
+    q = spark.createDataFrame([(list(map(int, q_hit["e"])),)], "qe array<bigint>")
+    return (
+        short.crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(_cos(F.col("e"), F.col("qe")), 4).alias("cos"))
+        .orderBy(F.col("cos").desc(), "vec_id")
+        .limit(10)
+    )
+
+
 # --- approximate sketches ---------------------------------------------------------------
 
 

@@ -3514,3 +3514,97 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("score_fp") / 1e9, 4).alias("bm25_score"),
         )
     )
+
+
+# --- per-source curation profile (RefinedWeb/CCNet-style host stats) -----------
+
+#: block a source when >30% of its docs are corpus-wide exact dups or
+#: <50% pass the heuristic quality gate (integer-exact predicates)
+SRC_MAX_DUP_PCT = 30
+SRC_MIN_KEEP_PCT = 50
+
+
+@register(
+    "dq_source_profile",
+    f"""
+    WITH f AS (
+        SELECT doc_id, source, md5({NORM_SQL}) AS fp,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_toks,
+               ({QF_KEEP_SQL}) AS keep
+        FROM documents
+    ),
+    dupfp AS (SELECT fp FROM f GROUP BY fp HAVING count(*) >= 2),
+    flagged AS (
+        SELECT f.*, (d.fp IS NOT NULL) AS is_dup
+        FROM f LEFT JOIN dupfp d USING (fp)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(CASE WHEN is_dup THEN 1 END) AS BIGINT) AS dup_docs,
+           CAST(count(CASE WHEN keep THEN 1 END) AS BIGINT) AS keep_docs,
+           ROUND(count(CASE WHEN is_dup THEN 1 END)
+                 / CAST(count(*) AS DOUBLE), 4) AS dup_frac,
+           ROUND(count(CASE WHEN keep THEN 1 END)
+                 / CAST(count(*) AS DOUBLE), 4) AS keep_frac,
+           ROUND(SUM(n_toks) / CAST(count(*) AS DOUBLE), 4) AS mean_tokens,
+           (count(CASE WHEN is_dup THEN 1 END) * 100
+              > count(*) * {SRC_MAX_DUP_PCT}
+            OR count(CASE WHEN keep THEN 1 END) * 100
+              < count(*) * {SRC_MIN_KEEP_PCT}) AS source_blocked
+    FROM flagged
+    GROUP BY source
+    """,
+    doc="Per-source curation profile (the RefinedWeb/CCNet host-level "
+    "triage pass: crawl pipelines audit and block entire HOSTS, not "
+    "just documents): per source — doc count, corpus-wide exact-dup "
+    "membership count (normalized-text md5 fingerprints occurring >= "
+    "2 times anywhere), heuristic quality-gate pass count, their "
+    "fractions, mean tokens/doc, and an integer-exact block decision "
+    f"(dup share > {SRC_MAX_DUP_PCT}% OR keep share < "
+    f"{SRC_MIN_KEEP_PCT}%). Scale shape: one doc-level pass computes "
+    "fingerprint + per-doc flags (codegen'd projection), the dup set "
+    "is a fingerprint-keyed partial-agg'd aggregate joined back "
+    "co-partitioned on fp, and the rollup is a source-keyed hash "
+    "aggregate — the shuffle carries one row per SOURCE at the end, "
+    "so a 100 TB corpus with millions of hosts emits a "
+    "host-cardinality result, never a doc-cardinality one. The block "
+    "predicate compares integer products, engine-exact.",
+)
+def dq_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    f = docs.select(
+        "doc_id",
+        "source",
+        TX.fingerprint(t).alias("fp"),
+        TX.token_count(t).alias("n_toks"),
+        (
+            (TX.token_count(t) >= QF_MIN_TOKENS)
+            & (TX.punct_ratio(t) < QF_MAX_PUNCT)
+            & (TX.stopword_ratio(t, "en") >= QF_MIN_STOPWORD)
+        ).alias("keep"),
+    )
+    dupfp = (
+        f.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("fp", F.lit(True).alias("is_dup"))
+    )
+    flagged = f.join(dupfp, "fp", "left").withColumn(
+        "is_dup", F.coalesce("is_dup", F.lit(False))
+    )
+    n = F.count(F.lit(1))
+    dup = F.count(F.when(F.col("is_dup"), 1))
+    keep = F.count(F.when(F.col("keep"), 1))
+    return flagged.groupBy("source").agg(
+        n.cast("long").alias("n_docs"),
+        dup.cast("long").alias("dup_docs"),
+        keep.cast("long").alias("keep_docs"),
+        F.round(dup / n.cast("double"), 4).alias("dup_frac"),
+        F.round(keep / n.cast("double"), 4).alias("keep_frac"),
+        F.round(F.sum("n_toks") / n.cast("double"), 4).alias("mean_tokens"),
+        (
+            (dup * 100 > n * SRC_MAX_DUP_PCT)
+            | (keep * 100 < n * SRC_MIN_KEEP_PCT)
+        ).alias("source_blocked"),
+    )

@@ -270,3 +270,63 @@ def test_ivf_materialized_cells_partition_pruned(spark, tmp_path):
         ).collect()
     ]
     assert got == want
+
+
+def test_ivfpq_composes_ivf_cells_with_pq_shortlist(spark):
+    """Combined IVF-PQ invariants: exactly k results; every result is
+    assigned (by the oracle's argmax-cosine rule, recomputed in numpy)
+    to one of the query's nprobe probed cells; the rescored cosine is
+    the EXACT integer-arithmetic cosine (ADC only shortlists — it
+    never perturbs reported scores); and the PQ shortlist recovers
+    >= 7 of the IVF-only top-10 (measured 10/10 at sf0.001, 8/10 at
+    sf0.01 — the coarse quantizer, not PQ, is the recall limiter)."""
+    import numpy as np
+
+    from mgl870_tp02_project_01_hadoopmapreducelogs_spark.queries.extended import (
+        IVF_SEED_K,
+        IVF_SEED_NPROBE,
+        PQS_KSUB,
+    )
+    from mgl870_tp02_project_01_hadoopmapreducelogs_spark.queries.vectorops import (
+        _int_emb,
+    )
+    from mgl870_tp02_project_01_hadoopmapreducelogs_spark.queries import load
+    from pyspark.sql import functions as F
+
+    rows = REGISTRY["sim_ivfpq_seeded_topk"].run(spark, SF_DIR).collect()
+    assert len(rows) == 10
+    ivf = [
+        r.vec_id
+        for r in REGISTRY["sim_ivf_seeded_topk"].run(spark, SF_DIR).collect()
+    ]
+    assert len(set(r.vec_id for r in rows) & set(ivf)) >= 7
+
+    emb = load(spark, SF_DIR, "embeddings").select(
+        "vec_id", _int_emb(F.col("embedding")).alias("e")
+    )
+    seeds = (
+        emb.select(
+            "vec_id", "e", F.md5(F.col("vec_id").cast("string")).alias("h")
+        )
+        .orderBy("h", "vec_id")
+        .limit(PQS_KSUB)
+        .collect()
+    )
+    S8 = np.array([r.e for r in seeds[:IVF_SEED_K]], dtype="float64")
+    sn8 = np.sqrt((S8 * S8).sum(axis=1))
+    by_id = {r.vec_id: np.array(r.e, dtype="float64") for r in emb.collect()}
+    qe = by_id[0]
+    qn = np.sqrt(qe @ qe)
+    qcos_seeds = (S8 @ qe) / (sn8 * qn)
+    probed = {
+        i + 1
+        for i in sorted(range(IVF_SEED_K), key=lambda i: (-qcos_seeds[i], i))[
+            :IVF_SEED_NPROBE
+        ]
+    }
+    for r in rows:
+        v = by_id[r.vec_id]
+        cos = (S8 @ v) / (sn8 * np.sqrt(v @ v))
+        assert int(cos.argmax()) + 1 in probed, r.vec_id
+        exact = float((v @ qe) / (np.sqrt(v @ v) * qn))
+        assert abs(r.cos - round(exact, 4)) < 1e-9, r.vec_id

@@ -274,3 +274,25 @@ def test_soft_reweight_partial_aggs_and_stays_jvm(spark):
     rep = plan_report(REGISTRY["dedup_soft_reweight"].run(spark, SF_DIR))
     assert rep["has_partial_agg"]
     assert not rep["has_python_udf"]
+
+
+def test_ivfpq_single_arrow_pass_then_take_ordered(spark):
+    """Combined IVF-PQ: cell assignment, probe filter, and PQ coding
+    must fuse into ONE Arrow-batched map pass (the faiss IVFPQ scan
+    shape — a second pass would re-read the corpus), followed by a
+    TakeOrderedAndProject shortlist; the exact rescore is
+    constant-size."""
+    df = REGISTRY["sim_ivfpq_seeded_topk"].run(spark, SF_DIR)
+    rep = plan_report(df)
+    assert rep["has_take_ordered"]
+    simple = explain_str(df, "simple")
+    assert simple.count("MapInPandas") == 1, simple
+
+
+def test_source_profile_rolls_up_without_python(spark):
+    """Per-source profile: fingerprint dup-detection and the source
+    rollup are partial-agg'd hash aggregates; the whole chain stays
+    JVM-side."""
+    rep = plan_report(REGISTRY["dq_source_profile"].run(spark, SF_DIR))
+    assert rep["has_partial_agg"]
+    assert not rep["has_python_udf"]

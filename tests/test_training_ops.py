@@ -582,3 +582,45 @@ def test_bm25_ranking_invariants_and_length_norm(spark, tmp_path):
     ss = [r.bm25_score for r in top]
     assert all(a >= b for a, b in zip(ss, ss[1:]))
     assert all(1 <= r.n_terms_matched <= 3 for r in top)
+
+
+def test_source_profile_conservation_and_block_rule(spark, tmp_path):
+    """Per-source profile: doc counts conserve, fractions recompute
+    from the integer columns, and the block rule fires exactly per its
+    integer-product definition — verified on the real corpus AND on a
+    planted corpus with a dup-heavy source and a junk source."""
+    rows = REGISTRY["dq_source_profile"].run(spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assert sum(r.n_docs for r in rows) == docs.count()
+    assert len(rows) == docs.select("source").distinct().count()
+    for r in rows:
+        assert 0 <= r.dup_docs <= r.n_docs and 0 <= r.keep_docs <= r.n_docs
+        assert r.dup_frac == round(r.dup_docs / r.n_docs, 4)
+        assert r.keep_frac == round(r.keep_docs / r.n_docs, 4)
+        assert r.source_blocked == (
+            r.dup_docs * 100 > r.n_docs * 30 or r.keep_docs * 100 < r.n_docs * 50
+        )
+
+    good = "the quick brown fox jumps over a lazy dog in the morning light"
+    docs2 = spark.createDataFrame(
+        [
+            (1, good + " one", "clean"),
+            (2, good + " two", "clean"),
+            (3, good + " three", "clean"),
+            (4, good, "mirror"),  # exact dup of 5 (cross-source!)
+            (5, good, "mirror"),
+            (6, good + " four", "mirror"),
+            (7, "zz!!", "junk"),  # fails min-token + stopword gates
+            (8, "yy??", "junk"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    docs2.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.source: r
+        for r in REGISTRY["dq_source_profile"].run(spark, str(tmp_path)).collect()
+    }
+    assert out["clean"].dup_docs == 0 and not out["clean"].source_blocked
+    assert out["mirror"].dup_docs == 2  # 2 of 3 docs in a dup class
+    assert out["mirror"].source_blocked  # 66% > 30% dup share
+    assert out["junk"].keep_docs == 0 and out["junk"].source_blocked
