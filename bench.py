@@ -182,6 +182,8 @@ CHUNKS = [
     [
         "sim_ivfpq_seeded_topk",
         "dq_source_profile",
+        "text_ngram_novelty",
+        "text_distinct_ngram_diversity",
     ],
 ]
 

@@ -3608,3 +3608,174 @@ def dq_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (keep * 100 < n * SRC_MIN_KEEP_PCT)
         ).alias("source_blocked"),
     )
+
+
+# --- n-gram novelty vs the training split (memorization audit) ----------------
+
+
+@register(
+    "text_ngram_novelty",
+    f"""
+    WITH sh AS ({SHINGLES_SQL}),
+    train AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 != 0),
+    ev AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 50 = 0)
+    SELECT e.doc_id,
+           CAST(count(*) AS BIGINT) AS n_gram_types,
+           CAST(count(CASE WHEN t.shingle IS NULL THEN 1 END) AS BIGINT)
+             AS novel_types,
+           ROUND(count(CASE WHEN t.shingle IS NULL THEN 1 END)
+                 / CAST(count(*) AS DOUBLE), 4) AS novelty_frac
+    FROM ev e LEFT JOIN train t USING (shingle)
+    GROUP BY e.doc_id
+    """,
+    doc="N-gram novelty of the held-out set vs the training split "
+    "(the RAVEN-style memorization/novelty audit, McCoy et al. 2021 — "
+    "the inverse of text_contamination_check's train-side view): per "
+    "held-out document (doc_id % 50 = 0 stands in for the eval "
+    "benchmark), the fraction of its distinct 3-gram types that "
+    "appear NOWHERE in the training split — low novelty means the "
+    "eval set is effectively memorizable from training text. Scale "
+    "shape: the EVAL side is benchmark-sized, so its distinct shingle "
+    "set broadcasts; the training corpus is scanned ONCE through a "
+    "broadcast LEFT SEMI join (only shingles that could matter "
+    "survive, bounded by the eval type count) and collapses to the "
+    "matched-type set via a partial-agg'd distinct — the 100 TB train "
+    "side is never shuffled corpus-wide, mirroring "
+    "text_contamination_check's broadcast envelope. Counting uses "
+    "distinct TYPES per doc (exact integers), fraction rounded after "
+    "the aggregate.",
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = _doc_shingles(spark, sf_dir, distinct=False)
+    ev = raw.filter(F.col("doc_id") % 50 == 0).distinct()
+    evs = ev.select("shingle").distinct()
+    matched = (
+        raw.filter(F.col("doc_id") % 50 != 0)
+        .join(F.broadcast(evs), "shingle", "left_semi")
+        .select("shingle")
+        .distinct()
+        .select("shingle", F.lit(True).alias("seen"))
+    )
+    return (
+        ev.join(F.broadcast(matched), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gram_types"),
+            F.count(F.when(F.col("seen").isNull(), 1))
+            .cast("long")
+            .alias("novel_types"),
+            F.round(
+                F.count(F.when(F.col("seen").isNull(), 1))
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("novelty_frac"),
+        )
+    )
+
+
+# --- distinct-n corpus diversity (Li et al. 2016) ------------------------------
+
+
+@register(
+    "text_distinct_ngram_diversity",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        FROM documents
+    ),
+    uni AS (SELECT lang, unnest(t) AS g FROM toks),
+    big AS (
+        SELECT lang, array_to_string(t[p:p+1], ' ') AS g
+        FROM (SELECT lang, t, unnest(generate_series(1, len(t) - 1)) AS p
+              FROM toks WHERE len(t) >= 2)
+    ),
+    tri AS (
+        SELECT lang, array_to_string(t[p:p+2], ' ') AS g
+        FROM (SELECT lang, t, unnest(generate_series(1, len(t) - 2)) AS p
+              FROM toks WHERE len(t) >= 3)
+    ),
+    u AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(count(DISTINCT g) AS BIGINT) AS uniq_tokens
+          FROM uni GROUP BY lang),
+    b AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_bigrams,
+                 CAST(count(DISTINCT g) AS BIGINT) AS uniq_bigrams
+          FROM big GROUP BY lang),
+    t3 AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_trigrams,
+                  CAST(count(DISTINCT g) AS BIGINT) AS uniq_trigrams
+           FROM tri GROUP BY lang)
+    SELECT u.lang, n_tokens, uniq_tokens,
+           ROUND(uniq_tokens / CAST(n_tokens AS DOUBLE), 4) AS distinct_1,
+           n_bigrams, uniq_bigrams,
+           ROUND(uniq_bigrams / CAST(n_bigrams AS DOUBLE), 4) AS distinct_2,
+           n_trigrams, uniq_trigrams,
+           ROUND(uniq_trigrams / CAST(n_trigrams AS DOUBLE), 4) AS distinct_3
+    FROM u JOIN b USING (lang) JOIN t3 USING (lang)
+    """,
+    doc="Distinct-n corpus diversity (Li et al. 2016's distinct-1/2/3, "
+    "the standard corpus-health dashboard metric): per language, "
+    "type/token counts and ratios for unigrams, bigrams, and trigrams "
+    "— a collapsing ratio flags boilerplate-saturated or "
+    "dedup-starved slices (complements text_repetition_fraction, "
+    "which is WITHIN-doc). All counts are exact integers; ratios "
+    "divide the same integers as doubles and round after. Scale "
+    "shape: three explode passes feeding partial-agg'd "
+    "count(DISTINCT) hash aggregates keyed by (lang, gram) then lang "
+    "— Spark plans the distinct as a two-stage expand+agg, map-side "
+    "partials carry (lang, gram) once per partition; the per-lang "
+    "result is language-cardinality. At 100 TB swap the exact "
+    "distinct for approx_count_distinct (HLL) — a one-word change "
+    "per aggregate, kept exact here for the oracle.",
+)
+def text_distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "lang", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("t")
+    )
+
+    def grams(width: int, total_name: str, uniq_name: str) -> DataFrame:
+        src = (
+            docs
+            if width == 1
+            else docs.filter(F.size("t") >= width)
+        )
+        g = src.select(
+            "lang",
+            F.explode(
+                F.col("t")
+                if width == 1
+                else F.expr(
+                    f"transform(sequence(1, size(t) - {width - 1}),"
+                    f" i -> concat_ws(' ', slice(t, i, {width})))"
+                )
+            ).alias("g"),
+        )
+        return g.groupBy("lang").agg(
+            F.count(F.lit(1)).cast("long").alias(total_name),
+            F.count_distinct("g").cast("long").alias(uniq_name),
+        )
+
+    u = grams(1, "n_tokens", "uniq_tokens")
+    b = grams(2, "n_bigrams", "uniq_bigrams")
+    t3 = grams(3, "n_trigrams", "uniq_trigrams")
+    return (
+        u.join(b, "lang")
+        .join(t3, "lang")
+        .select(
+            "lang",
+            "n_tokens",
+            "uniq_tokens",
+            F.round(
+                F.col("uniq_tokens") / F.col("n_tokens").cast("double"), 4
+            ).alias("distinct_1"),
+            "n_bigrams",
+            "uniq_bigrams",
+            F.round(
+                F.col("uniq_bigrams") / F.col("n_bigrams").cast("double"), 4
+            ).alias("distinct_2"),
+            "n_trigrams",
+            "uniq_trigrams",
+            F.round(
+                F.col("uniq_trigrams") / F.col("n_trigrams").cast("double"), 4
+            ).alias("distinct_3"),
+        )
+    )

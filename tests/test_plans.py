@@ -296,3 +296,25 @@ def test_source_profile_rolls_up_without_python(spark):
     rep = plan_report(REGISTRY["dq_source_profile"].run(spark, SF_DIR))
     assert rep["has_partial_agg"]
     assert not rep["has_python_udf"]
+
+
+def test_ngram_novelty_never_shuffles_the_train_side(spark):
+    """Novelty audit: the training corpus must flow through a
+    broadcast LEFT SEMI join against the benchmark-sized eval shingle
+    set — never a corpus-wide shuffle of train shingles — and the
+    whole chain stays JVM-side."""
+    df = REGISTRY["text_ngram_novelty"].run(spark, SF_DIR)
+    rep = plan_report(df)
+    assert not rep["has_python_udf"]
+    simple = explain_str(df, "simple")
+    assert "LeftSemi, BuildRight" in simple, simple
+
+
+def test_distinct_diversity_partial_aggs(spark):
+    """distinct-n: the three gram aggregates must partial-agg
+    map-side (expand + two-stage distinct), no Python anywhere."""
+    rep = plan_report(
+        REGISTRY["text_distinct_ngram_diversity"].run(spark, SF_DIR)
+    )
+    assert rep["has_partial_agg"]
+    assert not rep["has_python_udf"]

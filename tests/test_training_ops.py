@@ -624,3 +624,70 @@ def test_source_profile_conservation_and_block_rule(spark, tmp_path):
     assert out["mirror"].dup_docs == 2  # 2 of 3 docs in a dup class
     assert out["mirror"].source_blocked  # 66% > 30% dup share
     assert out["junk"].keep_docs == 0 and out["junk"].source_blocked
+
+
+def test_ngram_novelty_planted_overlap(spark, tmp_path):
+    """Novelty audit on planted docs: an eval doc (doc_id % 50 == 0)
+    sharing exactly one of its three 3-gram types with training text
+    scores novelty 2/3; a fully-novel eval doc scores 1.0; counting is
+    over distinct TYPES (the repeated gram in doc 100 counts once)."""
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e"),            # eval: types {abc,bcd,cde}
+            (50, "p q r s"),             # eval: fully novel
+            (100, "m n o m n o m n"),    # eval: repeated types
+            (1, "a b c x y"),            # train: covers 'a b c'
+            (2, "z z z z"),              # train noise
+        ],
+        "doc_id long, text string",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.doc_id: r
+        for r in REGISTRY["text_ngram_novelty"].run(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {0, 50, 100}
+    assert out[0].n_gram_types == 3 and out[0].novel_types == 2
+    assert out[0].novelty_frac == round(2 / 3, 4)
+    assert out[50].novelty_frac == 1.0
+    # 'm n o m n o m n' -> distinct types {mno, nom, onm? no: m n o / n o m / o m n}
+    assert out[100].n_gram_types == 3 and out[100].novelty_frac == 1.0
+    # real corpus: fractions valid, counts consistent
+    rows = REGISTRY["text_ngram_novelty"].run(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.novel_types <= r.n_gram_types
+        assert r.novelty_frac == round(r.novel_types / r.n_gram_types, 4)
+
+
+def test_distinct_ngram_diversity_planted_counts(spark, tmp_path):
+    """distinct-n on a planted single-language corpus: exact
+    type/token counts for all three gram widths."""
+    docs = spark.createDataFrame(
+        [(1, "aa bb aa bb", "xx"), (2, "aa cc", "xx")],
+        "doc_id long, text string, lang string",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    (r,) = (
+        REGISTRY["text_distinct_ngram_diversity"]
+        .run(spark, str(tmp_path))
+        .collect()
+    )
+    # unigrams: aa,bb,aa,bb,aa,cc -> 6 total, 3 types
+    assert r.n_tokens == 6 and r.uniq_tokens == 3
+    assert r.distinct_1 == 0.5
+    # bigrams: (aa bb, bb aa, aa bb) + (aa cc) -> 4 total, 3 types
+    assert r.n_bigrams == 4 and r.uniq_bigrams == 3
+    assert r.distinct_2 == 0.75
+    # trigrams: (aa bb aa, bb aa bb) -> 2 total, 2 types
+    assert r.n_trigrams == 2 and r.uniq_trigrams == 2
+    assert r.distinct_3 == 1.0
+    # real corpus: every lang present, ratios recompute
+    rows = (
+        REGISTRY["text_distinct_ngram_diversity"].run(spark, SF_DIR).collect()
+    )
+    docs0 = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assert len(rows) == docs0.select("lang").distinct().count()
+    for r in rows:
+        assert r.uniq_tokens <= r.n_tokens
+        assert r.distinct_1 == round(r.uniq_tokens / r.n_tokens, 4)
