@@ -184,6 +184,7 @@ CHUNKS = [
         "dq_source_profile",
         "text_ngram_novelty",
         "text_distinct_ngram_diversity",
+        "pipeline_fineweb_funnel",
     ],
 ]
 

@@ -70,7 +70,10 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- language identification ------------------------------------------------------
 
 
-def _langid_oracle() -> str:
+def _langid_case_sql() -> str:
+    """The stopword-vote argmax as a bare CASE expression over a
+    ``text`` column — shared by the language-ID oracle and the
+    FineWeb-funnel oracle's lang-agreement stage."""
     hits = {
         lang: (
             f"len(regexp_extract_all(lower(text), "
@@ -83,9 +86,13 @@ def _langid_oracle() -> str:
         f"WHEN {m} > 0 AND {hits[lang]} = {m} THEN '{lang}'"
         for lang in sorted(TX.STOPWORDS)
     )
+    return f"CASE {cases} ELSE 'en' END"
+
+
+def _langid_oracle() -> str:
     return f"""
     SELECT doc_id, lang,
-           CASE {cases} ELSE 'en' END AS detected
+           {_langid_case_sql()} AS detected
     FROM documents
     """
 
@@ -3777,5 +3784,126 @@ def text_distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(
                 F.col("uniq_trigrams") / F.col("n_trigrams").cast("double"), 4
             ).alias("distinct_3"),
+        )
+    )
+
+
+# --- FineWeb-style curation funnel (Penedo et al. 2024) ------------------------
+
+#: repetition-proxy gate: drop when > this % of 3-gram occurrences are
+#: duplicates (integer-product predicate)
+FW_MAX_REP_PCT = 20
+
+
+def _fineweb_funnel_sql() -> str:
+    return f"""
+    WITH rep AS (
+        SELECT doc_id, count(*) AS tot, count(DISTINCT shingle) AS dis
+        FROM ({RAW_SHINGLES_SQL}) GROUP BY doc_id
+    ),
+    flags AS (
+        SELECT d.doc_id, d.lang,
+               ({_langid_case_sql()} = d.lang) AS lang_ok,
+               COALESCE((r.tot - r.dis) * 100 <= r.tot * {FW_MAX_REP_PCT},
+                        TRUE) AS rep_ok,
+               ({QF_KEEP_SQL}) AS q_ok,
+               md5({NORM_SQL}) AS fp
+        FROM documents d LEFT JOIN rep r USING (doc_id)
+    ),
+    keep AS (
+        SELECT MIN(doc_id) AS doc_id
+        FROM flags WHERE lang_ok AND rep_ok AND q_ok
+        GROUP BY fp
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(CASE WHEN lang_ok THEN 1 END) AS BIGINT)
+             AS after_lang_id,
+           CAST(count(CASE WHEN lang_ok AND rep_ok THEN 1 END) AS BIGINT)
+             AS after_repetition,
+           CAST(count(CASE WHEN lang_ok AND rep_ok AND q_ok THEN 1 END)
+                AS BIGINT) AS after_quality,
+           CAST(count(CASE WHEN k.doc_id IS NOT NULL THEN 1 END) AS BIGINT)
+             AS after_dedup,
+           ROUND(count(CASE WHEN k.doc_id IS NOT NULL THEN 1 END)
+                 / CAST(count(*) AS DOUBLE), 4) AS retention
+    FROM flags f LEFT JOIN keep k USING (doc_id)
+    GROUP BY lang
+    """
+
+
+@register(
+    "pipeline_fineweb_funnel",
+    _fineweb_funnel_sql(),
+    doc="FineWeb-style curation funnel (Penedo et al. 2024): the "
+    "per-language per-STAGE survival report every curation run "
+    "publishes — language-ID agreement -> repetition gate (3-gram "
+    f"duplicate share <= {FW_MAX_REP_PCT}%, the cheap proxy; "
+    "text_gopher_repetition computes the full Table-A1 rules as its "
+    "own entry) -> heuristic quality gate -> corpus-wide exact dedup "
+    "(keep the smallest doc_id per normalized fingerprint among "
+    "survivors), with cumulative counts and final retention per "
+    "language. Differs from pipeline_c4_style (which transforms text "
+    "through span removal) by reporting the FUNNEL: how many docs "
+    "each stage costs, the number a pipeline owner actually watches. "
+    "ONE Catalyst plan: the per-doc flag projection is codegen'd, the "
+    "repetition table is a doc-keyed partial-agg'd aggregate, dedup "
+    "is a fingerprint-keyed MIN aggregate + doc_id join (never a "
+    "window sort), and the rollup shuffle is language-cardinality. "
+    "All gates are integer-product predicates — engine-exact.",
+)
+def pipeline_fineweb_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    rep = (
+        _doc_shingles(spark, sf_dir, distinct=False)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("tot"),
+            F.count_distinct("shingle").alias("dis"),
+        )
+    )
+    t = F.col("text")
+    flags = (
+        docs.join(rep, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            (TX.detect_language(t) == F.col("lang")).alias("lang_ok"),
+            F.coalesce(
+                (F.col("tot") - F.col("dis")) * 100
+                <= F.col("tot") * FW_MAX_REP_PCT,
+                F.lit(True),
+            ).alias("rep_ok"),
+            (
+                (TX.token_count(t) >= QF_MIN_TOKENS)
+                & (TX.punct_ratio(t) < QF_MAX_PUNCT)
+                & (TX.stopword_ratio(t, "en") >= QF_MIN_STOPWORD)
+            ).alias("q_ok"),
+            TX.fingerprint(t).alias("fp"),
+        )
+    )
+    keep = (
+        flags.filter(F.col("lang_ok") & F.col("rep_ok") & F.col("q_ok"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", F.lit(True).alias("kept"))
+    )
+    n = F.count(F.lit(1))
+    surv = lambda c: F.count(F.when(c, 1))  # noqa: E731
+    kept = surv(F.col("kept").isNotNull() & F.col("kept"))
+    return (
+        flags.join(keep, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            n.cast("long").alias("n_docs"),
+            surv(F.col("lang_ok")).cast("long").alias("after_lang_id"),
+            surv(F.col("lang_ok") & F.col("rep_ok"))
+            .cast("long")
+            .alias("after_repetition"),
+            surv(F.col("lang_ok") & F.col("rep_ok") & F.col("q_ok"))
+            .cast("long")
+            .alias("after_quality"),
+            kept.cast("long").alias("after_dedup"),
+            F.round(kept / n.cast("double"), 4).alias("retention"),
         )
     )

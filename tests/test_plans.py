@@ -318,3 +318,17 @@ def test_distinct_diversity_partial_aggs(spark):
     )
     assert rep["has_partial_agg"]
     assert not rep["has_python_udf"]
+
+
+def test_fineweb_funnel_single_plan_no_window(spark):
+    """The funnel must be one Catalyst plan with partial-agg'd
+    aggregates throughout; dedup is a fingerprint MIN aggregate, not a
+    window sort; nothing drops to Python."""
+    df = REGISTRY["pipeline_fineweb_funnel"].run(spark, SF_DIR)
+    rep = plan_report(df)
+    assert rep["has_partial_agg"]
+    assert not rep["has_python_udf"]
+    simple = explain_str(df, "simple")
+    # RAW_SHINGLES uses no window in Spark (_doc_shingles is
+    # transform+slice); dedup is an aggregate — no Window node at all
+    assert "Window" not in simple, simple

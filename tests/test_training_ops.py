@@ -691,3 +691,52 @@ def test_distinct_ngram_diversity_planted_counts(spark, tmp_path):
     for r in rows:
         assert r.uniq_tokens <= r.n_tokens
         assert r.distinct_1 == round(r.uniq_tokens / r.n_tokens, 4)
+
+
+def test_fineweb_funnel_monotone_and_planted(spark, tmp_path):
+    """Funnel invariants on the real corpus: stage counts are
+    monotone non-increasing per language, conserve the corpus total,
+    and retention recomputes. On a planted corpus each stage costs
+    exactly the planted doc."""
+    rows = REGISTRY["pipeline_fineweb_funnel"].run(spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assert sum(r.n_docs for r in rows) == docs.count()
+    for r in rows:
+        assert (
+            r.n_docs
+            >= r.after_lang_id
+            >= r.after_repetition
+            >= r.after_quality
+            >= r.after_dedup
+            >= 0
+        )
+        assert r.retention == round(r.after_dedup / r.n_docs, 4)
+
+    good = "the quick brown fox jumps of the lazy dog and the bright owl"
+    docs2 = spark.createDataFrame(
+        [
+            (1, good + " one", "en"),
+            (2, good + " two", "fr"),    # langid says en, labeled fr -> drops
+            (3, "spam ham " * 20, "en"),  # repetition gate (the... no stopwords?
+            (4, "zz", "en"),              # quality gate (min tokens)
+            (5, good + " one", "en"),     # exact dup of 1 -> dedup stage
+        ],
+        "doc_id long, text string, lang string",
+    )
+    docs2.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.lang: r
+        for r in REGISTRY["pipeline_fineweb_funnel"]
+        .run(spark, str(tmp_path))
+        .collect()
+    }
+    en = out["en"]
+    assert en.n_docs == 4 and en.after_lang_id == 4
+    # doc 3 is one bigram repeated -> rep gate; it has no stopwords so
+    # it would also fail quality — the funnel charges it to the FIRST
+    # gate it fails
+    assert en.after_repetition == 3
+    assert en.after_quality == 2      # doc 4 under min tokens
+    assert en.after_dedup == 1        # docs 1 and 5 collapse
+    fr = out["fr"]
+    assert fr.n_docs == 1 and fr.after_lang_id == 0 and fr.after_dedup == 0
