@@ -3376,12 +3376,23 @@ def dedup_soft_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("t")
     )
     base = docs.select("doc_id", F.size("t").alias("n_tokens"), "t")
-    grams = base.filter(F.col("n_tokens") >= SOFT_W).select(
+    # gram identity travels as an 8-byte xxhash64 over the token-hash
+    # slice (the dedup_exact_substring idiom) — the gram STRING is
+    # never materialized and the count/join shuffles carry longs; the
+    # oracle groups the raw gram text, identical modulo 64-bit hash
+    # collisions (~1e-9 at this corpus's gram cardinality). Two selects
+    # so no lambda references a sibling alias.
+    th = base.filter(F.col("n_tokens") >= SOFT_W).select(
+        "doc_id",
+        "n_tokens",
+        F.expr("transform(t, tok -> xxhash64(tok))").alias("th"),
+    )
+    grams = th.select(
         "doc_id",
         F.explode(
             F.expr(
-                f"transform(sequence(1, size(t) - {SOFT_W - 1}),"
-                f" i -> concat_ws(' ', slice(t, i, {SOFT_W})))"
+                f"transform(sequence(1, n_tokens - {SOFT_W - 1}),"
+                f" i -> xxhash64(slice(th, i, {SOFT_W})))"
             )
         ).alias("g"),
     )
@@ -3735,9 +3746,13 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per aggregate, kept exact here for the oracle.",
 )
 def text_distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # gram identity travels as xxhash64 over the token-hash slice (the
+    # dedup_exact_substring idiom): the two-stage distinct shuffles
+    # 8-byte longs instead of gram strings; the oracle counts raw gram
+    # text, identical modulo 64-bit collisions (~1e-9 here)
     docs = load(spark, sf_dir, "documents").select(
         "lang", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("t")
-    )
+    ).select("lang", "t", F.expr("transform(t, tok -> xxhash64(tok))").alias("th"))
 
     def grams(width: int, total_name: str, uniq_name: str) -> DataFrame:
         src = (
@@ -3748,11 +3763,11 @@ def text_distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame
         g = src.select(
             "lang",
             F.explode(
-                F.col("t")
+                F.col("th")
                 if width == 1
                 else F.expr(
-                    f"transform(sequence(1, size(t) - {width - 1}),"
-                    f" i -> concat_ws(' ', slice(t, i, {width})))"
+                    f"transform(sequence(1, size(th) - {width - 1}),"
+                    f" i -> xxhash64(slice(th, i, {width})))"
                 )
             ).alias("g"),
         )
