@@ -185,6 +185,7 @@ CHUNKS = [
         "text_ngram_novelty",
         "text_distinct_ngram_diversity",
         "pipeline_fineweb_funnel",
+        "text_distinct_diversity_approx",
     ],
 ]
 

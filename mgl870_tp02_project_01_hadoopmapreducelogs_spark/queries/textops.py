@@ -3922,3 +3922,61 @@ def pipeline_fineweb_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(kept / n.cast("double"), 4).alias("retention"),
         )
     )
+
+
+@register(
+    "text_distinct_diversity_approx",
+    """
+    SELECT lang, TRUE AS d1_ok, TRUE AS d2_ok, TRUE AS d3_ok
+    FROM (SELECT DISTINCT lang FROM documents) ORDER BY lang
+    """,
+    doc="The 100 TB path of text_distinct_ngram_diversity as a "
+    "measured contract (the sim_pq_recall invariant-oracle style): "
+    "per language, HyperLogLog++ approx_count_distinct (default rsd "
+    "0.05) over the same gram fingerprints must land within 15% of "
+    "the exact distinct count for all three gram widths — the entry "
+    "runs BOTH estimators and returns the boolean verdicts, so a "
+    "broken sketch (wrong relativeSD plumbing, fingerprint mismatch, "
+    "a regression in the gram slicing it shares with the exact twin) "
+    "breaks the hash. NOTE the sf coupling: constant-TRUE verdicts "
+    "measured at sf0.01 (observed errors <= ~5%); a testdata refresh "
+    "must re-measure. At scale the approx form removes the exact "
+    "distinct's second shuffle stage entirely — HLL sketches merge "
+    "map-side and the final state is bytes per (lang, width).",
+)
+def text_distinct_diversity_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "lang", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("t")
+    ).select(
+        "lang", "t", F.expr("transform(t, tok -> xxhash64(tok))").alias("th")
+    )
+
+    def both(width: int) -> DataFrame:
+        src = docs if width == 1 else docs.filter(F.size("t") >= width)
+        g = src.select(
+            "lang",
+            F.explode(
+                F.col("th")
+                if width == 1
+                else F.expr(
+                    f"transform(sequence(1, size(th) - {width - 1}),"
+                    f" i -> xxhash64(slice(th, i, {width})))"
+                )
+            ).alias("g"),
+        )
+        return g.groupBy("lang").agg(
+            F.count_distinct("g").alias(f"exact{width}"),
+            F.approx_count_distinct("g").alias(f"approx{width}"),
+        )
+
+    ok = lambda w: (  # noqa: E731
+        F.abs(F.col(f"approx{w}") - F.col(f"exact{w}")) * 100
+        <= F.col(f"exact{w}") * 15
+    ).alias(f"d{w}_ok")
+    return (
+        both(1)
+        .join(both(2), "lang")
+        .join(both(3), "lang")
+        .select("lang", ok(1), ok(2), ok(3))
+        .orderBy("lang")
+    )

@@ -740,3 +740,14 @@ def test_fineweb_funnel_monotone_and_planted(spark, tmp_path):
     assert en.after_dedup == 1        # docs 1 and 5 collapse
     fr = out["fr"]
     assert fr.n_docs == 1 and fr.after_lang_id == 0 and fr.after_dedup == 0
+
+
+def test_distinct_diversity_approx_contract_second_scale(spark):
+    """The HLL-vs-exact contract must also hold at sf0.001 (a second
+    scale beyond the oracle's sf0.01), for every language and width."""
+    rows = (
+        REGISTRY["text_distinct_diversity_approx"].run(spark, SF_DIR).collect()
+    )
+    assert rows
+    for r in rows:
+        assert r.d1_ok and r.d2_ok and r.d3_ok, r
