@@ -186,6 +186,7 @@ CHUNKS = [
         "text_distinct_ngram_diversity",
         "pipeline_fineweb_funnel",
         "text_distinct_diversity_approx",
+        "rollup_incremental_merge",
     ],
 ]
 

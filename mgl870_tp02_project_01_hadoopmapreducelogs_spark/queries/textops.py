@@ -3980,3 +3980,88 @@ def text_distinct_diversity_approx(spark: SparkSession, sf_dir: str) -> DataFram
         .select("lang", ok(1), ok(2), ok(3))
         .orderBy("lang")
     )
+
+
+# --- incremental rollup maintenance (mergeable partial aggregates) -------------
+
+
+@register(
+    "rollup_incremental_merge",
+    r"""
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+           CAST(MIN(n_toks) AS BIGINT) AS min_tokens,
+           CAST(MAX(n_toks) AS BIGINT) AS max_tokens,
+           ROUND(SUM(n_toks) / CAST(count(*) AS DOUBLE), 4) AS mean_tokens,
+           ROUND((SUM(n_toks * n_toks)
+                  - SUM(n_toks) * (SUM(n_toks) / CAST(count(*) AS DOUBLE)))
+                 / count(*), 4) AS var_tokens
+    FROM (
+        SELECT lang, source,
+               len(regexp_split_to_array(trim(text), '\s+')) AS n_toks
+        FROM documents
+    )
+    GROUP BY lang, source
+    """,
+    doc="Incremental rollup maintenance — the lambda-architecture "
+    "aggregate-merge law as a hash-checked equivalence: the Spark side "
+    "computes per-(lang, source) MERGEABLE partial states (count, "
+    "sum, sum-of-squares, min, max) separately over a 90% 'persisted' "
+    "slice and a 10% 'delta batch' (doc_id % 10 = 7), MERGES the two "
+    "state tables by re-aggregation (counts/sums add, min/max fold), "
+    "and only then derives mean and variance from the merged sums — "
+    "while the DuckDB oracle computes the SAME report directly over "
+    "the full corpus in one pass. Hash equality proves the merge is "
+    "lossless, which is the property that lets a 100 TB pipeline "
+    "maintain its stats tables by folding in each day's delta instead "
+    "of rescanning the corpus (only ALGEBRAIC aggregates ship in the "
+    "state: avg/var are derived at read time from exact integer sums, "
+    "never stored — the classic mergeable-aggregate design). "
+    "Engine-exactness: all states are exact BIGINTs; the derived "
+    "mean/var use one shared expression shape over those integers, "
+    "IEEE-identical, rounded after.",
+)
+def rollup_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        TX.token_count(F.col("text")).alias("n_toks"),
+    )
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("lang", "source").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("n_toks").cast("long").alias("s"),
+            F.sum(F.col("n_toks") * F.col("n_toks")).cast("long").alias("ss"),
+            F.min("n_toks").cast("long").alias("mn"),
+            F.max("n_toks").cast("long").alias("mx"),
+        )
+
+    old = partial(docs.filter(F.col("doc_id") % 10 != 7))
+    delta = partial(docs.filter(F.col("doc_id") % 10 == 7))
+    merged = (
+        old.unionByName(delta)
+        .groupBy("lang", "source")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("s").alias("s"),
+            F.sum("ss").alias("ss"),
+            F.min("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    return merged.select(
+        "lang",
+        "source",
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("s").cast("long").alias("total_tokens"),
+        F.col("mn").alias("min_tokens"),
+        F.col("mx").alias("max_tokens"),
+        F.round(F.col("s") / nd, 4).alias("mean_tokens"),
+        F.round(
+            (F.col("ss") - F.col("s") * (F.col("s") / nd)) / F.col("n"), 4
+        ).alias("var_tokens"),
+    )

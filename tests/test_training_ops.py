@@ -751,3 +751,42 @@ def test_distinct_diversity_approx_contract_second_scale(spark):
     assert rows
     for r in rows:
         assert r.d1_ok and r.d2_ok and r.d3_ok, r
+
+
+def test_incremental_merge_is_split_invariant(spark):
+    """The merge law behind rollup_incremental_merge: folding partial
+    states must be invariant to WHERE the corpus was split. Recompute
+    with a different delta predicate and as one unsplit pass — all
+    three must produce identical rows (exact integers + IEEE-identical
+    derived columns)."""
+    from pyspark.sql import functions as F
+
+    from mgl870_tp02_project_01_hadoopmapreducelogs_spark.functions import (
+        text as TX,
+    )
+    from mgl870_tp02_project_01_hadoopmapreducelogs_spark.queries import load
+
+    registered = sorted(
+        map(tuple, REGISTRY["rollup_incremental_merge"].run(spark, SF_DIR).collect())
+    )
+
+    docs = load(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", "source", TX.token_count(F.col("text")).alias("n_toks")
+    )
+    nd = F.count(F.lit(1)).cast("double")
+    direct = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("total_tokens"),
+        F.min("n_toks").cast("long").alias("min_tokens"),
+        F.max("n_toks").cast("long").alias("max_tokens"),
+        F.round(F.sum("n_toks") / nd, 4).alias("mean_tokens"),
+        F.round(
+            (
+                F.sum(F.col("n_toks") * F.col("n_toks"))
+                - F.sum("n_toks") * (F.sum("n_toks") / nd)
+            )
+            / F.count(F.lit(1)),
+            4,
+        ).alias("var_tokens"),
+    )
+    assert registered == sorted(map(tuple, direct.collect()))
