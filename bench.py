@@ -187,6 +187,7 @@ CHUNKS = [
         "pipeline_fineweb_funnel",
         "text_distinct_diversity_approx",
         "rollup_incremental_merge",
+        "text_ccnet_buckets_approx",
     ],
 ]
 

@@ -183,7 +183,8 @@ _PRIORITY = [
     # dedup_soft_reweight, text_bm25_search, sim_ivfpq_seeded_topk,
     # dq_source_profile, text_ngram_novelty,
     # text_distinct_ngram_diversity, pipeline_fineweb_funnel,
-    # text_distinct_diversity_approx, rollup_incremental_merge — full
+    # text_distinct_diversity_approx, rollup_incremental_merge,
+    # text_ccnet_buckets_approx — full
     # oracles, added after
     # the r8 window was pinned), then
     # the 31 remaining r5-cohort entries (corpus_mixture_solver,

@@ -4065,3 +4065,53 @@ def rollup_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ss") - F.col("s") * (F.col("s") / nd)) / F.col("n"), 4
         ).alias("var_tokens"),
     )
+
+
+@register(
+    "text_ccnet_buckets_approx",
+    """
+    SELECT lang, TRUE AS agree_ge_90 FROM
+    (SELECT DISTINCT lang FROM documents) ORDER BY lang
+    """,
+    doc="The 100 TB path of text_ccnet_buckets as a measured contract "
+    "(the text_distinct_diversity_approx invariant style): replace "
+    "the per-language NTILE sort with TWO broadcast approx-percentile "
+    "thresholds per language (percentile_approx at 1/3 and 2/3 over "
+    "the per-token NLL) and a codegen'd CASE — no per-language global "
+    "ordering stage remains, which is what survives a corpus where "
+    "one language holds 90% of 100 TB. The entry computes BOTH "
+    "assignments and returns a per-language verdict: threshold-cut "
+    "bucket must agree with the exact tercile for >= 90% of that "
+    "language's documents (measured 98.4-100% at sf0.001/sf0.01 — "
+    "disagreement comes only from docs tied at a rounded boundary "
+    "and NTILE's forced equal sizes). NOTE the sf coupling: "
+    "constant-TRUE verdicts measured on this corpus family; a "
+    "testdata refresh must re-measure.",
+)
+def text_ccnet_buckets_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ex = text_ccnet_buckets(spark, sf_dir).select(
+        "doc_id", "lang", "avg_token_nll", "ppl_tercile"
+    )
+    th = ex.groupBy("lang").agg(
+        F.percentile_approx(
+            "avg_token_nll", [1.0 / 3.0, 2.0 / 3.0]
+        ).alias("t")
+    )
+    j = ex.join(F.broadcast(th), "lang").select(
+        "lang",
+        "ppl_tercile",
+        F.when(F.col("avg_token_nll") <= F.col("t")[0], 1)
+        .when(F.col("avg_token_nll") <= F.col("t")[1], 2)
+        .otherwise(3)
+        .alias("apx"),
+    )
+    return (
+        j.groupBy("lang")
+        .agg(
+            (
+                F.count(F.when(F.col("ppl_tercile") == F.col("apx"), 1)) * 100
+                >= F.count(F.lit(1)) * 90
+            ).alias("agree_ge_90")
+        )
+        .orderBy("lang")
+    )

@@ -790,3 +790,13 @@ def test_incremental_merge_is_split_invariant(spark):
         ).alias("var_tokens"),
     )
     assert registered == sorted(map(tuple, direct.collect()))
+
+
+def test_ccnet_approx_contract_second_scale(spark):
+    """The approx-threshold CCNet contract holds at sf0.001 too
+    (second scale beyond the oracle's sf0.01), for every language."""
+    rows = (
+        REGISTRY["text_ccnet_buckets_approx"].run(spark, SF_DIR).collect()
+    )
+    assert rows
+    assert all(r.agree_ge_90 for r in rows)
