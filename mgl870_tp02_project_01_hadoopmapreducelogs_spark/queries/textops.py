@@ -745,6 +745,18 @@ QF_KEEP_SQL = rf"""
 """
 
 
+def qf_keep(t):
+    """Spark twin of ``QF_KEEP_SQL`` — the 3-clause heuristic keep
+    gate. Every Spark call site must use this helper so a gate change
+    (threshold, new clause) stays in lockstep with the single shared
+    SQL constant instead of being hand-edited at each oracle pair."""
+    return (
+        (TX.token_count(t) >= QF_MIN_TOKENS)
+        & (TX.punct_ratio(t) < QF_MAX_PUNCT)
+        & (TX.stopword_ratio(t, "en") >= QF_MIN_STOPWORD)
+    )
+
+
 @register(
     "text_quality_filter",
     f"SELECT doc_id, {QF_KEEP_SQL} AS keep FROM documents",
@@ -756,11 +768,7 @@ QF_KEEP_SQL = rf"""
 def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     t = F.col("text")
-    keep = (
-        (TX.token_count(t) >= QF_MIN_TOKENS)
-        & (TX.punct_ratio(t) < QF_MAX_PUNCT)
-        & (TX.stopword_ratio(t, "en") >= QF_MIN_STOPWORD)
-    )
+    keep = qf_keep(t)
     return docs.select("doc_id", keep.alias("keep"))
 
 
@@ -875,11 +883,7 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = F.col("text")
     heur = docs.select(
         "doc_id",
-        (
-            (TX.token_count(t) >= QF_MIN_TOKENS)
-            & (TX.punct_ratio(t) < QF_MAX_PUNCT)
-            & (TX.stopword_ratio(t, "en") >= QF_MIN_STOPWORD)
-        ).alias("hk"),
+        qf_keep(t).alias("hk"),
     )
     return scored.join(heur, "doc_id").select(
         "doc_id",
@@ -1225,11 +1229,7 @@ def text_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     t = F.col("text")
-    keep = (
-        (TX.token_count(t) >= QF_MIN_TOKENS)
-        & (TX.punct_ratio(t) < QF_MAX_PUNCT)
-        & (TX.stopword_ratio(t, "en") >= QF_MIN_STOPWORD)
-    )
+    keep = qf_keep(t)
     kept = docs.filter(keep).select("doc_id", "lang", "text")
     fp = kept.withColumn("fp", TX.fingerprint(t))
     # keep-min-per-fingerprint as ONE window over fp instead of a
@@ -2541,11 +2541,7 @@ def pipeline_c4_style(spark: SparkSession, sf_dir: str) -> DataFrame:
         scan_partitions(spark, sf_dir, "documents"),
     )
     t = F.col("text")
-    kept = docs.filter(
-        (TX.token_count(t) >= QF_MIN_TOKENS)
-        & (TX.punct_ratio(t) < QF_MAX_PUNCT)
-        & (TX.stopword_ratio(t, "en") >= QF_MIN_STOPWORD)
-    ).select("doc_id", "lang", "text")
+    kept = docs.filter(qf_keep(t)).select("doc_id", "lang", "text")
     cleaned = remove_dup_spans(kept, carry_cols=["lang"])
     w = Window.partitionBy(TX.fingerprint(F.col("cleaned"))).orderBy("doc_id")
     deduped = cleaned.withColumn("rn", F.row_number().over(w))
@@ -3596,11 +3592,7 @@ def dq_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         TX.fingerprint(t).alias("fp"),
         TX.token_count(t).alias("n_toks"),
-        (
-            (TX.token_count(t) >= QF_MIN_TOKENS)
-            & (TX.punct_ratio(t) < QF_MAX_PUNCT)
-            & (TX.stopword_ratio(t, "en") >= QF_MIN_STOPWORD)
-        ).alias("keep"),
+        qf_keep(t).alias("keep"),
     )
     dupfp = (
         f.groupBy("fp")
@@ -3694,6 +3686,36 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- distinct-n corpus diversity (Li et al. 2016) ------------------------------
 
 
+def _diversity_lang_grams(
+    spark: SparkSession, sf_dir: str, width: int
+) -> DataFrame:
+    """(lang, gram-id) stream for the distinct-n family. Gram identity
+    travels as xxhash64 over the token-hash slice (the
+    dedup_exact_substring idiom): shuffles carry 8-byte longs, the
+    gram string is never materialized; the DuckDB oracles count raw
+    gram text, identical modulo 64-bit collisions (~1e-9 here). ONE
+    helper shared by the exact entry and its approx contract twin so
+    the slicing cannot drift between them."""
+    docs = load(spark, sf_dir, "documents").select(
+        "lang", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("t")
+    ).select(
+        "lang", "t", F.expr("transform(t, tok -> xxhash64(tok))").alias("th")
+    )
+    src = docs if width == 1 else docs.filter(F.size("t") >= width)
+    return src.select(
+        "lang",
+        F.explode(
+            F.col("th")
+            if width == 1
+            else F.expr(
+                f"transform(sequence(1, size(th) - {width - 1}),"
+                f" i -> xxhash64(slice(th, i, {width})))"
+            )
+        ).alias("g"),
+    )
+
+
+
 @register(
     "text_distinct_ngram_diversity",
     r"""
@@ -3746,34 +3768,14 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per aggregate, kept exact here for the oracle.",
 )
 def text_distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # gram identity travels as xxhash64 over the token-hash slice (the
-    # dedup_exact_substring idiom): the two-stage distinct shuffles
-    # 8-byte longs instead of gram strings; the oracle counts raw gram
-    # text, identical modulo 64-bit collisions (~1e-9 here)
-    docs = load(spark, sf_dir, "documents").select(
-        "lang", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("t")
-    ).select("lang", "t", F.expr("transform(t, tok -> xxhash64(tok))").alias("th"))
-
     def grams(width: int, total_name: str, uniq_name: str) -> DataFrame:
-        src = (
-            docs
-            if width == 1
-            else docs.filter(F.size("t") >= width)
-        )
-        g = src.select(
-            "lang",
-            F.explode(
-                F.col("th")
-                if width == 1
-                else F.expr(
-                    f"transform(sequence(1, size(th) - {width - 1}),"
-                    f" i -> xxhash64(slice(th, i, {width})))"
-                )
-            ).alias("g"),
-        )
-        return g.groupBy("lang").agg(
-            F.count(F.lit(1)).cast("long").alias(total_name),
-            F.count_distinct("g").cast("long").alias(uniq_name),
+        return (
+            _diversity_lang_grams(spark, sf_dir, width)
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias(total_name),
+                F.count_distinct("g").cast("long").alias(uniq_name),
+            )
         )
 
     u = grams(1, "n_tokens", "uniq_tokens")
@@ -3889,11 +3891,7 @@ def pipeline_fineweb_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 <= F.col("tot") * FW_MAX_REP_PCT,
                 F.lit(True),
             ).alias("rep_ok"),
-            (
-                (TX.token_count(t) >= QF_MIN_TOKENS)
-                & (TX.punct_ratio(t) < QF_MAX_PUNCT)
-                & (TX.stopword_ratio(t, "en") >= QF_MIN_STOPWORD)
-            ).alias("q_ok"),
+            qf_keep(t).alias("q_ok"),
             TX.fingerprint(t).alias("fp"),
         )
     )
@@ -3945,38 +3943,34 @@ def pipeline_fineweb_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "map-side and the final state is bytes per (lang, width).",
 )
 def text_distinct_diversity_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").select(
-        "lang", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("t")
-    ).select(
-        "lang", "t", F.expr("transform(t, tok -> xxhash64(tok))").alias("th")
-    )
-
     def both(width: int) -> DataFrame:
-        src = docs if width == 1 else docs.filter(F.size("t") >= width)
-        g = src.select(
-            "lang",
-            F.explode(
-                F.col("th")
-                if width == 1
-                else F.expr(
-                    f"transform(sequence(1, size(th) - {width - 1}),"
-                    f" i -> xxhash64(slice(th, i, {width})))"
-                )
-            ).alias("g"),
-        )
-        return g.groupBy("lang").agg(
-            F.count_distinct("g").alias(f"exact{width}"),
-            F.approx_count_distinct("g").alias(f"approx{width}"),
+        # same gram stream as the exact twin BY CONSTRUCTION (shared
+        # helper) — the contract certifies the sketch, not a fork of
+        # the slicing
+        return (
+            _diversity_lang_grams(spark, sf_dir, width)
+            .groupBy("lang")
+            .agg(
+                F.count_distinct("g").alias(f"exact{width}"),
+                F.approx_count_distinct("g").alias(f"approx{width}"),
+            )
         )
 
-    ok = lambda w: (  # noqa: E731
+    # verdict is vacuously TRUE for a (lang, width) with no grams at
+    # all — left joins keep the lang row so the oracle's DISTINCT-lang
+    # cardinality holds even if a corpus refresh makes some language
+    # all-1-token (the exact twin's inner joins are mirrored by its
+    # own oracle, so only this constant-oracle entry needs the guard)
+    ok = lambda w: F.coalesce(  # noqa: E731
         F.abs(F.col(f"approx{w}") - F.col(f"exact{w}")) * 100
-        <= F.col(f"exact{w}") * 15
+        <= F.col(f"exact{w}") * 15,
+        F.lit(True),
     ).alias(f"d{w}_ok")
+    langs = load(spark, sf_dir, "documents").select("lang").distinct()
     return (
-        both(1)
-        .join(both(2), "lang")
-        .join(both(3), "lang")
+        langs.join(both(1), "lang", "left")
+        .join(both(2), "lang", "left")
+        .join(both(3), "lang", "left")
         .select("lang", ok(1), ok(2), ok(3))
         .orderBy("lang")
     )
@@ -4031,10 +4025,16 @@ def rollup_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def partial(df: DataFrame) -> DataFrame:
+        # square AFTER widening to long: n_toks is int32 (F.size), and
+        # a >=46341-token doc would wrap the int32 product before the
+        # long-typed sum (DuckDB's len() is already BIGINT — a silent
+        # engine divergence, not just an overflow)
         return df.groupBy("lang", "source").agg(
             F.count(F.lit(1)).cast("long").alias("n"),
             F.sum("n_toks").cast("long").alias("s"),
-            F.sum(F.col("n_toks") * F.col("n_toks")).cast("long").alias("ss"),
+            F.sum(
+                F.col("n_toks").cast("long") * F.col("n_toks")
+            ).alias("ss"),
             F.min("n_toks").cast("long").alias("mn"),
             F.max("n_toks").cast("long").alias("mx"),
         )

@@ -38,13 +38,13 @@ SINGLE_PART_OK = {
                                               # partial-agg'd map-side before the
                                               # single-partition final
     "text_dsir_selection": ("scalar", 1),     # 1-row LM totals (t_n, c_n)
-    "text_bm25_search": ("scalar", 1),        # 1-row corpus stats (n_docs,
-                                              # total_dl), partial-agg'd then
-                                              # broadcast to the scorer
                                               # aggregated from the bounded
                                               # 4096-row bucket table, partials
                                               # map-side, result broadcast into
                                               # the per-bucket term quantization
+    "text_bm25_search": ("scalar", 1),        # 1-row corpus stats (n_docs,
+                                              # total_dl), partial-agg'd then
+                                              # broadcast to the scorer
 }
 
 #: queries whose DISTRIBUTED work executes eagerly during construction

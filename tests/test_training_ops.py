@@ -782,7 +782,7 @@ def test_incremental_merge_is_split_invariant(spark):
         F.round(F.sum("n_toks") / nd, 4).alias("mean_tokens"),
         F.round(
             (
-                F.sum(F.col("n_toks") * F.col("n_toks"))
+                F.sum(F.col("n_toks").cast("long") * F.col("n_toks"))
                 - F.sum("n_toks") * (F.sum("n_toks") / nd)
             )
             / F.count(F.lit(1)),
