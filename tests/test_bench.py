@@ -21,12 +21,11 @@ def test_headline_names_resolve_and_are_unique():
     assert not oversized, f"chunk too large (noise bound): {oversized}"
 
 
-#: the DELIBERATE rows-only exception for the round-8 window (judge r7
-#: ask #1): every oracle-less registry entry, rotated in so its
-#: rows-only pass is re-confirmed on current code (six were last
-#: sampled in round 1). Any OTHER oracle-less name in the window is a
-#: rotation mistake.
-ROWS_ONLY_WINDOW = {
+#: every oracle-less registry entry (rows-only by design: raw ML model
+#: outputs, faithful Drain, raw ANN top-k — each with a driver-green
+#: invariant-oracle twin). Pinned so no rows-only entry can be added
+#: without a deliberate ledger update.
+ROWS_ONLY_REGISTRY = {
     "ml_isolation_forest",
     "ml_logistic_regression",
     "ml_pca_anomaly_scores",
@@ -37,6 +36,12 @@ ROWS_ONLY_WINDOW = {
     "streaming_drain_mining",
     "sim_pq_topk",
 }
+
+#: the subset of ROWS_ONLY_REGISTRY deliberately rotated into THIS
+#: round's driver window for rows-only re-confirmation. All nine were
+#: re-confirmed in round 8 (judge r7 ask #1), so the round-9 window
+#: spends its slots on oracle-bearing entries instead; due again ~r11.
+ROWS_ONLY_WINDOW: set = set()
 
 
 def test_driver_window_is_oracle_bearing_and_stable():
@@ -74,9 +79,9 @@ def test_driver_window_is_oracle_bearing_and_stable():
         f"missing {sorted(ROWS_ONLY_WINDOW - no_oracle)}"
     )
     all_rows_only = {n for n in REGISTRY if REGISTRY[n].oracle is None}
-    assert all_rows_only == ROWS_ONLY_WINDOW, (
-        "registry oracle-less set changed; update ROWS_ONLY_WINDOW "
-        f"deliberately: {sorted(all_rows_only ^ ROWS_ONLY_WINDOW)}"
+    assert all_rows_only == ROWS_ONLY_REGISTRY, (
+        "registry oracle-less set changed; update ROWS_ONLY_REGISTRY "
+        f"deliberately: {sorted(all_rows_only ^ ROWS_ONLY_REGISTRY)}"
     )
 
 
@@ -95,3 +100,42 @@ def test_probe_dilation_gates():
     quiet = bench._probe_badness((2.0, 2.2), 120.0)
     loud = bench._probe_badness((33.1, 51.2), 128.4)
     assert quiet < loud
+
+
+def test_final_bench_line_fits_driver_tail_budget():
+    """BENCH_r07 and r08 were both unparseable: the driver keeps only a
+    ~2.2 KB tail of stdout and parses the LAST line, which front-
+    truncates when it outgrows the budget. The round-9 contract: the
+    final line carries only KEY_QUERIES (2-decimal, compact
+    separators) + total + the chunk retry-audit arrays, and must stay
+    under budget with margin even at pessimistic 3-digit timings."""
+    import json
+
+    import bench
+
+    assert set(bench.KEY_QUERIES) <= set(bench.HEADLINE)
+    assert len(bench.KEY_QUERIES) == len(set(bench.KEY_QUERIES))
+    # the families rounds 7-8 actually lost must be pinned in
+    for name in bench.CHUNKS[0]:  # whole mining chunk
+        assert name in bench.KEY_QUERIES, name
+    for name in (
+        "tpch_q1_pricing_summary",
+        "tpch_q2_min_cost_supplier",
+        "tpch_q5_region_volume",
+        "tpch_q8_market_share",
+        "tpch_q21_waiting_suppliers",
+    ):
+        assert name in bench.KEY_QUERIES, name
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": 999.999,
+            "unit": "sec",
+            "sf": 0.1,
+            "chunk_attempts": [2] * len(bench.CHUNKS),
+            "chunk_accepted_run": ["retry"] * len(bench.CHUNKS),
+            "queries": {n: 103.65 for n in bench.KEY_QUERIES},
+        },
+        separators=(",", ":"),
+    )
+    assert len(line) < 1800, len(line)
