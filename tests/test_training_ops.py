@@ -433,9 +433,24 @@ def test_quality_classifier_composition_and_signs(spark):
             assert not r.clf_label
     again = REGISTRY["text_quality_classifier"].run(spark, SF_DIR).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
-    # the synthetic model must actually separate: both labels occur
-    labels = {r.clf_label for r in rows}
-    assert labels == {True, False}
+    # serving parity with the frozen model: the Spark plan's label must
+    # equal the sign of the offline scorer's exact integer sum, doc by
+    # doc (the trained weights keep every real-vocab doc here — the
+    # negative class is gibberish, exercised in tests/test_qclf.py)
+    from mgl870_tp02_project_01_hadoopmapreducelogs_spark.ml import (
+        qclf_train as qt,
+    )
+    from mgl870_tp02_project_01_hadoopmapreducelogs_spark.queries.qclf_weights import (
+        QCLF_WEIGHTS_HEX,
+    )
+
+    w = qt.decode_hex(QCLF_WEIGHTS_HEX)
+    texts = {
+        d.doc_id: d.text
+        for d in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+    for r in rows:
+        assert r.clf_label == (qt.score_fp(texts[r.doc_id], w) > 0)
 
 
 def test_gopher_interval_union_formula():
