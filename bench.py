@@ -201,6 +201,15 @@ CHUNKS = [
         "rollup_incremental_merge",
         "text_ccnet_buckets_approx",
     ],
+    # round-9 additions — own chunk so earlier probe positions hold.
+    # The fast-MinHash measured contract costs double by design (it
+    # runs the xxhash64 stream AND the md5 batch reference to verdict
+    # the agreement); the production-only form it certifies is the
+    # xxhash64 stream alone (SCALE_NOTES round 8: 46.3s vs 84.1s at
+    # 100x)
+    [
+        "streaming_minhash_dedup_fast",
+    ],
 ]
 
 HEADLINE = [name for chunk in CHUNKS for name in chunk]
@@ -239,6 +248,7 @@ KEY_QUERIES = [
     "dedup_exact_substring",
     "pipeline_fineweb_funnel",
     "text_distinct_diversity_approx",
+    "streaming_minhash_dedup_fast",
 ]
 
 

@@ -152,8 +152,9 @@ _PRIORITY = [
     "pipeline_fineweb_funnel", "rollup_incremental_merge",
     # (b) code changed this round: really-trained classifier weights
     # (judge r8 ask #4) — fresh evidence must follow the change; r9
-    # newcomers join here when registered
-    "text_quality_classifier",
+    # newcomers join here when registered (fast-MinHash measured
+    # contract, judge r8 ask #5)
+    "text_quality_classifier", "streaming_minhash_dedup_fast",
     # (c) TPC-H bench headliners (judge r8 ask #7)
     "tpch_q2_min_cost_supplier", "tpch_q5_region_volume",
     "tpch_q8_market_share", "tpch_q21_waiting_suppliers",
@@ -174,7 +175,6 @@ _PRIORITY = [
     "window_moving_stats",
     # (e) r6-cohort fills — swap these out first for (b) newcomers
     "dedup_simhash", "range_join_event_pairs", "join_fuzzy_match",
-    "groupingsets_mixed",
     # --- driver window ends at 50 entries; rotation queue for round
     # 10: any r9 newcomer that missed this window, then the remaining
     # r6 cohort (the 16 non-headliner TPC-H shapes, streaming/join/BPE
