@@ -351,9 +351,10 @@ def test_late_data_filter_uses_previous_batch_watermark(spark, tmp_path):
 
 def test_fast_minhash_family_stays_int64_and_flags_exact_copies(spark, tmp_path):
     """The production xxhash64 MinHash family (streaming_minhash_dedup_fast):
-    band keys must be int64 end-to-end (no hex strings ever built — the
-    property that buys the measured 46.3s vs 77.7-83.5s signature floor
-    at 100x), exact copies must share every band deterministically, and
+    band keys must be int64 end-to-end (no shingle or hex strings ever
+    built — the property that buys the measured 15-16s vs 77.7-83.5s
+    signature floor at 100x), exact copies must share every band
+    deterministically, and
     cross-batch first-arrival-wins must hold identically to the md5
     family since both share the state operator."""
     from pyspark.sql.types import LongType, StringType
