@@ -209,6 +209,7 @@ CHUNKS = [
     # 100x)
     [
         "streaming_minhash_dedup_fast",
+        "dedup_url_canonical",
     ],
 ]
 

@@ -155,6 +155,7 @@ _PRIORITY = [
     # newcomers join here when registered (fast-MinHash measured
     # contract, judge r8 ask #5)
     "text_quality_classifier", "streaming_minhash_dedup_fast",
+    "dedup_url_canonical",
     # (c) TPC-H bench headliners (judge r8 ask #7)
     "tpch_q2_min_cost_supplier", "tpch_q5_region_volume",
     "tpch_q8_market_share", "tpch_q21_waiting_suppliers",
@@ -174,7 +175,7 @@ _PRIORITY = [
     "text_repetition_fraction", "unpivot_measures",
     "window_moving_stats",
     # (e) r6-cohort fills — swap these out first for (b) newcomers
-    "dedup_simhash", "range_join_event_pairs", "join_fuzzy_match",
+    "dedup_simhash", "range_join_event_pairs",
     # --- driver window ends at 50 entries; rotation queue for round
     # 10: any r9 newcomer that missed this window, then the remaining
     # r6 cohort (the 16 non-headliner TPC-H shapes, streaming/join/BPE

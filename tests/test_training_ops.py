@@ -815,3 +815,35 @@ def test_ccnet_approx_contract_second_scale(spark):
     )
     assert rows
     assert all(r.agree_ge_90 for r in rows)
+
+
+def test_url_canonicalizer_collapses_variant_classes(spark):
+    """Unit probes for the URL dedup canonicalizer: every messy
+    variant of the same resource collapses to one canonical form;
+    distinct resources stay distinct; keep-best picks the longest doc
+    (smallest id on ties)."""
+    from mgl870_tp02_project_01_hadoopmapreducelogs_spark.queries.textops import (
+        url_canonical,
+    )
+
+    cases = [
+        ("HTTP://WWW.Src1.example.com/docs/page-3", "src1.example.com/docs/page-3"),
+        ("https://src1.example.com/docs/page-3/", "src1.example.com/docs/page-3"),
+        ("https://www.src1.example.com/docs/page-3?utm_source=feed&ref=9", "src1.example.com/docs/page-3"),
+        ("https://src1.example.com/docs/page-3#section-2", "src1.example.com/docs/page-3"),
+        ("https://src1.example.com/docs/page-4", "src1.example.com/docs/page-4"),
+        ("https://wwwx.example.com/a", "wwwx.example.com/a"),  # only 'www.' strips
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r.c for r in df.select(url_canonical(F.col("url")).alias("c")).collect()]
+    assert got == [c for _, c in cases]
+
+    rows = REGISTRY["dedup_url_canonical"].run(spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "n_chars"
+    ).collect()
+    n_docs_total = sum(r.n_docs for r in rows)
+    assert n_docs_total == len(docs)  # every doc lands in exactly one group
+    chars = {r.doc_id: r.n_chars for r in docs}
+    for r in rows:
+        assert r.kept_chars == chars[r.keeper_doc_id]
