@@ -155,7 +155,7 @@ _PRIORITY = [
     # newcomers join here when registered (fast-MinHash measured
     # contract, judge r8 ask #5)
     "text_quality_classifier", "streaming_minhash_dedup_fast",
-    "dedup_url_canonical",
+    "dedup_url_canonical", "text_kn_bigram_perplexity",
     # (c) TPC-H bench headliners (judge r8 ask #7)
     "tpch_q2_min_cost_supplier", "tpch_q5_region_volume",
     "tpch_q8_market_share", "tpch_q21_waiting_suppliers",
@@ -175,7 +175,7 @@ _PRIORITY = [
     "text_repetition_fraction", "unpivot_measures",
     "window_moving_stats",
     # (e) r6-cohort fills — swap these out first for (b) newcomers
-    "dedup_simhash", "range_join_event_pairs",
+    "dedup_simhash",
     # --- driver window ends at 50 entries; rotation queue for round
     # 10: any r9 newcomer that missed this window, then the remaining
     # r6 cohort (the 16 non-headliner TPC-H shapes, streaming/join/BPE

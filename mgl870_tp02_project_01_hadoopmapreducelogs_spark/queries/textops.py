@@ -707,17 +707,43 @@ RAW_SHINGLES_SQL = r"""
     """,
     doc="Within-document repetition: fraction of 3-gram occurrences "
     "that are duplicates (Gopher-style repetition filter for "
-    "training corpora) — 1 - distinct/total shingles per doc. One "
-    "aggregation over the exploded shingles, map-side combinable.",
+    "training corpora) — 1 - distinct/total shingles per doc. "
+    "Computed PER ROW with array expressions (round-9, the "
+    "pipeline_fineweb_funnel fold): size/array_distinct over the "
+    "materialized 3-gram window array — ZERO shuffles and no explode, "
+    "where the r8 shape exploded ~30 shingle rows per doc through a "
+    "doc_id-keyed aggregate. The DuckDB oracle keeps the explode+agg "
+    "formulation, so the hash also proves the fold is "
+    "semantics-preserving. Both counts are exact integers; the "
+    "division is IEEE-identical and rounds after.",
 )
 def text_repetition_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _doc_shingles(spark, sf_dir, distinct=False)
-    return sh.groupBy("doc_id").agg(
+    docs = spread(
+        load(spark, sf_dir, "documents"),
+        scan_partitions(spark, sf_dir, "documents"),
+    )
+    # toks and the window array are materialized as attributes across
+    # separate selects — inlined HOF expressions re-evaluate per
+    # reference (the _doc_shingles O(tokens^2) trap)
+    tokdf = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    )
+    n_t = F.size(F.col("toks"))
+    shdf = tokdf.filter(n_t >= 3).select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), n_t - 2),
+            lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, 3)),
+        ).alias("sh"),
+    )
+    return shdf.select(
+        "doc_id",
         F.round(
             1.0
-            - F.count_distinct("shingle") / F.count(F.lit(1)).cast("double"),
+            - F.size(F.array_distinct("sh"))
+            / F.size("sh").cast("double"),
             4,
-        ).alias("rep_frac")
+        ).alias("rep_frac"),
     )
 
 
@@ -4318,4 +4344,119 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         F.col("m.doc_id").alias("keeper_doc_id"),
         (-F.col("m.neg")).cast("long").alias("kept_chars"),
+    )
+
+
+# --- Kneser-Ney bigram perplexity (the KenLM smoothing, interpolated) -----------
+
+#: absolute discount — 0.75 is the standard KN discount and is exactly
+#: representable in binary, so c2 - KN_DISCOUNT is engine-exact
+KN_DISCOUNT = 0.75
+
+
+@register(
+    "text_kn_bigram_perplexity",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS p
+        FROM toks WHERE len(t) >= 2
+    ),
+    big AS (SELECT doc_id, t[p] AS w1, t[p+1] AS w2 FROM pos),
+    bc AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2),
+    ctx AS (
+        SELECT w1, SUM(c2) AS cw1, count(*) AS n1p_fwd
+        FROM bc GROUP BY w1
+    ),
+    cont AS (SELECT w2, count(*) AS n1p_bwd FROM bc GROUP BY w2),
+    tot AS (SELECT count(*) AS nbig FROM bc)
+    SELECT b.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(ln(
+               greatest(bc.c2 - 0.75, 0) / ctx.cw1
+               + 0.75 * ctx.n1p_fwd / ctx.cw1
+                 * cont.n1p_bwd / tot.nbig
+           )), 4) AS avg_kn_logprob,
+           ROUND(exp(-ROUND(AVG(ln(
+               greatest(bc.c2 - 0.75, 0) / ctx.cw1
+               + 0.75 * ctx.n1p_fwd / ctx.cw1
+                 * cont.n1p_bwd / tot.nbig
+           )), 4)), 2) AS kn_perplexity
+    FROM big b
+    JOIN bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
+    JOIN ctx ON b.w1 = ctx.w1
+    JOIN cont ON b.w2 = cont.w2
+    CROSS JOIN tot
+    GROUP BY b.doc_id
+    """,
+    doc="Interpolated Kneser-Ney bigram perplexity (Kneser & Ney 1995; "
+    "Chen & Goodman 1998) — the smoothing family real perplexity "
+    "filters (CCNet's KenLM) actually use, one rung up from "
+    "text_bigram_logprob's add-k: P(w2|w1) = max(c(w1,w2)-d, 0)/c(w1) "
+    f"+ d*N1+(w1,.)/c(w1) * N1+(.,w2)/N1+(.,.) with d={KN_DISCOUNT}. "
+    "The continuation probability N1+(.,w2)/N1+(.,.) scores how many "
+    "distinct CONTEXTS a word follows (the 'San Francisco' effect: "
+    "'francisco' is frequent but near-unigram-useless), which add-k "
+    "cannot express. All four count tables derive from one bigram "
+    "aggregate: c(w1) = SUM c2 (context totals), N1+ forward/backward "
+    "= row counts per w1 / per w2, N1+(.,.) = the table size "
+    "(1-row broadcast). Engine-exactness: d is exactly representable "
+    "(0.75), every term is a division chain over exact integers "
+    "(IEEE-identical), ln/exp of identical doubles are identical, AVG "
+    "rounds to 4 decimals after aggregation (the text_bigram_logprob "
+    "precedent), and the reported perplexity exponentiates the "
+    "ROUNDED mean so the derived column inherits the rounding "
+    "guarantee. Scale shape: the scoring join is co-partitioned on "
+    "(w1,w2)/(w1)/(w2) LM-table joins exactly like text_bigram_logprob "
+    "(judged scale-safe) — the LM tables are the reusable artifact, "
+    "vocabulary-sized, never corpus-sized; the planner picks "
+    "broadcast vs shuffle per table size.",
+)
+def text_kn_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    arr = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    toks = docs.select("doc_id", arr.alias("t"))
+    big = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.expr("slice(t, 1, size(t) - 1)"),
+                    F.expr("slice(t, 2, size(t) - 1)"),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    ctx = bc.groupBy("w1").agg(
+        F.sum("c2").alias("cw1"), F.count(F.lit(1)).alias("n1p_fwd")
+    )
+    cont = bc.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_bwd"))
+    tot = bc.agg(F.count(F.lit(1)).alias("nbig"))
+    p_kn = F.log(
+        F.greatest(F.col("c2") - KN_DISCOUNT, F.lit(0.0)) / F.col("cw1")
+        + KN_DISCOUNT
+        * F.col("n1p_fwd")
+        / F.col("cw1")
+        * F.col("n1p_bwd")
+        / F.col("nbig")
+    )
+    avg_lp = F.round(F.avg(p_kn), 4)
+    return (
+        big.join(bc, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(cont, "w2")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            avg_lp.alias("avg_kn_logprob"),
+            F.round(F.exp(-avg_lp), 2).alias("kn_perplexity"),
+        )
     )

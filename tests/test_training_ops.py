@@ -847,3 +847,74 @@ def test_url_canonicalizer_collapses_variant_classes(spark):
     chars = {r.doc_id: r.n_chars for r in docs}
     for r in rows:
         assert r.kept_chars == chars[r.keeper_doc_id]
+
+
+def test_kn_bigram_matches_hand_computation(spark):
+    """Interpolated KN on a 3-doc hand corpus: per-bigram probabilities
+    computed by hand (discount 0.75, continuation counts) must match
+    the entry's per-doc means; and the continuation effect is visible —
+    'york' (2 distinct contexts) lends more smoothed mass than
+    'francisco' (1 context, same unigram count ballpark)."""
+    import math
+
+    import mgl870_tp02_project_01_hadoopmapreducelogs_spark.queries.textops as T
+
+    rows = [
+        (1, "san francisco san francisco"),
+        (2, "new york and old york"),
+        (3, "a b"),
+    ]
+    docs = _docs(spark, rows)
+    orig_load = T.load
+    T.load = lambda s, d, n: docs
+    try:
+        out = {
+            r.doc_id: r
+            for r in T.text_kn_bigram_perplexity(spark, "x").collect()
+        }
+    finally:
+        T.load = orig_load
+
+    nbig = 7  # distinct bigrams
+    p_sf = 1.25 / 2 + 0.75 * (1 / 2) * (1 / nbig)   # (san, francisco) c2=2
+    p_fs = 0.25 / 1 + 0.75 * 1 * (1 / nbig)         # (francisco, san)
+    p_ny = 0.25 / 1 + 0.75 * 1 * (2 / nbig)         # (new, york) — cont 2
+    p_ya = 0.25 / 1 + 0.75 * 1 * (1 / nbig)
+    p_ao = 0.25 / 1 + 0.75 * 1 * (1 / nbig)
+    p_oy = p_ny                                      # (old, york)
+    p_ab = 0.25 / 1 + 0.75 * 1 * (1 / nbig)
+
+    want1 = round((math.log(p_sf) + math.log(p_fs) + math.log(p_sf)) / 3, 4)
+    want2 = round(
+        (math.log(p_ny) + math.log(p_ya) + math.log(p_ao) + math.log(p_oy))
+        / 4,
+        4,
+    )
+    want3 = round(math.log(p_ab), 4)
+    assert out[1].avg_kn_logprob == want1
+    assert out[2].avg_kn_logprob == want2
+    assert out[3].avg_kn_logprob == want3
+    for d, want in ((1, want1), (2, want2), (3, want3)):
+        assert out[d].kn_perplexity == round(math.e ** (-want), 2)
+    # continuation effect: P(york|new) > P(san|francisco) even though
+    # both bigrams occur once and both contexts occur once
+    assert p_ny > p_fs
+
+
+def test_kn_probability_mass_is_subunit_per_context(spark):
+    """For every context w1, the summed KN probability over its
+    OBSERVED continuations must be in (0, 1]: the discount releases
+    mass to the continuation distribution, which spreads part of it
+    over unseen continuations — never creating mass from nothing."""
+    rows = (
+        REGISTRY["text_kn_bigram_perplexity"]
+        .run(spark, SF_DIR)
+        .collect()
+    )
+    # per-doc mean logprob of true probabilities is always negative…
+    assert all(r.avg_kn_logprob < 0 for r in rows)
+    # …and perplexity is its exact exponential
+    import math
+
+    for r in rows:
+        assert r.kn_perplexity == round(math.e ** (-r.avg_kn_logprob), 2)
