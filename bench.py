@@ -6,19 +6,21 @@ second, and a COMPACT result line LAST. The driver tail-captures
 stdout with a bounded ~2.2 KB byte budget and parses only the final
 line; rounds 7 AND 8 both lost their artifacts because the final line
 held every per-query timing and outgrew the budget (truncated from
-the FRONT, dropping the metric name / early entries). At 72 headline
-queries one line can no longer fit, so the full dict moves to the
+the FRONT, dropping the metric name / early entries). At 70+
+headline queries (75 as of round 9) one line can no longer fit, so
+the full dict moves to the
 second line (it survives partially; the complete data also lives in
 SCALE_NOTES' local runs) and the final line carries only what the
 round-over-round comparison needs — the total, the retry-audit
-arrays, and a pinned ~24-entry representative subset (the whole
+arrays, and a pinned ~25-entry representative subset (the whole
 mining chunk, the six TPC-H headliners, and one or two per remaining
 family; KEY_QUERIES below is the source of truth):
   {"metric": "bench_calibration",
    "calibration_probe_ms": [per-chunk fixed matmul, ms; may hold null],
    "calibration_probe_ms_pairs": [[chunk-start ms, chunk-end ms], ...],
    "calibration_jvm_probe_ms": [per-chunk fixed codegen agg, ms]}
-  {"metric": "headline_queries_full", "queries": {all 72, 3-decimal}}
+  {"metric": "headline_queries_full", "queries": {every HEADLINE
+   entry, 3-decimal}}
   {"metric":"headline_queries_total","value":<total>,"unit":"sec",
    "sf":<sf>,"chunk_attempts":[1|2 per chunk],
    "chunk_accepted_run":["first"|"retry"],

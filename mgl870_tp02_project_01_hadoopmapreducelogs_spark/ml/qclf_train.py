@@ -50,9 +50,14 @@ def bucket_of(token: str) -> int:
 
 def tokenize(text: str) -> list[str]:
     """Python twin of the engines' tokenization:
-    ``split(lower(trim(text)), '\\s+')`` — note an empty/whitespace
-    text yields the single empty token, exactly as both engines do."""
-    return re.split(r"\s+", text.lower().strip())
+    ``split(lower(trim(text)), '\\s+')``. Both engines' ``trim()``
+    strips SPACES ONLY — a leading tab/newline survives trim and
+    yields a leading empty token after the split — so the twin must
+    use ``strip(' ')``, not ``strip()`` (round-9 review finding: the
+    all-whitespace strip dropped the empty token's bucket weight from
+    the offline score on boundary docs). An empty/all-space text
+    yields the single empty token, exactly as both engines do."""
+    return re.split(r"\s+", text.strip(" ").lower())
 
 
 def junk_text(i: int, salt: str) -> str:

@@ -680,24 +680,25 @@ def minhash_bands_rowwise(
     """
     from .textops import BAND_SIZE, N_HASHES
 
-    # mirror the batch _doc_shingles ordering: materialize toks, FILTER
-    # size>=3, THEN build shingles — so short docs can never reach the
-    # sequence(1, size-2) expression (which would be a descending
-    # sequence through 0 and a runtime slice error) regardless of
-    # whether Catalyst pushes the predicate below the projection
-    with_sh = (
-        docs.select(
-            "doc_id", F.split(F.trim(F.col(text_col)), r"\s+").alias("toks")
+    def _string_shingles() -> DataFrame:
+        """(doc_id, shingles array<string>) — the md5 family's shingle
+        strings, mirroring the batch _doc_shingles ordering:
+        materialize toks, FILTER size>=3, THEN build the window array
+        (window_gram_expr's caller contract — short docs must never
+        reach the descending-sequence expression)."""
+        from .textops import window_gram_expr
+
+        return (
+            docs.select(
+                "doc_id",
+                F.split(F.trim(F.col(text_col)), r"\s+").alias("toks"),
+            )
+            .filter(F.size("toks") >= 3)
+            .select(
+                "doc_id",
+                window_gram_expr(F.col("toks"), 3).alias("shingles"),
+            )
         )
-        .filter(F.size("toks") >= 3)
-        .select(
-            "doc_id",
-            F.expr(
-                "transform(sequence(1, size(toks) - 2),"
-                " i -> concat_ws(' ', slice(toks, i, 3)))"
-            ).alias("shingles"),
-        )
-    )
     def _shingle_ids() -> DataFrame:
         """(doc_id, hs array<long>): shingle identities WITHOUT ever
         building shingle strings — each token hashed once, a shingle
@@ -731,20 +732,6 @@ def minhash_bands_rowwise(
                         F.element_at("th", i + 2),
                     ),
                 ).alias("hs"),
-            )
-        )
-
-    def _minhash(j: int):
-        # closure, NOT a default-arg lambda: a two-parameter lambda
-        # (`lambda s, j=j`) is treated by transform() as an
-        # (element, index) function — the "salt" would silently bind
-        # to the index column and the hash family would change with
-        # every plan compilation (caught by the oracle as intermittent
-        # flag flips)
-        return F.array_min(
-            F.transform(
-                F.col("shingles"),
-                lambda s: F.md5(F.concat(s, F.lit(f"#{j}"))),
             )
         )
 
@@ -791,8 +778,22 @@ def minhash_bands_rowwise(
             "doc_id", *[_km_sig(j).alias(f"s{j}") for j in range(N_HASHES)]
         )
     else:
+        # md5 family: string shingles, salted string hashes. The
+        # _minhash salt is a CLOSURE, not a default-arg lambda — a
+        # two-parameter lambda (`lambda s, j=j`) is treated by
+        # transform() as an (element, index) function and the "salt"
+        # would silently bind to the index column (caught by the
+        # oracle as intermittent flag flips)
+        def _minhash(j: int):
+            return F.array_min(
+                F.transform(
+                    F.col("shingles"),
+                    lambda s: F.md5(F.concat(s, F.lit(f"#{j}"))),
+                )
+            )
+
         sig = [_minhash(j).alias(f"s{j}") for j in range(N_HASHES)]
-        with_sig = with_sh.select("doc_id", *sig)
+        with_sig = _string_shingles().select("doc_id", *sig)
     if family in ("xxhash64", "km"):
         band_key = lambda cols: F.xxhash64(*cols)  # noqa: E731
     else:

@@ -166,6 +166,36 @@ SHINGLES_SQL = r"""
 """
 
 
+def window_gram_expr(toks_col, k: int = 3):
+    """Sliding k-gram window array over a MATERIALIZED token-array
+    column: ``[concat_ws(' ', toks[i:i+k]) for i in 1..n-k+1]``.
+
+    The ONE shared definition of the word-n-gram idiom (round-9
+    review: it had been copy-pasted across _doc_shingles, the
+    repetition entries, the FineWeb funnel, and streamq's band
+    builder, each with its own lockstep warning) — every oracle's
+    DuckDB twin mirrors it as
+    ``array_to_string(t[p:p+k-1], ' ')`` over
+    ``generate_series(1, len(t)-k+1)``, so a tokenization or
+    windowing tweak must happen HERE and in those SQL strings
+    together, never at one call site.
+
+    Two hard requirements on the caller:
+    - ``toks_col`` must be a materialized attribute (an aliased
+      column from a PREVIOUS select), never an inline ``split(...)``
+      expression — inline HOF arguments are re-evaluated at every
+      slice position (the measured O(tokens^2) trap: 6x at sf0.1 in
+      round 3, 242.7s vs 30.5s at 100x in round 9);
+    - rows must be pre-filtered to ``size(toks) >= k`` (or the
+      result CASE-guarded): for shorter docs ``sequence(1, n-k+1)``
+      is DESCENDING through zero and the slice errors at runtime.
+    """
+    return F.transform(
+        F.sequence(F.lit(1), F.size(toks_col) - (k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks_col, i, k)),
+    )
+
+
 def _doc_shingles(
     spark: SparkSession, sf_dir: str, distinct: bool = True
 ) -> DataFrame:
@@ -182,23 +212,14 @@ def _doc_shingles(
         load(spark, sf_dir, "documents"),
         scan_partitions(spark, sf_dir, "documents"),
     )
-    # Materialize the token array as an attribute BEFORE the transform
-    # lambda: an inline split() expression is re-evaluated for every
-    # slice position (O(tokens^2) per doc — measured 6x slower at
-    # sf0.1). As a projected column it is computed once per row and the
-    # Generate node slices the materialized array.
+    # toks is materialized as an attribute before the window transform
+    # (see window_gram_expr's caller contract)
     tokdf = docs.select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
     )
-    n = F.size(F.col("toks"))
-    idx = F.sequence(F.lit(1), n - 2)  # 1-based start positions of 3-shingles
-    sh = tokdf.filter(n >= 3).select(
+    sh = tokdf.filter(F.size(F.col("toks")) >= 3).select(
         "doc_id",
-        F.explode(
-            F.transform(
-                idx, lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, 3))
-            )
-        ).alias("shingle"),
+        F.explode(window_gram_expr(F.col("toks"), 3)).alias("shingle"),
     )
     return sh.distinct() if distinct else sh
 
@@ -723,18 +744,13 @@ def text_repetition_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         scan_partitions(spark, sf_dir, "documents"),
     )
     # toks and the window array are materialized as attributes across
-    # separate selects — inlined HOF expressions re-evaluate per
-    # reference (the _doc_shingles O(tokens^2) trap)
+    # separate selects (window_gram_expr's caller contract)
     tokdf = docs.select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
     )
-    n_t = F.size(F.col("toks"))
-    shdf = tokdf.filter(n_t >= 3).select(
+    shdf = tokdf.filter(F.size(F.col("toks")) >= 3).select(
         "doc_id",
-        F.transform(
-            F.sequence(F.lit(1), n_t - 2),
-            lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, 3)),
-        ).alias("sh"),
+        window_gram_expr(F.col("toks"), 3).alias("sh"),
     )
     return shdf.select(
         "doc_id",
@@ -1816,12 +1832,7 @@ def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_chars",
         F.size("t").alias("n_tokens"),
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(t) - 1),"
-                " i -> concat_ws(' ', slice(t, i, 2)))"
-            )
-        ).alias("bg"),
+        F.explode(window_gram_expr(F.col("t"), 2)).alias("bg"),
     )
     # the (count desc, bigram asc) winner via a struct-min aggregate
     # instead of a row_number window: min(struct(-cnt, bg)) is the same
@@ -1847,12 +1858,7 @@ def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     g5 = docs.filter(F.size("t") >= 5).select(
         "doc_id",
-        F.posexplode(
-            F.expr(
-                "transform(sequence(1, size(t) - 4),"
-                " i -> concat_ws(' ', slice(t, i, 5)))"
-            )
-        ).alias("p0", "g"),
+        F.posexplode(window_gram_expr(F.col("t"), 5)).alias("p0", "g"),
     )
     # covered-token-position union without materializing positions:
     # every duplicated occurrence is a fixed-length-5 interval, so over
@@ -3933,14 +3939,12 @@ def pipeline_fineweb_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         scan_partitions(spark, sf_dir, "documents"),
     )
     t = F.col("text")
-    # 3-gram windows as a per-row array (mirrors _doc_shingles: raw
-    # whitespace split, no normalization). toks and the window array
-    # are MATERIALIZED as attributes across separate selects — inlined
-    # expressions would be re-evaluated at every slice position /
-    # every reference (the O(tokens^2) trap documented on
-    # _doc_shingles; measured here too: 242.7s vs 89.3s at 100x).
-    # CollapseProject keeps multi-referenced non-cheap aliases as
-    # attributes, so the boundaries survive optimization.
+    # 3-gram windows as a per-row array (window_gram_expr — raw
+    # whitespace split, no normalization; materialized-attribute
+    # contract applies: the un-materialized form measured 242.7s at
+    # 100x). CASE-guarded so the sequence is never descending for
+    # <3-token docs — those pass the repetition gate vacuously,
+    # exactly like the r8 LEFT JOIN's NULL -> TRUE.
     tokdf = docs.select(
         "doc_id",
         "lang",
@@ -3948,20 +3952,11 @@ def pipeline_fineweb_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(F.trim(t), r"\s+").alias("toks"),
     )
     n_t = F.size(F.col("toks"))
-    # CASE-guarded so the sequence is never descending for <3-token
-    # docs — those pass the repetition gate vacuously, exactly like
-    # the r8 LEFT JOIN's NULL -> TRUE
     shdf = tokdf.select(
         "doc_id",
         "lang",
         "text",
-        F.when(
-            n_t >= 3,
-            F.transform(
-                F.sequence(F.lit(1), n_t - 2),
-                lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, 3)),
-            ),
-        )
+        F.when(n_t >= 3, window_gram_expr(F.col("toks"), 3))
         .otherwise(F.array(F.lit("")).cast("array<string>"))
         .alias("sh"),
         (n_t >= 3).alias("shingleable"),
@@ -4016,7 +4011,15 @@ def pipeline_fineweb_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("m.lang").alias("lang"))
         .agg(F.count(F.lit(1)).cast("long").alias("after_dedup"))
     )
-    return stage_counts.join(dedup_by_lang, "lang", "left").select(
+    # null-SAFE join key: groupBy treats a NULL lang as its own group
+    # (so does the oracle's GROUP BY), but a plain equi-join would
+    # never match it and silently zero that group's after_dedup —
+    # latent on this corpus (lang is never NULL), fatal on one where
+    # it is (round-9 review finding)
+    dl = dedup_by_lang.withColumnRenamed("lang", "dl_lang")
+    return stage_counts.join(
+        dl, F.col("lang").eqNullSafe(F.col("dl_lang")), "left"
+    ).select(
         "lang",
         "n_docs",
         "after_lang_id",

@@ -77,3 +77,21 @@ def test_training_junk_generator_is_gibberish():
         toks = qt.tokenize(qt.junk_text(i, "pytest-holdout-junk"))
         assert len(toks) >= 20
         assert not (set(toks) & stop)
+
+
+def test_tokenize_twin_matches_engines_on_whitespace_boundaries():
+    """Round-9 review regression: both engines' trim() strips SPACES
+    only, so a leading tab/newline survives and yields a leading empty
+    token after the \\s+ split. The Python twin must reproduce that
+    (str.strip() with no args would eat it and silently drop the empty
+    token's bucket weight from the offline score)."""
+    assert qt.tokenize("\thello a") == ["", "hello", "a"]
+    assert qt.tokenize("\nhello a\n") == ["", "hello", "a", ""]
+    assert qt.tokenize("  hello a  ") == ["hello", "a"]
+    assert qt.tokenize("") == [""]
+    # and the score reflects the boundary token's bucket
+    w = _weights()
+    assert (
+        qt.score_fp("\thello a", w)
+        == qt.score_fp("hello a", w) + w[qt.bucket_of("")]
+    )

