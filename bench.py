@@ -213,6 +213,7 @@ CHUNKS = [
         "streaming_minhash_dedup_fast",
         "dedup_url_canonical",
         "text_kn_bigram_perplexity",
+        "dq_filter_agreement",
     ],
 ]
 

