@@ -440,3 +440,53 @@ def test_plant_exact_dups_shape(spark):
     assert by_id[PLANT_REM + PLANT_OFFSET] == by_id[PLANT_REM]
     assert PLANT_REM + PLANT_MOD + PLANT_OFFSET not in by_id
     assert PLANT_REM + 1 + PLANT_OFFSET not in by_id
+
+
+def test_fast_family_agreement_measured_at_sf001(spark):
+    """Diagnosability companion for the streaming_minhash_dedup_fast
+    contract (ADVICE r8: surface the MEASURED agreement, not only the
+    boolean verdict): recompute the per-doc flag agreement between the
+    token-hash xxhash64 family and the md5 family over the planted
+    sf0.01 corpus batch-side and assert it clears the registered floor
+    — on failure the assertion message carries the actual value, so a
+    corpus refresh that flips the contract verdict is diagnosable from
+    the test output alone."""
+    from mgl870_tp02_project_01_hadoopmapreducelogs_spark.queries.streamq import (
+        FAST_AGREEMENT_FLOOR,
+        load,
+        minhash_bands_rowwise,
+        plant_exact_dups,
+    )
+
+    planted = plant_exact_dups(
+        load(spark, "/root/testdata/sf0.01", "documents").select(
+            "doc_id", "text"
+        )
+    )
+
+    def flags(family):
+        bands = minhash_bands_rowwise(planted, family=family)
+        lo = bands.groupBy("band_id", "band").agg(F.min("doc_id").alias("lo"))
+        return (
+            bands.join(lo, ["band_id", "band"])
+            .groupBy("doc_id")
+            .agg(F.max((F.col("doc_id") > F.col("lo")).cast("int")).alias("d"))
+        )
+
+    fast = flags("xxhash64").withColumnRenamed("d", "f")
+    ref = flags("md5").withColumnRenamed("d", "m")
+    agree = (
+        fast.join(ref, "doc_id", "full")
+        .select(
+            (
+                F.coalesce("f", F.lit(0)) == F.coalesce("m", F.lit(0))
+            ).cast("double").alias("eq")
+        )
+        .agg(F.avg("eq"))
+        .collect()[0][0]
+    )
+    assert agree >= FAST_AGREEMENT_FLOOR, (
+        f"fast-vs-md5 flag agreement {agree:.4f} fell below the "
+        f"registered floor {FAST_AGREEMENT_FLOOR} — re-measure and "
+        "re-pin the contract (see streaming_minhash_dedup_fast)"
+    )
