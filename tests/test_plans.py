@@ -341,3 +341,42 @@ def test_fineweb_funnel_single_plan_no_window(spark):
     for line in simple.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "doc_id" not in line, line
+
+
+def test_url_dedup_single_aggregate_no_window(spark):
+    """URL dedup must be one codegen'd projection + ONE keyed
+    aggregate: no Window (keeper is a struct-MIN), no join, no
+    explode, nothing in Python."""
+    df = REGISTRY["dedup_url_canonical"].run(spark, SF_DIR)
+    rep = plan_report(df)
+    assert rep["has_partial_agg"], "keeper MIN must partial-agg map-side"
+    assert not rep["has_python_udf"]
+    simple = explain_str(df, "simple")
+    assert "Window" not in simple, simple
+    assert "Join" not in simple, simple
+    assert "Generate" not in simple, simple
+
+
+def test_kn_perplexity_lm_tables_join_shapes(spark):
+    """KN scoring must stay a join pipeline over vocabulary-sized LM
+    tables: partial-agg'd aggregates, the 1-row total broadcast, no
+    Python, no Window."""
+    df = REGISTRY["text_kn_bigram_perplexity"].run(spark, SF_DIR)
+    rep = plan_report(df)
+    assert rep["has_partial_agg"]
+    assert rep["has_broadcast_join"], "the 1-row bigram total must broadcast"
+    assert not rep["has_python_udf"]
+    assert "Window" not in explain_str(df, "simple")
+
+
+def test_filter_agreement_composition_plan(spark):
+    """The agreement audit composes two registered entries: its own
+    additions must be ONE doc-keyed join + a tiny rollup — no Python,
+    and the only Window node is the CCNet component's own per-lang
+    NTILE (already plan-audited on that entry)."""
+    df = REGISTRY["dq_filter_agreement"].run(spark, SF_DIR)
+    rep = plan_report(df)
+    assert rep["has_partial_agg"]
+    assert not rep["has_python_udf"]
+    simple = explain_str(df, "simple")
+    assert simple.count("Window") <= 1, simple
