@@ -23,3 +23,30 @@ def test_coverage_driver_evidence_section_is_current():
         "`python scripts/driver_evidence.py` to regenerate it from the "
         "CORRECTNESS_r*.json artifacts"
     )
+
+
+def test_renderer_ignores_untracked_artifacts():
+    """The round-boundary race fix (judge r9 ask #1): the driver lands
+    CORRECTNESS_r{N}.json AFTER the round's final commit; an UNTRACKED
+    artifact must not change the rendered evidence (and so cannot
+    redden the staleness pin above). The next round's first commit
+    `git add`s + regenerates, folding the evidence in."""
+    sys.path.insert(0, REPO)
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from driver_evidence import render_section, tracked_artifacts
+
+    phantom = os.path.join(REPO, "CORRECTNESS_r999.json")
+    assert not os.path.exists(phantom)
+    before = render_section(REPO)
+    try:
+        with open(phantom, "w") as f:
+            f.write(
+                '{"phantom_query": {"rows_match": false, '
+                '"schema_match": false, "hash_match": false}}'
+            )
+        assert phantom not in tracked_artifacts(REPO)
+        assert render_section(REPO) == before, (
+            "render_section must ignore untracked CORRECTNESS artifacts"
+        )
+    finally:
+        os.remove(phantom)
