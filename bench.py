@@ -7,7 +7,7 @@ stdout with a bounded ~2.2 KB byte budget and parses only the final
 line; rounds 7 AND 8 both lost their artifacts because the final line
 held every per-query timing and outgrew the budget (truncated from
 the FRONT, dropping the metric name / early entries). At 70+
-headline queries (75 as of round 9) one line can no longer fit, so
+headline queries (see len(HEADLINE)) one line can no longer fit, so
 the full dict moves to the
 second line (it survives partially; the complete data also lives in
 SCALE_NOTES' local runs) and the final line carries only what the

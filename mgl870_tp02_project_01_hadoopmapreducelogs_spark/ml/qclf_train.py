@@ -56,8 +56,11 @@ def tokenize(text: str) -> list[str]:
     use ``strip(' ')``, not ``strip()`` (round-9 review finding: the
     all-whitespace strip dropped the empty token's bucket weight from
     the offline score on boundary docs). An empty/all-space text
-    yields the single empty token, exactly as both engines do."""
-    return re.split(r"\s+", text.strip(" ").lower())
+    yields the single empty token, exactly as both engines do.
+    ``re.ASCII`` because Python's ``\\s`` is Unicode-aware while Java's
+    and RE2's are ASCII-only — an NBSP must NOT split offline when it
+    doesn't split in serving (round-10 advisor finding)."""
+    return re.split(r"\s+", text.strip(" ").lower(), flags=re.ASCII)
 
 
 def junk_text(i: int, salt: str) -> str:
@@ -139,6 +142,14 @@ def fit_weights(spark, texts: list[str], labels: list[int]):
     folded = [float(w) + c for w in coef]
     m = max(abs(w) for w in folded)
     fp_scale = int(32767 / m) if m > 0 else 1
+    # a pathological fit with |folded weight| > 32767 would floor
+    # fp_scale to 0 and quantize EVERY weight to 0 (all docs scored 0)
+    # — fail loudly instead of freezing a dead table
+    if fp_scale < 1:
+        raise ValueError(
+            f"largest folded weight {m:.3g} exceeds the signed-16-bit "
+            f"range (fp_scale would be 0) — the fit is pathological"
+        )
     weights_fp = [
         max(-32768, min(32767, round(w * fp_scale))) for w in folded
     ]

@@ -45,6 +45,16 @@ SINGLE_PART_OK = {
     "text_bm25_search": ("scalar", 1),        # 1-row corpus stats (n_docs,
                                               # total_dl), partial-agg'd then
                                               # broadcast to the scorer
+    "streaming_minhash_dedup_fast": ("scalar", 1),  # the contract's final
+                                              # keyless verdict aggregate
+                                              # (max/min/avg over 3 booleans),
+                                              # partial_max/min/avg map-side
+                                              # before the SinglePartition
+                                              # final — plan read r10
+    "text_kn_bigram_perplexity": ("scalar", 1),  # 1-row count(1) vocab-size
+                                              # aggregate, partial_count
+                                              # map-side then IdentityBroadcast
+                                              # into the scorer — plan read r10
 }
 
 #: queries whose DISTRIBUTED work executes eagerly during construction

@@ -25,6 +25,20 @@ def test_coverage_driver_evidence_section_is_current():
     )
 
 
+def test_plans_audit_has_no_unexplained_single_partition_marks():
+    """PLANS.md's own legend defines `!` as 'unexplained (review!)' —
+    a committed plan audit must carry zero unresolved review flags
+    (judge r9 ask #2). Every SinglePartition exchange is either audited
+    into SINGLE_PART_OK (scripts/dump_plans.py) or restructured."""
+    for line in open(os.path.join(REPO, "PLANS.md")):
+        if line.startswith("|") and line.rstrip().endswith("| ! |"):
+            raise AssertionError(
+                f"PLANS.md ships an unexplained SinglePartition mark: "
+                f"{line.strip()} — audit it into SINGLE_PART_OK or "
+                f"restructure the plan, then rerun scripts/dump_plans.py"
+            )
+
+
 def test_renderer_ignores_untracked_artifacts():
     """The round-boundary race fix (judge r9 ask #1): the driver lands
     CORRECTNESS_r{N}.json AFTER the round's final commit; an UNTRACKED

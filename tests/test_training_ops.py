@@ -905,15 +905,44 @@ def test_kn_probability_mass_is_subunit_per_context(spark):
     """For every context w1, the summed KN probability over its
     OBSERVED continuations must be in (0, 1]: the discount releases
     mass to the continuation distribution, which spreads part of it
-    over unseen continuations — never creating mass from nothing."""
+    over unseen continuations — never creating mass from nothing.
+    Computed over the SAME LM tables the registered query builds
+    (shared _kn_tables helper), one row per distinct (w1, w2)
+    (round-10 advisor finding: the advertised invariant was never
+    actually computed)."""
+    from mgl870_tp02_project_01_hadoopmapreducelogs_spark.queries.textops import (
+        _kn_prob,
+        _kn_tables,
+    )
+    from mgl870_tp02_project_01_hadoopmapreducelogs_spark.queries import load
+
+    docs = load(spark, SF_DIR, "documents")
+    _, bc, ctx, cont, tot = _kn_tables(docs)
+    mass = (
+        bc.join(ctx, "w1")
+        .join(cont, "w2")
+        .join(F.broadcast(tot))
+        .groupBy("w1")
+        .agg(F.sum(_kn_prob()).alias("mass"))
+        .agg(F.min("mass").alias("lo"), F.max("mass").alias("hi"))
+        .collect()[0]
+    )
+    assert mass.lo > 0.0, f"per-context KN mass hit {mass.lo} <= 0"
+    # <= 1 up to float summation noise; slack 1e-9 on a sum of
+    # exact-integer division chains
+    assert mass.hi <= 1.0 + 1e-9, (
+        f"per-context KN mass over observed continuations reached "
+        f"{mass.hi} > 1 — the smoothing is creating probability mass"
+    )
+
+    # the original per-doc consistency checks stay: mean logprob of
+    # true probabilities is negative, perplexity its exact exponential
     rows = (
         REGISTRY["text_kn_bigram_perplexity"]
         .run(spark, SF_DIR)
         .collect()
     )
-    # per-doc mean logprob of true probabilities is always negative…
     assert all(r.avg_kn_logprob < 0 for r in rows)
-    # …and perplexity is its exact exponential
     import math
 
     for r in rows:
