@@ -215,6 +215,13 @@ CHUNKS = [
         "text_kn_bigram_perplexity",
         "dq_filter_agreement",
     ],
+    # round-10 additions — own chunk so earlier probe positions hold.
+    # The bucketed URL-dedup twin's time INCLUDES the bucketed-table
+    # write (the ingest cost a deployment pays once, amortized over
+    # every later query); its aggregate itself plans zero Exchange
+    [
+        "dedup_url_canonical_bucketed",
+    ],
 ]
 
 HEADLINE = [name for chunk in CHUNKS for name in chunk]

@@ -10,6 +10,10 @@ catalog; plain parquet files cannot carry it).
 
 from __future__ import annotations
 
+import os
+import shutil
+from urllib.parse import urlparse
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -21,7 +25,18 @@ def write_bucketed(
     sort: bool = True,
 ) -> None:
     """Persist as a bucketed (and optionally sort-bucketed) managed
-    table. Sorting within buckets lets the join skip its sort stage."""
+    table. Sorting within buckets lets the join skip its sort stage.
+
+    Idempotent across SESSIONS, not just within one: the default
+    in-memory catalog forgets tables on restart but their managed
+    warehouse directories persist, and saveAsTable then refuses the
+    location (LOCATION_ALREADY_EXISTS) — so drop any same-name table
+    and clear a leftover local directory before writing."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+    if wh.scheme in ("", "file"):
+        shutil.rmtree(os.path.join(wh.path, table.lower()), ignore_errors=True)
     writer = (
         df.write.mode("overwrite")
         .format("parquet")

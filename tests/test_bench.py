@@ -38,10 +38,12 @@ ROWS_ONLY_REGISTRY = {
 }
 
 #: the subset of ROWS_ONLY_REGISTRY deliberately rotated into THIS
-#: round's driver window for rows-only re-confirmation. All nine were
-#: re-confirmed in round 8 (judge r7 ask #1), so the round-9 window
-#: spends its slots on oracle-bearing entries instead; due again ~r11.
-ROWS_ONLY_WINDOW: set = set()
+#: round's driver window for rows-only re-confirmation. Round 10
+#: spends one slot on sim_pq_topk (also the bench-oscillation resident
+#: getting a fresh same-code 100x probe this round); the other eight
+#: raws were re-confirmed in round 8 and rotate in at r11 with the r7
+#: cohort.
+ROWS_ONLY_WINDOW: set = {"sim_pq_topk"}
 
 
 def test_driver_window_is_oracle_bearing_and_stable():
