@@ -44,10 +44,11 @@ inflated recorded times 4-8x over a clean re-run of the same plans on
 the same data. The fix bounds session state without forfeiting the
 legitimate cache reuse that a real analytics session gets:
 
-- the headline set is split into CHUNKS of related queries (9 as of
-  round 8: mining, TPC-H, shingle-dedup, ANN/similarity,
+- the headline set is split into CHUNKS of related queries (11 as of
+  round 10: mining, TPC-H, shingle-dedup, ANN/similarity,
   embedding-dedup, text-tail, pipelines, round-7/8 curation, round-8
-  wave 3+ — see CHUNKS below, which is the source of truth); each
+  wave 3+, round-9 additions, round-10 additions — see CHUNKS below,
+  which is the source of truth); each
   chunk runs in a FRESH subprocess (own JVM, 16g heap — local mode
   driver==executor), so no chunk inherits another's heap state and
   accumulation is bounded at <=10 queries;

@@ -766,6 +766,8 @@ def test_distinct_diversity_approx_contract_second_scale(spark):
     assert rows
     for r in rows:
         assert r.d1_ok and r.d2_ok and r.d3_ok, r
+        # the failure-naming diagnostic hashes a constant while green
+        assert r.diag == "ok", r
 
 
 def test_incremental_merge_is_split_invariant(spark):
@@ -815,6 +817,7 @@ def test_ccnet_approx_contract_second_scale(spark):
     )
     assert rows
     assert all(r.agree_ge_90 for r in rows)
+    assert all(r.diag == "ok" for r in rows)
 
 
 def test_url_canonicalizer_collapses_variant_classes(spark):
