@@ -46,6 +46,28 @@ ROWS_ONLY_REGISTRY = {
 ROWS_ONLY_WINDOW: set = {"sim_pq_topk"}
 
 
+def test_registry_entries_bind_their_own_functions():
+    """Guard for the decorator-capture bug class: @register binds to
+    the NEXT def, so inserting a helper between a decorator block and
+    its query def silently registers the helper under the query's name
+    (hit twice in round 10 — symptom: wrong row counts or arity
+    errors). Every entry must be bound to a function named exactly
+    like itself."""
+    from mgl870_tp02_project_01_hadoopmapreducelogs_spark.queries import (
+        REGISTRY,
+    )
+
+    bad = [
+        (n, s.run.__name__)
+        for n, s in REGISTRY.items()
+        if s.run.__name__ != n
+    ]
+    assert not bad, (
+        f"registry entries bound to foreign functions (a helper def "
+        f"probably slid under the @register block): {bad}"
+    )
+
+
 def test_driver_window_is_oracle_bearing_and_stable():
     """The correctness driver samples the FIRST 50 registry entries; a
     careless registration order change would silently burn evidence
