@@ -219,9 +219,12 @@ CHUNKS = [
     # round-10 additions — own chunk so earlier probe positions hold.
     # The bucketed URL-dedup twin's time INCLUDES the bucketed-table
     # write (the ingest cost a deployment pays once, amortized over
-    # every later query); its aggregate itself plans zero Exchange
+    # every later query); its aggregate itself plans zero Exchange.
+    # The WET roundtrip's time includes writing AND re-parsing the
+    # full gzipped WET corpus plus the exceptAll divergence audit
     [
         "dedup_url_canonical_bucketed",
+        "source_wet_roundtrip",
     ],
 ]
 

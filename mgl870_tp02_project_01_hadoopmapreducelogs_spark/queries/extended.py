@@ -1299,6 +1299,78 @@ def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).crossJoin(divergent)
 
 
+def _wet_oracle() -> str:
+    """Assembled at registration from the shared URL_SQL derivation,
+    so the oracle's distinct-URI check can never drift from the
+    fixture the Spark side writes into WARC-Target-URI."""
+    from .textops import URL_SQL
+
+    return f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_records,
+           CAST(SUM(len(text)) AS BIGINT) AS total_chars,
+           CAST(count(DISTINCT {URL_SQL}) AS BIGINT) AS n_distinct_uri,
+           CAST(0 AS BIGINT) AS n_len_mismatch,
+           CAST(0 AS BIGINT) AS n_divergent_rows
+    FROM documents
+    """
+
+
+@register(
+    "source_wet_roundtrip",
+    _wet_oracle(),
+    doc="WARC/WET ingest (the Common Crawl wire format every real "
+    "100 TB web pipeline starts from — CCNet, C4, RefinedWeb, FineWeb; "
+    "beyond-reference: the reference's only sources are log files): "
+    "synthesize a gzipped WET corpus from the documents table "
+    "(WARC/1.0 headers, Content-Length in BYTES per the spec, the "
+    "deterministic messy URL as WARC-Target-URI), read it back with "
+    "sources/warc.read_wet — records split JVM-side by the text "
+    "source's multi-char lineSep, headers parsed by codegen regex, no "
+    "RDD, no Python — and prove the roundtrip lossless. HARD oracle: "
+    "record count, total characters, and distinct-URI cardinality are "
+    "value-checked against DuckDB's independent parquet read (the URI "
+    "via the shared URL_SQL derivation), Content-Length framing "
+    "mismatches and row-level text divergence (exceptAll both ways on "
+    "(doc_id, text)) are asserted zero. Gzip framing, CRLF header "
+    "grammar, byte-vs-char length discipline, and the one-\\n writer/"
+    "reader contract are all on the hook. Scale shape: per-file gzip "
+    "=> one task per WET file, zero shuffle in the read; the audit "
+    "aggregates are partial-agg'd scalars.",
+)
+def source_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import warc
+    from .textops import messy_url
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    date = F.date_format(
+        F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id")),
+        "yyyy-MM-dd'T'HH:mm:ss'Z'",
+    )
+    recs = docs.select(
+        warc.wet_record(
+            F.col("doc_id"), messy_url(), date, F.col("text")
+        ).alias("record")
+    )
+    base = _scratch_dir("sg_wet")
+    warc.write_wet(recs, f"{base}/wet")
+    back = warc.read_wet(spark, f"{base}/wet")
+    by_id = back.select(F.col("record_id").alias("doc_id"), "text")
+    orig = docs.select("doc_id", "text")
+    div = (
+        by_id.exceptAll(orig)
+        .unionByName(orig.exceptAll(by_id))
+        .agg(F.count(F.lit(1)).alias("n_divergent_rows"))
+    )
+    return back.agg(
+        F.count(F.lit(1)).cast("long").alias("n_records"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+        F.countDistinct("uri").cast("long").alias("n_distinct_uri"),
+        F.sum(
+            (F.octet_length("text") != F.col("content_length")).cast("long")
+        ).alias("n_len_mismatch"),
+    ).crossJoin(div)
+
+
 @register(
     "s4_s5_sink_roundtrip",
     f"""

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
@@ -4306,14 +4306,12 @@ _CANON_SQL = (
 )
 
 
-def _url_canon_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, n_chars, canonical_url) — the canonicalized URL frame
-    shared by the shuffle-keyed entry and the bucketed-ingest twin."""
-    docs = load(spark, sf_dir, "documents").select(
-        "doc_id", "source", "n_chars"
-    )
+def messy_url() -> Column:
+    """The deterministic synthetic URL (the Spark twin of URL_SQL),
+    over `doc_id`/`source` input columns — shared by the URL-dedup
+    family and the WET-source roundtrip (its WARC-Target-URI)."""
     did = F.col("doc_id")
-    url = F.concat(
+    return F.concat(
         F.when(did % 3 == 0, F.lit("HTTP://")).otherwise(F.lit("https://")),
         F.when(did % 2 == 0, F.lit("www.")).otherwise(F.lit("")),
         F.when(did % 3 == 0, F.upper("source")).otherwise(F.col("source")),
@@ -4326,10 +4324,18 @@ def _url_canon_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.lit("")),
         F.when(did % 13 == 2, F.lit("#section-2")).otherwise(F.lit("")),
     )
+
+
+def _url_canon_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_chars, canonical_url) — the canonicalized URL frame
+    shared by the shuffle-keyed entry and the bucketed-ingest twin."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
     return docs.select(
         "doc_id",
         F.col("n_chars").cast("long").alias("n_chars"),
-        url_canonical(url).alias("canonical_url"),
+        url_canonical(messy_url()).alias("canonical_url"),
     )
 
 

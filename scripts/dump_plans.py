@@ -55,6 +55,11 @@ SINGLE_PART_OK = {
                                               # aggregate, partial_count
                                               # map-side then IdentityBroadcast
                                               # into the scorer — plan read r10
+    "source_wet_roundtrip": ("scalar", 2),    # two 1-row rollups (read-back
+                                              # stats + exceptAll divergence
+                                              # count), both partial-agg'd
+                                              # map-side — the
+                                              # source_jsonl_roundtrip shape
 }
 
 #: queries whose DISTRIBUTED work executes eagerly during construction

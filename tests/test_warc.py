@@ -1,0 +1,78 @@
+"""WARC/WET source invariants (sources/warc.py): record grammar
+round-trips byte-exactly through the gzipped text writer and the
+lineSep-split reader; Content-Length is authoritative BYTES; the
+context-free-split guard fires loudly. (Value parity of the registered
+roundtrip entry vs DuckDB is covered by the oracle gate.)"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mgl870_tp02_project_01_hadoopmapreducelogs_spark.sources import warc
+
+
+def _roundtrip(spark, rows, tmp_path, gzip=True):
+    docs = spark.createDataFrame(rows, "doc_id long, uri string, text string")
+    recs = docs.select(
+        warc.wet_record(
+            F.col("doc_id"), F.col("uri"), F.lit("2024-01-01T00:00:00Z"),
+            F.col("text"),
+        ).alias("record")
+    )
+    warc.write_wet(recs, str(tmp_path / "wet"), n_files=2, gzip=gzip)
+    return warc.read_wet(spark, str(tmp_path / "wet"))
+
+
+def test_wet_roundtrip_edge_contents(spark, tmp_path):
+    """Texts that stress the framing contract: empty, trailing
+    newline(s), internal blank lines (\\r\\n\\r\\n inside content),
+    multi-byte UTF-8 (byte Content-Length != char length) — all must
+    come back byte-identical with a consistent Content-Length."""
+    rows = [
+        (1, "http://a", "plain text"),
+        (2, "http://b", ""),                          # empty content
+        (3, "http://c", "ends with newline\n"),       # writer adds ONE more
+        (4, "http://d", "two\n\ntrailing\n\n"),       # \n\n tail survives
+        (5, "http://e", "internal\r\n\r\nblank line"),  # header-lookalike
+        (6, "http://f", "café ☃ multibyte"),  # bytes > chars
+    ]
+    back = _roundtrip(spark, rows, tmp_path)
+    got = {r.record_id: r for r in back.collect()}
+    assert set(got) == {r[0] for r in rows}
+    for doc_id, uri, text in rows:
+        r = got[doc_id]
+        assert r.text == text, (doc_id, repr(r.text))
+        assert r.uri == uri
+        assert r.content_length == len(text.encode("utf-8"))
+        assert r.warc_date == "2024-01-01T00:00:00Z"
+
+
+def test_wet_plain_text_and_gzip_read_identically(spark, tmp_path):
+    rows = [(i, f"http://u/{i}", f"doc {i} body\nsecond line") for i in range(20)]
+    gz = _roundtrip(spark, rows, tmp_path / "gz", gzip=True)
+    plain = _roundtrip(spark, rows, tmp_path / "plain", gzip=False)
+    assert sorted(map(tuple, gz.collect())) == sorted(map(tuple, plain.collect()))
+    assert gz.count() == 20
+
+
+def test_wet_writer_guard_refuses_marker_in_content(spark, tmp_path):
+    """A content body containing the record-start marker would split
+    mid-record under the context-free lineSep reader — the writer must
+    refuse it loudly (per-row assert), never corrupt the stream."""
+    rows = [(1, "http://a", "evil body mentions WARC/1.0 inline")]
+    with pytest.raises(Exception, match="record-start marker"):
+        _roundtrip(spark, rows, tmp_path)
+
+
+def test_wet_reader_plan_stays_jvm_side(spark, tmp_path):
+    """The reader must be scan + codegen projections: no Python
+    boundary, no shuffle — at Common Crawl scale parallelism is file
+    count and the read has no network phase."""
+    from mgl870_tp02_project_01_hadoopmapreducelogs_spark.plans import (
+        plan_report,
+    )
+
+    rows = [(i, f"http://u/{i}", "body") for i in range(5)]
+    back = _roundtrip(spark, rows, tmp_path)
+    rep = plan_report(back)
+    assert not rep["has_python_udf"]
+    assert rep["n_exchanges"] == 0
