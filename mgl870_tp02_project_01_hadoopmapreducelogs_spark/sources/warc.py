@@ -21,9 +21,12 @@ Caveat (documented, guarded): lineSep splitting is context-free, so a
 record whose CONTENT contains the literal ``WARC/1.0`` would be split
 mid-record. Real WET text extracts essentially never contain it, and
 ``write_wet`` refuses such rows loudly (``F.assert_true``) rather than
-corrupting the stream; a byte-offset scanner driven by Content-Length
-(mapPartitions over the raw stream) is the escape hatch if a corpus
-ever needs it.
+corrupting the stream. ``read_wet_scanned`` is the robust escape
+hatch: a Content-Length-driven byte scanner over whole files
+(binaryFile source + mapInPandas) that parses ANY content, marker
+included — the slow-but-correct path for hostile corpora; the two
+readers are proven equivalent on guard-passing corpora in
+tests/test_warc.py.
 """
 
 from __future__ import annotations
@@ -144,4 +147,72 @@ def read_wet(spark: SparkSession, path: str) -> DataFrame:
             .alias("content_length"),
             content.alias("text"),
         )
+    )
+
+
+def read_wet_scanned(spark: SparkSession, path: str) -> DataFrame:
+    """Content-Length-driven WET scanner — the robust reader for
+    corpora whose content may contain the record-start marker (which
+    the context-free ``read_wet`` splitter cannot handle and
+    ``write_wet`` refuses to produce).
+
+    Reads whole files via the ``binaryFile`` source (one row per
+    file — the natural unit for per-file gzip anyway) and walks each
+    byte stream in Arrow-batched Python: find the next ``WARC/1.0``
+    at a record boundary, parse headers up to the blank line, then
+    consume exactly ``Content-Length`` BYTES of content — the spec's
+    authoritative framing, immune to content lookalikes. Same output
+    schema as ``read_wet``. This is the slow path by design (Python
+    per file, not codegen per record); parallelism is still file
+    count, zero shuffle.
+    """
+    import gzip as _gzip
+    import re as _re
+
+    header_re = _re.compile(rb"\r\n\r\n", _re.DOTALL)
+
+    def parse_files(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in WET_COLUMNS}
+            for blob, fname in zip(pdf["content"], pdf["path"]):
+                data = bytes(blob)
+                if fname.endswith(".gz"):
+                    data = _gzip.decompress(data)
+                pos = 0
+                marker = WARC_VERSION.encode()
+                while True:
+                    start = data.find(marker, pos)
+                    if start < 0:
+                        break
+                    m = header_re.search(data, start)
+                    if m is None:
+                        break
+                    head = data[start : m.start()].decode(
+                        "utf-8", errors="replace"
+                    )
+
+                    def grab(pat: str) -> str:
+                        g = _re.search(pat, head)
+                        return g.group(1) if g else ""
+
+                    clen = int(grab(r"Content-Length: (\d+)") or 0)
+                    content = data[m.end() : m.end() + clen]
+                    rid = grab(r"WARC-Record-ID: <urn:uuid:doc-(\d+)>")
+                    out["record_id"].append(int(rid) if rid else None)
+                    out["uri"].append(grab(r"WARC-Target-URI: (\S+)"))
+                    out["warc_date"].append(grab(r"WARC-Date: (\S+)"))
+                    out["content_length"].append(clen)
+                    out["text"].append(content.decode("utf-8"))
+                    # skip past the content so a marker INSIDE it can
+                    # never start a phantom record
+                    pos = m.end() + clen
+            yield pd.DataFrame(out)
+
+    files = spark.read.format("binaryFile").load(f"{path}/*.txt*")
+    return files.select("path", "content").mapInPandas(
+        parse_files,
+        "record_id long, uri string, warc_date string, "
+        "content_length long, text string",
     )

@@ -76,3 +76,56 @@ def test_wet_reader_plan_stays_jvm_side(spark, tmp_path):
     rep = plan_report(back)
     assert not rep["has_python_udf"]
     assert rep["n_exchanges"] == 0
+
+
+def test_wet_scanner_matches_linesep_reader(spark, tmp_path):
+    """The Content-Length scanner and the lineSep splitter must parse
+    a guard-passing corpus identically — same records, same framing."""
+    rows = [
+        (1, "http://a", "plain"),
+        (2, "http://b", ""),
+        (3, "http://c", "multi\nline\n\nwith blanks\n"),
+        (4, "http://d", "café ☃"),
+    ]
+    fast = _roundtrip(spark, rows, tmp_path)
+    scanned = warc.read_wet_scanned(spark, str(tmp_path / "wet"))
+    assert sorted(map(tuple, fast.collect())) == sorted(
+        map(tuple, scanned.collect())
+    )
+
+
+def test_wet_scanner_handles_marker_in_content(spark, tmp_path):
+    """The robustness case the fast reader cannot express: content
+    containing the record-start marker parses correctly under the
+    Content-Length scanner because the spec's byte count — not a
+    context-free split — frames each record. (Record built by hand;
+    write_wet's guard rightly refuses to produce such a stream.)"""
+    body = "this body quotes WARC/1.0 and\nWARC/1.0 again"
+    rec = (
+        "WARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        "WARC-Record-ID: <urn:uuid:doc-7>\r\n"
+        "WARC-Target-URI: http://hostile\r\n"
+        "WARC-Date: 2024-01-01T00:00:00Z\r\n"
+        f"Content-Length: {len(body.encode())}\r\n\r\n"
+        f"{body}"
+    )
+    tail = (
+        "WARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        "WARC-Record-ID: <urn:uuid:doc-8>\r\n"
+        "WARC-Target-URI: http://after\r\n"
+        "WARC-Date: 2024-01-01T00:00:00Z\r\n"
+        "Content-Length: 2\r\n\r\n"
+        "ok"
+    )
+    d = tmp_path / "wet"
+    d.mkdir()
+    (d / "part-0.txt").write_text(rec + "\n" + tail + "\n")
+    got = {
+        r.record_id: r
+        for r in warc.read_wet_scanned(spark, str(d)).collect()
+    }
+    assert set(got) == {7, 8}
+    assert got[7].text == body
+    assert got[8].text == "ok" and got[8].uri == "http://after"
