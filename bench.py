@@ -265,6 +265,9 @@ KEY_QUERIES = [
     "pipeline_fineweb_funnel",
     "text_distinct_diversity_approx",
     "streaming_minhash_dedup_fast",
+    # round-10 newcomers (round-over-round visibility from birth)
+    "dedup_url_canonical_bucketed",
+    "source_wet_roundtrip",
 ]
 
 

@@ -1002,3 +1002,26 @@ def test_filter_agreement_rates_are_consistent(spark):
         assert r.joint_keep_rate <= r.clf_keep_rate + 1e-9
         assert r.joint_keep_rate <= r.heuristic_keep_rate + 1e-9
         assert r.ccnet_bucket in ("head", "middle", "tail")
+
+
+def test_url_canonicalizer_is_idempotent(spark):
+    """canonical(canonical(u)) == canonical(u) over the full fixture
+    URL space — the property that makes re-running the hygiene pass
+    over already-cleaned URLs a no-op (safe pipeline re-entry)."""
+    from mgl870_tp02_project_01_hadoopmapreducelogs_spark.queries.textops import (
+        messy_url,
+        url_canonical,
+    )
+    from mgl870_tp02_project_01_hadoopmapreducelogs_spark.queries import load
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "source")
+    once = url_canonical(messy_url())
+    n_changed = (
+        docs.select(
+            (url_canonical(once) != once).cast("int").alias("changed")
+        )
+        .agg(F.sum("changed").alias("n"))
+        .collect()[0]
+        .n
+    )
+    assert n_changed == 0

@@ -129,3 +129,33 @@ def test_wet_scanner_handles_marker_in_content(spark, tmp_path):
     assert set(got) == {7, 8}
     assert got[7].text == body
     assert got[8].text == "ok" and got[8].uri == "http://after"
+
+
+def test_wet_roundtrip_fuzz_corpus(spark, tmp_path):
+    """Seeded fuzz: 200 adversarial-ish texts (mixed unicode planes,
+    CR/LF runs, header-lookalike lines, long newline tails) must
+    round-trip byte-exactly through BOTH readers. Deterministic
+    generator — failures reproduce."""
+    import random
+
+    rng = random.Random(20261016)
+    alphabet = [
+        "a", "b", " ", "\n", "\r\n", "\t", "é", "☃", "字",
+        "Content-Length: 99", "WARC-Target-URI: http://fake",
+        "\n\n", ":", "<", ">",
+    ]
+    rows = []
+    for i in range(200):
+        n = rng.randrange(0, 40)
+        text = "".join(rng.choice(alphabet) for _ in range(n))
+        rows.append((i, f"http://fuzz/{i}", text))
+    fast = {r.record_id: r for r in _roundtrip(spark, rows, tmp_path).collect()}
+    scanned = {
+        r.record_id: r
+        for r in warc.read_wet_scanned(spark, str(tmp_path / "wet")).collect()
+    }
+    assert set(fast) == set(scanned) == {r[0] for r in rows}
+    for doc_id, _, text in rows:
+        assert fast[doc_id].text == text, (doc_id, repr(text))
+        assert scanned[doc_id].text == text, (doc_id, repr(text))
+        assert fast[doc_id].content_length == len(text.encode("utf-8"))
