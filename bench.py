@@ -221,10 +221,15 @@ CHUNKS = [
     # write (the ingest cost a deployment pays once, amortized over
     # every later query); its aggregate itself plans zero Exchange.
     # The WET roundtrip's time includes writing AND re-parsing the
-    # full gzipped WET corpus plus the exceptAll divergence audit
+    # full gzipped WET corpus plus the exceptAll divergence audit.
+    # suffix-repeats is the exact (hash-free) prefix-doubling ladder —
+    # log2(16)=4 rounds of integer-keyed join+agg+join, by design the
+    # heaviest per-byte entry in the dedup family (the fingerprint
+    # screen dedup_exact_substring is the corpus-wide fast path)
     [
         "dedup_url_canonical_bucketed",
         "source_wet_roundtrip",
+        "dedup_suffix_repeats",
     ],
 ]
 
@@ -268,6 +273,7 @@ KEY_QUERIES = [
     # round-10 newcomers (round-over-round visibility from birth)
     "dedup_url_canonical_bucketed",
     "source_wet_roundtrip",
+    "dedup_suffix_repeats",
 ]
 
 

@@ -144,15 +144,18 @@ from . import (  # noqa: E402,F401
 # r6-stale cohort (latest driver evidence 4 rounds old at r10): 16
 # TPC-H shapes, the join/setop/grouping tails, the BPE family,
 # streaming r6 residents, and the mining/source stragglers — after
-# this window no registry entry's evidence is older than r7; (d) one
-# rows-only raw (sim_pq_topk, also the bench-oscillation resident
-# getting a fresh 100x probe this round) — the other 8 rows-only raws
-# were re-confirmed r8 and are due r11, where the r7 cohort also
-# rotates in.
+# this window no registry entry's evidence is older than r7. The
+# suffix-repeats newcomer (added after the r6 cohort was pinned)
+# takes the window's one rows-only slot: sim_pq_topk's re-confirm
+# moves to r11 with the other 8 raws (all r8-stamped; its fresh
+# 100x clean-probe reading this round is already recorded in
+# SCALE_NOTES, which is the stronger evidence for an oscillation
+# resident — the driver's rows-only check adds no hash).
 _PRIORITY = [
     # --- round-10 window ---
     # (a) round-10 newcomers
     "dedup_url_canonical_bucketed", "source_wet_roundtrip",
+    "dedup_suffix_repeats",
     # (b) code changed this round (diag columns; shared-helper refactor)
     "streaming_minhash_dedup_fast", "text_ccnet_buckets_approx",
     "text_distinct_diversity_approx", "dedup_url_canonical",
@@ -178,16 +181,15 @@ _PRIORITY = [
     "streaming_drain_invariants", "streaming_static_enrichment",
     "streaming_stream_stream_join", "streaming_dedup_exact",
     "sim_triplet_mining", "sim_mmr_topk",
-    # (d) rows-only re-confirmation (the other 8 raws due r11)
-    "sim_pq_topk",
     # --- driver window ends at 50 entries. Rotation queue for round
     # 11: text_kn_bigram_perplexity FIRST (yielded its r10 slot to the
-    # WET newcomer after an output-identical refactor), then the r7
-    # cohort whole as it turns 4 rounds old (mining family
-    # t1a/t1b/t2/t3/t4, f1-f6, s1/s4/w2, tpch q1/q3/q6, pipelines,
-    # text_* round-7 wave, embedding-dedup + semdedup family, recall
-    # companions, ml_model/rf/pca/anomaly quality) plus the remaining
-    # 8 rows-only raws (re-confirmed r8), then the r8 cohort at 3
+    # WET newcomer after an output-identical refactor), then ALL 9
+    # rows-only raws (r8-stamped; sim_pq_topk yielded its r10 slot to
+    # the suffix-repeats newcomer), then the r7 cohort whole as it
+    # turns 4 rounds old (mining family t1a/t1b/t2/t3/t4, f1-f6,
+    # s1/s4/w2, tpch q1/q3/q6, pipelines, text_* round-7 wave,
+    # embedding-dedup + semdedup family, recall companions,
+    # ml_model/rf/pca/anomaly quality), then the r8 cohort at 3
     # rounds old.
 ]
 

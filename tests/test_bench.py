@@ -43,7 +43,10 @@ ROWS_ONLY_REGISTRY = {
 #: getting a fresh same-code 100x probe this round); the other eight
 #: raws were re-confirmed in round 8 and rotate in at r11 with the r7
 #: cohort.
-ROWS_ONLY_WINDOW: set = {"sim_pq_topk"}
+ROWS_ONLY_WINDOW: set = set()  # all 9 raws rotate in r11; sim_pq_topk
+# yielded its r10 slot to the dedup_suffix_repeats newcomer (its fresh
+# 100x clean-probe reading is in SCALE_NOTES, stronger evidence than
+# the driver's rows-only count for an oscillation resident)
 
 
 def test_registry_entries_bind_their_own_functions():

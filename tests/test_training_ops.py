@@ -1025,3 +1025,149 @@ def test_url_canonicalizer_is_idempotent(spark):
         .n
     )
     assert n_changed == 0
+
+
+# --- dedup_suffix_repeats (prefix-doubling suffix-rank ladder) -----------------
+
+
+def test_suffix_repeats_planted_spans_exact(spark, tmp_path):
+    """Planted spans come back at EXACT (start, length) resolution:
+    a 23-token run shared by two docs is reported as one 23-token
+    span in each (arbitrary length, not a 16-multiple); a 15-token
+    shared run is below the window and invisible; a doc made of two
+    copies of a 20-token run reports both copies."""
+    common23 = " ".join(f"c{i}" for i in range(23))
+    share15 = " ".join(f"s{i}" for i in range(15))
+    rep20 = " ".join(f"r{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (1, common23),
+            (2, " ".join(f"u{i}" for i in range(10)) + " " + common23),
+            (3, share15 + " " + " ".join(f"v{i}" for i in range(6))),
+            (4, " ".join(f"w{i}" for i in range(5)) + " " + share15),
+            (5, rep20 + " " + rep20),
+        ],
+        "doc_id long, text string",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    spans = {
+        (r.doc_id, r.span_start, r.span_len)
+        for r in REGISTRY["dedup_suffix_repeats"]
+        .run(spark, str(tmp_path))
+        .collect()
+    }
+    assert spans == {
+        (1, 1, 23),
+        (2, 11, 23),
+        (5, 1, 20),
+        (5, 21, 20),
+    }
+
+
+def test_suffix_repeats_matches_bruteforce_ngram_islands(spark, tmp_path):
+    """Ladder vs ground truth on a seeded random corpus with planted
+    duplications: the operator's spans must equal a pure-Python
+    16-gram count + island merge (the definition, computed the dumb
+    way). Random 16-gram collisions are made plausible by a tiny
+    vocabulary; planted copies guarantee non-trivial spans."""
+    import random
+
+    rng = random.Random(41)
+    vocab = [f"t{i}" for i in range(12)]
+    texts = {}
+    for d in range(1, 21):
+        texts[d] = [rng.choice(vocab) for _ in range(rng.randint(18, 70))]
+    # plant: doc 21 = doc 3's middle 30 tokens; doc 22 repeats doc 7
+    texts[3] = [rng.choice(vocab) for _ in range(50)]
+    texts[21] = texts[3][10:40]
+    texts[22] = texts[7] + texts[7]
+    docs = spark.createDataFrame(
+        [(d, " ".join(t)) for d, t in texts.items()],
+        "doc_id long, text string",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        (r.doc_id, r.span_start, r.span_len)
+        for r in REGISTRY["dedup_suffix_repeats"]
+        .run(spark, str(tmp_path))
+        .collect()
+    }
+    K = 16
+    from collections import Counter
+
+    grams = Counter()
+    for t in texts.values():
+        for p in range(len(t) - K + 1):
+            grams[tuple(t[p : p + K])] += 1
+    expect = set()
+    for d, t in texts.items():
+        starts = [
+            p + 1
+            for p in range(len(t) - K + 1)
+            if grams[tuple(t[p : p + K])] > 1
+        ]
+        while starts:
+            s = starts[0]
+            e = s
+            while starts and starts[0] == e:
+                starts.pop(0)
+                e += 1
+            expect.add((d, s, e - 1 - s + K))
+    assert got == expect
+    assert any(r[0] == 21 for r in got)  # the planted copy surfaced
+
+
+def test_suffix_repeats_corpus_invariants(spark):
+    """Corpus run: every span is >= the 16-token window, inside its
+    document, and islands per doc are disjoint with a gap (two
+    adjacent duplicated gram-starts would have merged)."""
+    rows = REGISTRY["dedup_suffix_repeats"].run(spark, SF_DIR).collect()
+    from mgl870_tp02_project_01_hadoopmapreducelogs_spark.queries import load
+    from mgl870_tp02_project_01_hadoopmapreducelogs_spark.queries.textops import (
+        SA_MIN_LEN,
+    )
+
+    ntok = {
+        r.doc_id: r.n
+        for r in load(spark, SF_DIR, "documents")
+        .select(
+            "doc_id",
+            F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+                "n"
+            ),
+        )
+        .collect()
+    }
+    assert rows, "sf0.001 corpus contains planted duplicates"
+    per_doc: dict[int, list] = {}
+    for r in rows:
+        assert r.span_len >= SA_MIN_LEN
+        assert 1 <= r.span_start
+        assert r.span_start + r.span_len - 1 <= ntok[r.doc_id]
+        per_doc.setdefault(r.doc_id, []).append(r)
+    for spans in per_doc.values():
+        spans.sort(key=lambda r: r.span_start)
+        for a, b in zip(spans, spans[1:]):
+            # consecutive islands: next gram-start is >= 2 past the
+            # previous island's last gram-start
+            assert b.span_start > a.span_start + (a.span_len - SA_MIN_LEN) + 1
+
+
+def test_suffix_repeats_guard_rejects_oversized_doc_id(spark, tmp_path):
+    """The gid-packing guard fails loudly (assert_true) instead of
+    silently aliasing positions into a neighboring document when
+    doc_id outgrows the 62-SA_POS_BITS headroom."""
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    # doc_cap is 2^42 at SA_POS_BITS=20; 2^42 is over the cap but its
+    # packed gid (2^62) still fits a long, so ANSI overflow can't mask
+    # the guard — the assert itself must fire
+    big = 1 << 42
+    docs = spark.createDataFrame(
+        [(big, " ".join(f"g{i}" for i in range(20)))],
+        "doc_id long, text string",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    with pytest.raises(SparkRuntimeException, match="SA_POS_BITS"):
+        REGISTRY["dedup_suffix_repeats"].run(spark, str(tmp_path)).collect()
