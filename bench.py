@@ -230,6 +230,7 @@ CHUNKS = [
         "dedup_url_canonical_bucketed",
         "source_wet_roundtrip",
         "dedup_suffix_repeats",
+        "layout_zorder_pruning",
     ],
 ]
 
@@ -274,6 +275,7 @@ KEY_QUERIES = [
     "dedup_url_canonical_bucketed",
     "source_wet_roundtrip",
     "dedup_suffix_repeats",
+    "layout_zorder_pruning",
 ]
 
 

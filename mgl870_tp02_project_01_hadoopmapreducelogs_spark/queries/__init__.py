@@ -155,10 +155,15 @@ _PRIORITY = [
     # --- round-10 window ---
     # (a) round-10 newcomers
     "dedup_url_canonical_bucketed", "source_wet_roundtrip",
-    "dedup_suffix_repeats",
-    # (b) code changed this round (diag columns; shared-helper refactor)
+    "dedup_suffix_repeats", "layout_zorder_pruning",
+    # (b) code changed this round (diag columns). dedup_url_canonical
+    # yielded its slot to the layout newcomer on the same grounds as
+    # text_kn_bigram_perplexity: its change is an output-identical
+    # shared-helper refactor (oracle hash-green at HEAD) and its
+    # bucketed twin IN the window runs the same canonicalizer +
+    # keeper aggregate against the same oracle; it re-samples r11
     "streaming_minhash_dedup_fast", "text_ccnet_buckets_approx",
-    "text_distinct_diversity_approx", "dedup_url_canonical",
+    "text_distinct_diversity_approx",
     # (c) the full r6-stale cohort
     "tpch_q4_order_priority", "tpch_q7_nation_volume",
     "tpch_q9_product_profit", "tpch_q10_returned_items",
@@ -182,9 +187,10 @@ _PRIORITY = [
     "streaming_stream_stream_join", "streaming_dedup_exact",
     "sim_triplet_mining", "sim_mmr_topk",
     # --- driver window ends at 50 entries. Rotation queue for round
-    # 11: text_kn_bigram_perplexity FIRST (yielded its r10 slot to the
-    # WET newcomer after an output-identical refactor), then ALL 9
-    # rows-only raws (r8-stamped; sim_pq_topk yielded its r10 slot to
+    # 11: text_kn_bigram_perplexity and dedup_url_canonical FIRST
+    # (both yielded r10 slots to newcomers after output-identical
+    # refactors), then ALL 9 rows-only raws (r8-stamped; sim_pq_topk
+    # yielded its r10 slot to
     # the suffix-repeats newcomer), then the r7 cohort whole as it
     # turns 4 rounds old (mining family t1a/t1b/t2/t3/t4, f1-f6,
     # s1/s4/w2, tpch q1/q3/q6, pipelines, text_* round-7 wave,

@@ -1519,3 +1519,205 @@ def tpch_q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+# --- data-layout clustering: Z-order vs linear vs unsorted pruning ------------
+
+#: z-points per z-cell: cell = z >> Z_CELL_SHIFT — 16x16 (x,y) blocks
+Z_CELL_SHIFT = 8
+#: pseudo-random cell grid for the unsorted baseline layout
+U_CELLS = 1024
+#: target rows per packed file (cell-aligned, see operators/layout.py)
+ZQ_RPF = 256
+#: super-cell width for the two-level distributed prefix sum
+ZQ_SUP_SHIFT = 6
+#: the fixed box query all three layouts are probed with: ~3 months of
+#: shipdate x the small-quantity band (the TPC-H Q17 flavor) — the y
+#: domain (l_quantity, 1..50) is scale-INVARIANT, so the geometry of
+#: the demo does not drift as the corpus grows
+ZQ_XLO, ZQ_XHI, ZQ_YLO, ZQ_YHI = 790, 881, 1, 10
+
+#: x (shipdate day since 1995-01-01, clamped to 16 bits) per engine —
+#: same value, two dialects
+_ZX_SPARK = (
+    "least(greatest(datediff(cast(l_shipdate as date), "
+    "date'1995-01-01'), 0), 65535)"
+)
+_ZX_DUCK = (
+    "least(greatest(datediff('day', DATE '1995-01-01', "
+    "CAST(l_shipdate AS DATE)), 0), 65535)"
+)
+#: y: quantity is an integral-valued double in TPC-H data
+_ZY = "cast(l_quantity as int)"
+
+from ..operators.layout import morton_sql as _morton_sql  # noqa: E402
+
+
+@register(
+    "layout_zorder_pruning",
+    rf"""
+    WITH base AS (
+        SELECT l_orderkey, {_ZX_DUCK} AS x, {_ZY} AS y FROM lineitem
+    ),
+    zc AS (
+        SELECT l_orderkey, x, y, ({_morton_sql('x', 'y')}) AS z
+        FROM base
+    ),
+    pts AS (
+        SELECT 'zorder' AS layout, z >> {Z_CELL_SHIFT} AS cell, x, y
+        FROM zc
+        UNION ALL
+        SELECT 'linear', x, x, y FROM zc
+        UNION ALL
+        SELECT 'unsorted', l_orderkey % {U_CELLS}, x, y FROM zc
+    ),
+    hist AS (
+        SELECT layout, cell, count(*) AS cnt
+        FROM pts GROUP BY layout, cell
+    ),
+    filemap AS (
+        SELECT layout, cell,
+               CAST(floor(COALESCE(SUM(cnt) OVER (
+                        PARTITION BY layout ORDER BY cell
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0)
+                    / {ZQ_RPF}) AS BIGINT) AS file
+        FROM hist
+    ),
+    per_file AS (
+        SELECT p.layout, f.file, count(*) AS n,
+               min(x) AS min_x, max(x) AS max_x,
+               min(y) AS min_y, max(y) AS max_y,
+               sum(CASE WHEN x BETWEEN {ZQ_XLO} AND {ZQ_XHI}
+                         AND y BETWEEN {ZQ_YLO} AND {ZQ_YHI}
+                        THEN 1 ELSE 0 END) AS m
+        FROM pts p JOIN filemap f
+          ON p.layout = f.layout AND p.cell = f.cell
+        GROUP BY p.layout, f.file
+    )
+    SELECT layout,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(CASE WHEN NOT (max_x < {ZQ_XLO} OR min_x > {ZQ_XHI}
+                                OR max_y < {ZQ_YLO} OR min_y > {ZQ_YHI})
+                         THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+           CAST(sum(CASE WHEN NOT (max_x < {ZQ_XLO} OR min_x > {ZQ_XHI}
+                                OR max_y < {ZQ_YLO} OR min_y > {ZQ_YHI})
+                         THEN n ELSE 0 END) AS BIGINT) AS rows_scanned,
+           CAST(sum(m) AS BIGINT) AS rows_matching
+    FROM per_file GROUP BY layout
+    """,
+    doc="Data-LAYOUT clustering audit (the Delta/Iceberg OPTIMIZE "
+    "ZORDER effect, computed rather than asserted): pack lineitem "
+    "into ~equal-size files under three layouts — Morton/Z-order on "
+    "(shipdate day, quantity), a linear shipdate sort, and an "
+    "unsorted hash baseline — then, from per-file min/max column "
+    "stats (what parquet footers carry), count how many files and "
+    "rows a fixed 2-D box query (a quarter of shipdate x the "
+    "small-quantity band, the TPC-H Q17 flavor) must scan under "
+    "each. File packing is the honest OPTIMIZE semantics: cells of "
+    "the layout's sort order are cut into files of a target row "
+    "count by `operators/layout.pack_cells_into_files`, a TWO-LEVEL "
+    "distributed prefix sum (running sum within (layout, super-cell) "
+    "in parallel + a super-cell offset over the grid-bounded totals "
+    "table) — no unbounded single-partition window anywhere, and "
+    "every layout gets the same file-size budget, so the comparison "
+    "is granularity-fair at every scale. rows_matching is "
+    "layout-invariant (same predicate), pinning that stats pruning "
+    "never loses a matching row; pytest pins the strict ordering "
+    "zorder < linear < unsorted on rows_scanned at sf0.01 (the "
+    "Morton curve gives every file a tight bounding box in BOTH "
+    "dimensions; the linear sort is blind to quantity). The y "
+    "dimension (quantity, 1..50) is scale-invariant so the demo's "
+    "geometry holds from sf0.001 through the 100x corpus. "
+    "All-integer output, no rounding — hash-exact. The 32-term "
+    "Morton expression is whole-stage codegen, generated by "
+    "`operators/layout.morton_sql` and interpolated into BOTH the "
+    "Spark plan and this oracle from the one generator (BIGINT-"
+    "widened: the top term is a << 31, which wraps negative in "
+    "32-bit arithmetic); x and y are materialized as columns first "
+    "(never re-evaluated inside the expansion). Spark shape: one scan, one "
+    "explode into the three (layout, cell) assignments, one "
+    "partial-agg'd histogram, the two bounded prefix-sum windows, a "
+    "broadcast of the grid-bounded (cell -> file) map back onto the "
+    "rows, one (layout, file) aggregate, one 3-row rollup — no "
+    "unbounded sort, no single-partition exchange. At 100 TB the "
+    "write side is repartitionByRange(z) + sortWithinPartitions(z) "
+    "at ingest (the sources/bucketing.py motion); this entry is the "
+    "read-side evidence that the layout pays. Reference has no "
+    "analogue (single-machine pandas never prunes I/O).",
+)
+def layout_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.layout import pack_cells_into_files
+
+    base = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.expr(_ZX_SPARK).alias("x"),
+        F.expr(_ZY).alias("y"),
+    )
+    zc = base.select(
+        "l_orderkey",
+        "x",
+        "y",
+        F.expr(_morton_sql("x", "y")).cast("long").alias("z"),
+    )
+    in_box = (
+        F.col("x").between(ZQ_XLO, ZQ_XHI)
+        & F.col("y").between(ZQ_YLO, ZQ_YHI)
+    ).cast("long")
+    pts = zc.select(
+        "x",
+        "y",
+        in_box.alias("m"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("zorder").alias("layout"),
+                    F.shiftright("z", Z_CELL_SHIFT)
+                    .cast("long")
+                    .alias("cell"),
+                ),
+                F.struct(
+                    F.lit("linear").alias("layout"),
+                    F.col("x").cast("long").alias("cell"),
+                ),
+                F.struct(
+                    F.lit("unsorted").alias("layout"),
+                    (F.col("l_orderkey") % U_CELLS)
+                    .cast("long")
+                    .alias("cell"),
+                ),
+            )
+        ).alias("lc"),
+    ).select("x", "y", "m", "lc.layout", "lc.cell")
+    hist = pts.groupBy("layout", "cell").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    filemap = pack_cells_into_files(hist, ZQ_RPF, ZQ_SUP_SHIFT)
+    per_file = (
+        pts.join(F.broadcast(filemap), ["layout", "cell"])
+        .groupBy("layout", "file")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+            F.sum("m").alias("m"),
+        )
+    )
+    scanned = ~(
+        (F.col("max_x") < ZQ_XLO)
+        | (F.col("min_x") > ZQ_XHI)
+        | (F.col("max_y") < ZQ_YLO)
+        | (F.col("min_y") > ZQ_YHI)
+    )
+    return per_file.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum(F.when(scanned, 1).otherwise(0))
+        .cast("long")
+        .alias("files_scanned"),
+        F.sum(F.when(scanned, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("rows_scanned"),
+        F.sum("m").cast("long").alias("rows_matching"),
+    )
