@@ -231,6 +231,7 @@ CHUNKS = [
         "source_wet_roundtrip",
         "dedup_suffix_repeats",
         "layout_zorder_pruning",
+        "streaming_wet_ingest",
     ],
 ]
 
@@ -276,6 +277,7 @@ KEY_QUERIES = [
     "source_wet_roundtrip",
     "dedup_suffix_repeats",
     "layout_zorder_pruning",
+    "streaming_wet_ingest",
 ]
 
 

@@ -187,7 +187,12 @@ _PRIORITY = [
     "streaming_stream_stream_join", "streaming_dedup_exact",
     "sim_triplet_mining", "sim_mmr_topk",
     # --- driver window ends at 50 entries. Rotation queue for round
-    # 11: text_kn_bigram_perplexity and dedup_url_canonical FIRST
+    # 11: streaming_wet_ingest FIRST (the one r10 newcomer the 50-cap
+    # could not admit — defensible because its oracle and audit are
+    # byte-identical to source_wet_roundtrip, which IS in the window,
+    # and the streaming-only delta is pinned by
+    # tests/test_warc.py::test_wet_stream_read_equals_batch_read),
+    # then text_kn_bigram_perplexity and dedup_url_canonical
     # (both yielded r10 slots to newcomers after output-identical
     # refactors), then ALL 9 rows-only raws (r8-stamped; sim_pq_topk
     # yielded its r10 slot to

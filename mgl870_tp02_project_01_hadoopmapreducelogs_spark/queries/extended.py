@@ -1339,6 +1339,15 @@ def _wet_oracle() -> str:
 )
 def source_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import warc
+
+    docs, path = _write_wet_corpus(spark, sf_dir, "sg_wet")
+    return _wet_audit(docs, warc.read_wet(spark, path))
+
+
+def _write_wet_corpus(spark: SparkSession, sf_dir: str, tag: str):
+    """Shared WET fixture: synthesize and write the gzipped corpus
+    from the documents table; returns (docs, wet_path)."""
+    from ..sources import warc
     from .textops import messy_url
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
@@ -1351,9 +1360,14 @@ def source_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id"), messy_url(), date, F.col("text")
         ).alias("record")
     )
-    base = _scratch_dir("sg_wet")
+    base = _scratch_dir(tag)
     warc.write_wet(recs, f"{base}/wet")
-    back = warc.read_wet(spark, f"{base}/wet")
+    return docs, f"{base}/wet"
+
+
+def _wet_audit(docs: DataFrame, back: DataFrame) -> DataFrame:
+    """Shared losslessness audit: framing + row-level divergence of a
+    parsed WET read-back vs the originating documents."""
     by_id = back.select(F.col("record_id").alias("doc_id"), "text")
     orig = docs.select("doc_id", "text")
     div = (
@@ -1369,6 +1383,39 @@ def source_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.octet_length("text") != F.col("content_length")).cast("long")
         ).alias("n_len_mismatch"),
     ).crossJoin(div)
+
+
+@register(
+    "streaming_wet_ingest",
+    _wet_oracle(),
+    doc="Streaming WET ingest — the continuous-ingest twin of "
+    "source_wet_roundtrip (real crawls LAND over time; a 100 TB "
+    "pipeline tails the bucket rather than re-listing it): the same "
+    "gzipped WET corpus is read back through a Structured Streaming "
+    "file source (sources/warc.read_wet_stream — the identical "
+    "lineSep split + codegen parse via the SHARED parse_wet_records, "
+    "so batch and stream cannot drift; maxFilesPerTrigger=2 forces "
+    "multiple micro-batches over the 8-file corpus), appended to a "
+    "memory sink, then audited with the SAME losslessness checks and "
+    "the SAME hard oracle as the batch entry: record count, total "
+    "chars, distinct-URI cardinality value-checked vs DuckDB, "
+    "Content-Length framing mismatches and row-level divergence "
+    "asserted zero. Proves exactly-once file-source semantics on top "
+    "of the parse (a dropped or doubled micro-batch breaks the "
+    "count/divergence hash). Scale shape: the file source checkpoints "
+    "seen-file state; per-file gzip keeps one task per file, zero "
+    "shuffle in the parse, and the audit aggregates are partial-agg'd "
+    "scalars over the landed table.",
+)
+def streaming_wet_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import warc
+    from ..streaming.mining_stream import run_to_memory
+
+    docs, path = _write_wet_corpus(spark, sf_dir, "sg_wet_stream")
+    landed = run_to_memory(
+        warc.read_wet_stream(spark, path), "wet_ingest", mode="append"
+    )
+    return _wet_audit(docs, landed)
 
 
 @register(

@@ -111,7 +111,32 @@ def read_wet(spark: SparkSession, path: str) -> DataFrame:
     ``content_length`` is the header's byte count, NOT recomputed —
     compare with ``octet_length(text)`` downstream to audit framing.
     """
-    raw = spark.read.option("lineSep", WARC_VERSION).text(path)
+    return parse_wet_records(
+        spark.read.option("lineSep", WARC_VERSION).text(path)
+    )
+
+
+def read_wet_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 2
+) -> DataFrame:
+    """Streaming twin of ``read_wet``: a Structured Streaming file
+    source over a WET directory — the continuous-ingest shape for
+    corpora that land as crawls complete. Same lineSep record split,
+    same codegen parse (``parse_wet_records`` is shared code, so the
+    two readers cannot drift), one micro-batch per
+    ``max_files_per_trigger`` files. Per-file gzip keeps one task per
+    file and zero shuffle, exactly like the batch reader."""
+    raw = (
+        spark.readStream.option("lineSep", WARC_VERSION)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .text(path)
+    )
+    return parse_wet_records(raw)
+
+
+def parse_wet_records(raw: DataFrame) -> DataFrame:
+    """The shared record parse over a lineSep(``WARC/1.0``)-split
+    text scan — batch and streaming readers both delegate here."""
     # the split leaves an empty fragment before each file's first
     # record; real records begin with the \r\n that followed the marker
     rec = raw.filter(F.length("value") > 0)

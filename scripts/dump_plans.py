@@ -60,6 +60,13 @@ SINGLE_PART_OK = {
                                               # count), both partial-agg'd
                                               # map-side — the
                                               # source_jsonl_roundtrip shape
+    "streaming_wet_ingest": ("scalar", 2),    # the SAME two audit rollups as
+                                              # source_wet_roundtrip (shared
+                                              # _wet_audit), here over the
+                                              # streamed memory table — plan
+                                              # read r10, exactly 2
+                                              # SinglePartition ENSURE_
+                                              # REQUIREMENTS finals
 }
 
 #: queries whose DISTRIBUTED work executes eagerly during construction

@@ -159,3 +159,34 @@ def test_wet_roundtrip_fuzz_corpus(spark, tmp_path):
         assert fast[doc_id].text == text, (doc_id, repr(text))
         assert scanned[doc_id].text == text, (doc_id, repr(text))
         assert fast[doc_id].content_length == len(text.encode("utf-8"))
+
+
+def test_wet_stream_read_equals_batch_read(spark, tmp_path):
+    """The streaming reader lands exactly the batch reader's record
+    set (shared parse, exactly-once file source), and actually runs
+    as MULTIPLE micro-batches (maxFilesPerTrigger=1 over a 2-file
+    corpus) — a dropped or doubled batch breaks the set equality."""
+    rows = [
+        (i, f"http://u/{i}", f"doc {i} body\nwith ☃ and a tail\n")
+        for i in range(30)
+    ]
+    batch = _roundtrip(spark, rows, tmp_path)
+    stream = warc.read_wet_stream(
+        spark, str(tmp_path / "wet"), max_files_per_trigger=1
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_wet_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n_batches = q.lastProgress["batchId"] + 1
+    finally:
+        q.stop()
+    landed = spark.table("t_wet_stream")
+    assert n_batches >= 2, "one file per trigger over 2 files"
+    assert sorted(map(tuple, landed.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
