@@ -232,6 +232,7 @@ CHUNKS = [
         "dedup_suffix_repeats",
         "layout_zorder_pruning",
         "streaming_wet_ingest",
+        "corpus_shard_manifest",
     ],
 ]
 
@@ -278,6 +279,7 @@ KEY_QUERIES = [
     "dedup_suffix_repeats",
     "layout_zorder_pruning",
     "streaming_wet_ingest",
+    "corpus_shard_manifest",
 ]
 
 

@@ -187,8 +187,11 @@ _PRIORITY = [
     "streaming_stream_stream_join", "streaming_dedup_exact",
     "sim_triplet_mining", "sim_mmr_topk",
     # --- driver window ends at 50 entries. Rotation queue for round
-    # 11: streaming_wet_ingest FIRST (the one r10 newcomer the 50-cap
-    # could not admit — defensible because its oracle and audit are
+    # 11: streaming_wet_ingest and corpus_shard_manifest FIRST (the
+    # r10 newcomers the 50-cap could not admit; the manifest's packer
+    # is the same pack_cells_into_files the in-window
+    # layout_zorder_pruning exercises against the same prefix-sum
+    # oracle shape, and its laws are pinned in tests/test_layout.py) — defensible because its oracle and audit are
     # byte-identical to source_wet_roundtrip, which IS in the window,
     # and the streaming-only delta is pinned by
     # tests/test_warc.py::test_wet_stream_read_equals_batch_read),

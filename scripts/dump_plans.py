@@ -67,6 +67,16 @@ SINGLE_PART_OK = {
                                               # read r10, exactly 2
                                               # SinglePartition ENSURE_
                                               # REQUIREMENTS finals
+    "corpus_shard_manifest": ("pack-l2", 1),  # the packer's LEVEL-2 prefix-
+                                              # sum window: partitionBy(layout)
+                                              # folds to SinglePartition when
+                                              # there is one literal layout,
+                                              # but it windows the SUPER-CELL
+                                              # TOTALS table only — n_docs >>
+                                              # SHARD_SUP_SHIFT rows (1 row at
+                                              # test scale, ~10k at 10B docs),
+                                              # bounded by the shift knob, not
+                                              # the data — plan read r10
 }
 
 #: queries whose DISTRIBUTED work executes eagerly during construction
@@ -141,7 +151,9 @@ def main() -> None:
             "(documented extension points only); exch = Exchange count; "
             "1part = a SinglePartition exchange exists: '!' = unexplained "
             "(review!), 'cat-sort' = audited bounded catalog-sized sort, "
-            "'scalar' = audited partial-agg'd scalar aggregate (both "
+            "'scalar' = audited partial-agg'd scalar aggregate, "
+            "'pack-l2' = audited level-2 prefix-sum window over a "
+            "shift-bounded super-cell totals table (all "
             "scale-safe — see SCALE_NOTES.md).\n\n"
             "| query | bcast | push | pagg | topk | py | exch | 1part |\n"
             "|---|---|---|---|---|---|---|---|\n"

@@ -115,3 +115,35 @@ def test_zorder_pruning_ordering_holds(spark):
     # equal file-size budget: the packer gave all layouts the same
     # file count at this scale (cells smaller than the target size)
     assert z.n_files == lin.n_files == uns.n_files
+
+
+def test_shard_manifest_laws(spark):
+    """The training-shard manifest at sf0.01: shards partition the
+    corpus (token + doc conservation), id ranges are contiguous and
+    non-overlapping in shard order, and every shard except the last
+    lands within one document of the token target (the packer's
+    cell-aligned law applied to doc cells)."""
+    from mgl870_tp02_project_01_hadoopmapreducelogs_spark.queries.textops import (
+        SHARD_TOKENS,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    rows = sorted(
+        REGISTRY["corpus_shard_manifest"].run(spark, sf).collect(),
+        key=lambda r: r.shard_id,
+    )
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id",
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("n"),
+    )
+    tot = docs.agg(F.sum("n").alias("t"), F.count(F.lit(1)).alias("d")).collect()[0]
+    max_doc = docs.agg(F.max("n")).collect()[0][0]
+    assert [r.shard_id for r in rows] == list(range(len(rows)))
+    assert sum(r.n_tokens for r in rows) == tot.t
+    assert sum(r.n_docs for r in rows) == tot.d
+    assert len(rows) > 3, "sf0.01 must pack into multiple shards"
+    for a, b in zip(rows, rows[1:]):
+        assert a.doc_hi < b.doc_lo  # contiguous, non-overlapping
+    for r in rows[:-1]:
+        assert SHARD_TOKENS - max_doc < r.n_tokens < SHARD_TOKENS + max_doc
+        assert r.n_docs >= 1
