@@ -233,6 +233,7 @@ CHUNKS = [
         "layout_zorder_pruning",
         "streaming_wet_ingest",
         "corpus_shard_manifest",
+        "text_heavy_hitters_cms",
     ],
 ]
 
@@ -280,6 +281,7 @@ KEY_QUERIES = [
     "layout_zorder_pruning",
     "streaming_wet_ingest",
     "corpus_shard_manifest",
+    "text_heavy_hitters_cms",
 ]
 
 

@@ -187,7 +187,8 @@ _PRIORITY = [
     "streaming_stream_stream_join", "streaming_dedup_exact",
     "sim_triplet_mining", "sim_mmr_topk",
     # --- driver window ends at 50 entries. Rotation queue for round
-    # 11: streaming_wet_ingest and corpus_shard_manifest FIRST (the
+    # 11: streaming_wet_ingest, corpus_shard_manifest, and
+    # text_heavy_hitters_cms FIRST (the
     # r10 newcomers the 50-cap could not admit; the manifest's packer
     # is the same pack_cells_into_files the in-window
     # layout_zorder_pruning exercises against the same prefix-sum

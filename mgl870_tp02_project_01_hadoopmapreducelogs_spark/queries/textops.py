@@ -4963,3 +4963,132 @@ def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").cast("long").alias("doc_hi"),
         )
     )
+
+
+# --- count-min-sketch heavy hitters (measured contract) ------------------------
+
+#: CMS geometry: depth (independent md5-seeded hash rows) x width
+#: (3 hex digits = 4096 buckets). Sketch memory = D*W counters
+#: regardless of corpus size — the constant-memory heavy-hitter path.
+CMS_D = 4
+CMS_W = 4096
+#: heavy hitters reported
+HH_K = 20
+
+#: 3-hex-digit bucket of md5('c{i}|' || w) — DuckDB dialect (the
+#: _HEXPOS idiom with a seed prefix; identical value to Spark's
+#: conv(substr(md5(..),1,3),16,10))
+_CMS_B_DUCK = (
+    "((strpos('0123456789abcdef', substr(md5('c{i}|' || {w}), 1, 1)) - 1)"
+    " * 256"
+    " + (strpos('0123456789abcdef', substr(md5('c{i}|' || {w}), 2, 1)) - 1)"
+    " * 16"
+    " + (strpos('0123456789abcdef', substr(md5('c{i}|' || {w}), 3, 1)) - 1))"
+)
+
+
+def _cms_bucket(i: int, w) -> "F.Column":
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"c{i}|"), w)), 1, 3), 16, 10
+        )
+        .cast("int")
+    )
+
+
+@register(
+    "text_heavy_hitters_cms",
+    rf"""
+    WITH toks AS (
+        SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+        FROM documents
+    ),
+    exact AS (
+        SELECT w, count(*) AS cnt FROM toks GROUP BY w
+        ORDER BY cnt DESC, w LIMIT {HH_K}
+    ),
+    {', '.join(
+        f's{i} AS (SELECT ' + _CMS_B_DUCK.format(i=i, w='w')
+        + f' AS b, count(*) AS c FROM toks GROUP BY 1)'
+        for i in range(CMS_D)
+    )}
+    SELECT e.w AS token,
+           CAST(e.cnt AS BIGINT) AS exact_cnt,
+           CAST(least({', '.join(f'q{i}.c' for i in range(CMS_D))})
+                AS BIGINT) AS cms_est,
+           CAST(least({', '.join(f'q{i}.c' for i in range(CMS_D))})
+                - e.cnt AS BIGINT) AS overest,
+           least({', '.join(f'q{i}.c' for i in range(CMS_D))})
+                >= e.cnt AS never_under
+    FROM exact e
+    {' '.join(
+        f'JOIN s{i} q{i} ON q{i}.b = ' + _CMS_B_DUCK.format(i=i, w='e.w')
+        for i in range(CMS_D)
+    )}
+    """,
+    doc="Count-min-sketch heavy hitters as a MEASURED CONTRACT "
+    f"(Cormode-Muthukrishnan 2005): a {CMS_D}x{CMS_W} CMS — "
+    "md5-seeded rows, so Spark and DuckDB compute bit-identical "
+    "sketches — estimates the counts of the exact top-"
+    f"{HH_K} tokens, and the output carries the exact count, the "
+    "CMS estimate, the per-token overestimate as a NON-HASHED-away "
+    "diagnostic value (it IS hashed here — both engines compute the "
+    "identical integer — naming the error per token), and the CMS "
+    "one-sided guarantee (never underestimates) as a boolean the "
+    "oracle asserts per row. The sketch is the constant-memory "
+    "heavy-hitter path at 100 TB: D*W counters total, built by ONE "
+    "partial-agg'd (seed, bucket) aggregate over a 4-way per-token "
+    "explode — the sketch table is bounded by geometry (16k rows), "
+    "merges across shards by cell-wise addition, and the top-K "
+    "probe is a broadcast join of K rows against it. The exact "
+    "side (vocab-bounded groupBy + TakeOrdered) is the test-scale "
+    "audit, same pattern as approx_sketches' ground-truth columns. "
+    "Reference has no analogue (its counting is pandas "
+    "value_counts, process_logs_v9.py:231).",
+)
+def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = load(spark, sf_dir, "documents").select(
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("w")
+    )
+    exact = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "w")
+        .limit(HH_K)
+    )
+    # the sketch: one bounded (seed, bucket) aggregate over a 4-way
+    # explode — never a per-token state, mergeable across shards
+    cells = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("seed"),
+                        _cms_bucket(i, F.col("w")).alias("b"),
+                    )
+                    for i in range(CMS_D)
+                ]
+            )
+        ).alias("sb")
+    ).select("sb.seed", "sb.b")
+    sketch = cells.groupBy("seed", "b").agg(F.count(F.lit(1)).alias("c"))
+    # probe: K rows broadcast against the 16k-cell sketch, min over D
+    probe = exact
+    for i in range(CMS_D):
+        probe = probe.withColumn(f"b{i}", _cms_bucket(i, F.col("w")))
+    est = probe
+    for i in range(CMS_D):
+        s_i = sketch.filter(F.col("seed") == i).select(
+            F.col("b").alias(f"b{i}"), F.col("c").alias(f"c{i}")
+        )
+        est = est.join(s_i, f"b{i}")
+    cms = F.least(*[F.col(f"c{i}") for i in range(CMS_D)])
+    return est.select(
+        F.col("w").alias("token"),
+        F.col("cnt").cast("long").alias("exact_cnt"),
+        cms.cast("long").alias("cms_est"),
+        (cms - F.col("cnt")).cast("long").alias("overest"),
+        (cms >= F.col("cnt")).alias("never_under"),
+    )

@@ -1171,3 +1171,61 @@ def test_suffix_repeats_guard_rejects_oversized_doc_id(spark, tmp_path):
     docs.write.parquet(str(tmp_path / "documents.parquet"))
     with pytest.raises(SparkRuntimeException, match="SA_POS_BITS"):
         REGISTRY["dedup_suffix_repeats"].run(spark, str(tmp_path)).collect()
+
+
+# --- text_heavy_hitters_cms ----------------------------------------------------
+
+
+def test_cms_never_underestimates_any_token(spark):
+    """The CMS one-sided guarantee checked on the FULL vocabulary (the
+    registered entry only probes the top-K): for every distinct token
+    in the sf0.001 corpus, min over the D seeded rows >= the exact
+    count, and the mean overestimate stays within the E[extra] =
+    (n - cnt)/W collision bound's 3x band."""
+    from mgl870_tp02_project_01_hadoopmapreducelogs_spark.queries.textops import (
+        CMS_D,
+        CMS_W,
+        _cms_bucket,
+    )
+
+    toks = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("w")
+        )
+    )
+    exact = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    est = exact
+    for i in range(CMS_D):
+        s_i = (
+            toks.select(_cms_bucket(i, F.col("w")).alias(f"b{i}"))
+            .groupBy(f"b{i}")
+            .agg(F.count(F.lit(1)).alias(f"c{i}"))
+        )
+        est = est.withColumn(f"b{i}", _cms_bucket(i, F.col("w"))).join(
+            s_i, f"b{i}"
+        )
+    cms = F.least(*[F.col(f"c{i}") for i in range(CMS_D)])
+    rows = est.select("w", "cnt", cms.alias("est")).collect()
+    n = sum(r.cnt for r in rows)
+    assert rows and all(r.est >= r.cnt for r in rows)
+    mean_over = sum(r.est - r.cnt for r in rows) / len(rows)
+    assert mean_over <= 3 * n / CMS_W, (mean_over, n / CMS_W)
+
+
+def test_cms_contract_rows(spark):
+    """The registered entry: exactly K rows, all never_under, overest
+    == cms_est - exact_cnt, tokens distinct, exact counts
+    non-increasing in (cnt desc, token) order."""
+    from mgl870_tp02_project_01_hadoopmapreducelogs_spark.queries.textops import (
+        HH_K,
+    )
+
+    rows = REGISTRY["text_heavy_hitters_cms"].run(spark, SF_DIR).collect()
+    assert len(rows) == HH_K
+    assert len({r.token for r in rows}) == HH_K
+    for r in rows:
+        assert r.never_under
+        assert r.overest == r.cms_est - r.exact_cnt >= 0
