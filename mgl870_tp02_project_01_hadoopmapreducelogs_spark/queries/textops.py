@@ -2380,9 +2380,17 @@ def dedup_suffix_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
         # an unbounded-frame window min/count computes the min-gid
         # label AND the class size without the groupBy + join-back
         # pair (measured: 32.7s -> 9.7s at 10x, 118.6s -> 47.5s at
-        # 100x; plan: 7 -> 4 exchanges). Window partitions are
-        # duplicate-class sizes — bounded by corpus duplication,
-        # never a corpus-global partition.
+        # 100x; plan: 7 -> 4 exchanges). SKEW POSTURE (measured,
+        # deliberate): a window partition holds one duplicate class,
+        # and unlike a join AQE cannot split it — a 16-gram repeated
+        # 100M times would be one straggler task. That class
+        # multiplicity is capped BY CONSTRUCTION in this engine's
+        # pipelines (dedup_exact runs upstream of span discovery, so
+        # no two identical documents survive to feed the ladder); for
+        # adversarial corpora without that pass, swap this block for
+        # the groupBy(min,count) + AQE-skew-splittable join-back form
+        # — same outputs (verified 4600/4600 spans at 10x), measured
+        # 18.9s vs 9.7s at 10x (SCALE_NOTES round-10 wave 8).
         cur = (
             paired.select(
                 "gid",
