@@ -1229,3 +1229,40 @@ def test_cms_contract_rows(spark):
     for r in rows:
         assert r.never_under
         assert r.overest == r.cms_est - r.exact_cnt >= 0
+
+
+def test_suffix_repeats_boundary_lengths(spark, tmp_path):
+    """Window-boundary geometry: a shared run of EXACTLY 16 tokens is
+    one single-gram island (span_len == SA_MIN_LEN); a 17-token run
+    reports 17; two duplicated runs in one doc separated by a single
+    non-duplicated token stay two distinct islands."""
+    r16 = " ".join(f"a{i}" for i in range(16))
+    r17 = " ".join(f"b{i}" for i in range(17))
+    runx = " ".join(f"x{i}" for i in range(16))
+    runy = " ".join(f"y{i}" for i in range(16))
+    docs = spark.createDataFrame(
+        [
+            (1, r16),
+            (2, "pre0 pre1 " + r16),
+            (3, r17),
+            (4, r17 + " tail0 tail1"),
+            (5, runx + " gap " + runy),       # two islands, 1-token gap
+            (6, runx + " altgap " + runy),    # the duplicate partners
+        ],
+        "doc_id long, text string",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    spans = {
+        (r.doc_id, r.span_start, r.span_len)
+        for r in REGISTRY["dedup_suffix_repeats"]
+        .run(spark, str(tmp_path))
+        .collect()
+    }
+    assert spans == {
+        (1, 1, 16),
+        (2, 3, 16),
+        (3, 1, 17),
+        (4, 1, 17),
+        (5, 1, 16), (5, 18, 16),
+        (6, 1, 16), (6, 18, 16),
+    }
