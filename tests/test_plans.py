@@ -400,3 +400,53 @@ def test_filter_agreement_composition_plan(spark):
     assert not rep["has_python_udf"]
     simple = explain_str(df, "simple")
     assert simple.count("Window") <= 1, simple
+
+
+def test_suffix_ladder_final_segment_shape(spark):
+    """dedup_suffix_repeats: the explained segment (post-checkpoint)
+    must stay JVM-side and partial-agg'd, its only Window nodes are
+    the per-class min/count + the doc_id-partitioned island merge —
+    and NO corpus-global (SinglePartition) exchange anywhere."""
+    df = REGISTRY["dedup_suffix_repeats"].run(spark, SF_DIR)
+    rep = plan_report(df)
+    assert not rep["has_python_udf"]
+    assert rep["has_partial_agg"]
+    assert "SinglePartition" not in explain_str(df, "simple")
+
+
+def test_zorder_pruning_plan_shape(spark):
+    """layout_zorder_pruning claims: broadcast of the grid-bounded
+    (cell -> file) map, partial-agg'd histogram/per-file aggregates,
+    no Python, and NO SinglePartition exchange (the two-level prefix
+    sum partitions by (layout, super) and (layout), both multi-key
+    here)."""
+    df = REGISTRY["layout_zorder_pruning"].run(spark, SF_DIR)
+    rep = plan_report(df)
+    assert rep["has_broadcast_join"]
+    assert rep["has_partial_agg"]
+    assert not rep["has_python_udf"]
+    assert "SinglePartition" not in explain_str(df, "simple")
+
+
+def test_cms_sketch_is_partial_aggregated_jvm_side(spark):
+    """text_heavy_hitters_cms: the (seed, bucket) sketch build and the
+    exact top-K must both partial-agg (map-side combine collapses the
+    4-way explode to <= D*W cells per task), the top-K plans as
+    TakeOrdered, and nothing crosses into Python."""
+    df = REGISTRY["text_heavy_hitters_cms"].run(spark, SF_DIR)
+    rep = plan_report(df)
+    assert rep["has_partial_agg"]
+    assert rep["has_take_ordered"]
+    assert not rep["has_python_udf"]
+
+
+def test_shard_manifest_single_partition_is_totals_only(spark):
+    """corpus_shard_manifest: exactly ONE SinglePartition exchange may
+    exist (the packer's level-2 window over the shift-bounded
+    super-cell totals — the audited pack-l2), and the row-scaled side
+    stays partial-agg'd and JVM-side."""
+    df = REGISTRY["corpus_shard_manifest"].run(spark, SF_DIR)
+    rep = plan_report(df)
+    assert rep["has_partial_agg"]
+    assert not rep["has_python_udf"]
+    assert explain_str(df, "simple").count("SinglePartition") == 1
