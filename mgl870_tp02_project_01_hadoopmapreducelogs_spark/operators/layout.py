@@ -63,6 +63,11 @@ def pack_cells_into_files(
 
     Returns (layout, cell, file).
     """
+    # the histogram is consumed TWICE below (level-1 windows and the
+    # super-cell totals); it is grid/vocab-bounded by contract, so
+    # materialize it once rather than re-running the (potentially
+    # corpus-sized) upstream aggregate per consumer
+    hist = hist.localCheckpoint(eager=False)
     sup = F.shiftright("cell", super_shift).alias("super")
     h = hist.select("layout", "cell", "cnt", sup)
     w_intra = (
@@ -90,9 +95,8 @@ def pack_cells_into_files(
     return h.join(sup_off, ["layout", "super"]).select(
         "layout",
         "cell",
-        F.floor(
-            (F.col("intra") + F.col("sup_off")) / rows_per_file
-        )
+        # integer `div`, not double `/`+floor: exact past 2^53 rows
+        F.expr(f"(intra + sup_off) div {int(rows_per_file)}")
         .cast("long")
         .alias("file"),
     )

@@ -187,15 +187,18 @@ _PRIORITY = [
     "streaming_stream_stream_join", "streaming_dedup_exact",
     "sim_triplet_mining", "sim_mmr_topk",
     # --- driver window ends at 50 entries. Rotation queue for round
-    # 11: streaming_wet_ingest, corpus_shard_manifest, and
-    # text_heavy_hitters_cms FIRST (the
-    # r10 newcomers the 50-cap could not admit; the manifest's packer
-    # is the same pack_cells_into_files the in-window
-    # layout_zorder_pruning exercises against the same prefix-sum
-    # oracle shape, and its laws are pinned in tests/test_layout.py) — defensible because its oracle and audit are
-    # byte-identical to source_wet_roundtrip, which IS in the window,
-    # and the streaming-only delta is pinned by
+    # 11, in order: the three r10 newcomers the 50-cap could not
+    # admit — streaming_wet_ingest (deferral defensible: its oracle
+    # and audit are byte-identical to source_wet_roundtrip, which IS
+    # in the window, and the streaming-only delta is pinned by
     # tests/test_warc.py::test_wet_stream_read_equals_batch_read),
+    # corpus_shard_manifest (its packer is the same
+    # pack_cells_into_files the in-window layout_zorder_pruning
+    # exercises against the same prefix-sum oracle shape; laws pinned
+    # in tests/test_layout.py), and text_heavy_hitters_cms (its md5
+    # sketch arithmetic is hash-checked by the local gate every
+    # commit; guarantee pinned on the FULL vocab in
+    # tests/test_training_ops.py);
     # then text_kn_bigram_perplexity and dedup_url_canonical
     # (both yielded r10 slots to newcomers after output-identical
     # refactors), then ALL 9 rows-only raws (r8-stamped; sim_pq_topk

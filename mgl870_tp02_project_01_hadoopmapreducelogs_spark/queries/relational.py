@@ -1577,11 +1577,11 @@ from ..operators.layout import morton_sql as _morton_sql  # noqa: E402
     ),
     filemap AS (
         SELECT layout, cell,
-               CAST(floor(COALESCE(SUM(cnt) OVER (
+               CAST(COALESCE(SUM(cnt) OVER (
                         PARTITION BY layout ORDER BY cell
                         ROWS BETWEEN UNBOUNDED PRECEDING
                                  AND 1 PRECEDING), 0)
-                    / {ZQ_RPF}) AS BIGINT) AS file
+                    // {ZQ_RPF} AS BIGINT) AS file
         FROM hist
     ),
     per_file AS (
@@ -1635,12 +1635,15 @@ from ..operators.layout import morton_sql as _morton_sql  # noqa: E402
     "Spark plan and this oracle from the one generator (BIGINT-"
     "widened: the top term is a << 31, which wraps negative in "
     "32-bit arithmetic); x and y are materialized as columns first "
-    "(never re-evaluated inside the expansion). Spark shape: one scan, one "
-    "explode into the three (layout, cell) assignments, one "
-    "partial-agg'd histogram, the two bounded prefix-sum windows, a "
-    "broadcast of the grid-bounded (cell -> file) map back onto the "
-    "rows, one (layout, file) aggregate, one 3-row rollup — no "
-    "unbounded sort, no single-partition exchange. At 100 TB the "
+    "(never re-evaluated inside the expansion). Spark shape: two "
+    "passes over the pruned scan (the histogram build, then the "
+    "per-file stats aggregate — the packer checkpoints the "
+    "grid-bounded histogram so its two consumers never re-run the "
+    "corpus subtree), each with one explode into the three "
+    "(layout, cell) assignments; the two bounded prefix-sum "
+    "windows; a broadcast of the grid-bounded (cell -> file) map "
+    "back onto the rows; one (layout, file) aggregate; one 3-row "
+    "rollup — no unbounded sort, no single-partition exchange. At 100 TB the "
     "write side is repartitionByRange(z) + sortWithinPartitions(z) "
     "at ingest (the sources/bucketing.py motion); this entry is the "
     "read-side evidence that the layout pays. Reference has no "

@@ -821,7 +821,9 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: DuckDB md5-hex-digit arithmetic: value of hex digit ``i`` (1-based)
 #: of md5 of token column ``w`` — shared by the classifier and the
 #: DSIR LM-table bucketing below
-_HEXPOS = "strpos('0123456789abcdef', substr(md5(w), {i}, 1)) - 1"
+#: one md5 hex digit of {arg} as an int 0-15 — the shared DuckDB
+#: bucket-derivation primitive (Spark twin: conv(substr(md5(..))))
+_HEXPOS = "strpos('0123456789abcdef', substr(md5({arg}), {i}, 1)) - 1"
 
 #: hashed-unigram feature space of the shipped linear model (same md5
 #: 3-hex-digit bucketing as the DSIR LM tables — engine-exact)
@@ -858,9 +860,9 @@ _QW_SQL = (
     ),
     tb AS (
         SELECT doc_id,
-               ({_HEXPOS.format(i=1)}) * 256
-             + ({_HEXPOS.format(i=2)}) * 16
-             + ({_HEXPOS.format(i=3)}) AS b
+               ({_HEXPOS.format(arg='w', i=1)}) * 256
+             + ({_HEXPOS.format(arg='w', i=2)}) * 16
+             + ({_HEXPOS.format(arg='w', i=3)}) AS b
         FROM toks
     ),
     wh AS (
@@ -1941,9 +1943,9 @@ DSIR_TARGET_SQL = "lang = 'en'"
     ),
     tb AS (
         SELECT doc_id, lang,
-               ({_HEXPOS.format(i=1)}) * 256
-             + ({_HEXPOS.format(i=2)}) * 16
-             + ({_HEXPOS.format(i=3)}) AS b
+               ({_HEXPOS.format(arg='w', i=1)}) * 256
+             + ({_HEXPOS.format(arg='w', i=2)}) * 16
+             + ({_HEXPOS.format(arg='w', i=3)}) AS b
         FROM toks
     ),
     ct AS (
@@ -3460,9 +3462,9 @@ CCNET_B = 4096
     ),
     tb AS (
         SELECT doc_id, lang,
-               ({_HEXPOS.format(i=1)}) * 256
-             + ({_HEXPOS.format(i=2)}) * 16
-             + ({_HEXPOS.format(i=3)}) AS b
+               ({_HEXPOS.format(arg='w', i=1)}) * 256
+             + ({_HEXPOS.format(arg='w', i=2)}) * 16
+             + ({_HEXPOS.format(arg='w', i=3)}) AS b
         FROM toks
     ),
     lm AS (SELECT lang, b, count(*) AS c FROM tb GROUP BY lang, b),
@@ -4905,11 +4907,11 @@ SHARD_SUP_SHIFT = 20
     ),
     f AS (
         SELECT doc_id, n_tokens,
-               CAST(floor(COALESCE(SUM(n_tokens) OVER (
+               CAST(COALESCE(SUM(n_tokens) OVER (
                         ORDER BY doc_id
                         ROWS BETWEEN UNBOUNDED PRECEDING
                                  AND 1 PRECEDING), 0)
-                    / {SHARD_TOKENS}) AS BIGINT) AS shard_id
+                    // {SHARD_TOKENS} AS BIGINT) AS shard_id
         FROM d
     )
     SELECT shard_id,
@@ -4938,7 +4940,9 @@ SHARD_SUP_SHIFT = 20
     "exchange. Shard sizes land within one document of the target "
     "(the packer's cell-aligned law, pytest-pinned); token counts "
     "are the house lower/trim/split tokenization so the oracle is "
-    "integer-exact. Scale shape: one scan + one per-doc projection, "
+    "integer-exact. Scale shape: two passes over the 2-column "
+    "pruned scan (the per-doc token-count histogram — checkpointed "
+    "inside the packer — and the manifest join-back), "
     "the two bounded windows, one (shard) aggregate — no joins "
     "beyond the packer's bounded totals join, no corpus-global "
     "sort. Reference has no analogue (its outputs are single-file "
@@ -4983,16 +4987,18 @@ CMS_W = 4096
 #: heavy hitters reported
 HH_K = 20
 
-#: 3-hex-digit bucket of md5('c{i}|' || w) — DuckDB dialect (the
-#: _HEXPOS idiom with a seed prefix; identical value to Spark's
-#: conv(substr(md5(..),1,3),16,10))
-_CMS_B_DUCK = (
-    "((strpos('0123456789abcdef', substr(md5('c{i}|' || {w}), 1, 1)) - 1)"
-    " * 256"
-    " + (strpos('0123456789abcdef', substr(md5('c{i}|' || {w}), 2, 1)) - 1)"
-    " * 16"
-    " + (strpos('0123456789abcdef', substr(md5('c{i}|' || {w}), 3, 1)) - 1))"
-)
+#: 3-hex-digit bucket of md5('c{i}|' || w) — built from the shared
+#: _HEXPOS primitive (one definition of the md5-hex decode for every
+#: oracle; identical value to Spark's conv(substr(md5(..),1,3),16,10))
+
+
+def _cms_b_duck(i: int, w: str) -> str:
+    arg = f"'c{i}|' || {w}"
+    return (
+        "((" + _HEXPOS.format(arg=arg, i=1) + ") * 256"
+        " + (" + _HEXPOS.format(arg=arg, i=2) + ") * 16"
+        " + (" + _HEXPOS.format(arg=arg, i=3) + "))"
+    )
 
 
 def _cms_bucket(i: int, w) -> "F.Column":
@@ -5016,7 +5022,7 @@ def _cms_bucket(i: int, w) -> "F.Column":
         ORDER BY cnt DESC, w LIMIT {HH_K}
     ),
     {', '.join(
-        f's{i} AS (SELECT ' + _CMS_B_DUCK.format(i=i, w='w')
+        f's{i} AS (SELECT ' + _cms_b_duck(i, 'w')
         + f' AS b, count(*) AS c FROM toks GROUP BY 1)'
         for i in range(CMS_D)
     )}
@@ -5030,7 +5036,7 @@ def _cms_bucket(i: int, w) -> "F.Column":
                 >= e.cnt AS never_under
     FROM exact e
     {' '.join(
-        f'JOIN s{i} q{i} ON q{i}.b = ' + _CMS_B_DUCK.format(i=i, w='e.w')
+        f'JOIN s{i} q{i} ON q{i}.b = ' + _cms_b_duck(i, 'e.w')
         for i in range(CMS_D)
     )}
     """,
@@ -5048,7 +5054,10 @@ def _cms_bucket(i: int, w) -> "F.Column":
     "partial-agg'd (seed, bucket) aggregate over a 4-way per-token "
     "explode — the sketch table is bounded by geometry (16k rows), "
     "merges across shards by cell-wise addition, and the top-K "
-    "probe is a broadcast join of K rows against it. The exact "
+    "probe is ONE broadcast join of the K*D melted (token, seed, "
+    "bucket) rows against it with a min-over-seeds rollup (a "
+    "per-seed filter+join would rebuild the sketch subtree once per "
+    "seed — measured and rejected, see the in-code comment). The exact "
     "side (vocab-bounded groupBy + TakeOrdered) is the test-scale "
     "audit, same pattern as approx_sketches' ground-truth columns. "
     "Reference has no analogue (its counting is pandas "
@@ -5082,17 +5091,35 @@ def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sb")
     ).select("sb.seed", "sb.b")
     sketch = cells.groupBy("seed", "b").agg(F.count(F.lit(1)).alias("c"))
-    # probe: K rows broadcast against the 16k-cell sketch, min over D
-    probe = exact
-    for i in range(CMS_D):
-        probe = probe.withColumn(f"b{i}", _cms_bucket(i, F.col("w")))
-    est = probe
-    for i in range(CMS_D):
-        s_i = sketch.filter(F.col("seed") == i).select(
-            F.col("b").alias(f"b{i}"), F.col("c").alias(f"c{i}")
-        )
-        est = est.join(s_i, f"b{i}")
-    cms = F.least(*[F.col(f"c{i}") for i in range(CMS_D)])
+    # probe with ONE join: melt the K tokens into (w, cnt, seed, b)
+    # rows (K*D = 80 rows), hit the sketch once, min over seeds via a
+    # groupBy. A per-seed filter+join would push the seed predicate
+    # BELOW the sketch aggregate and rebuild the full corpus
+    # tokenize/explode once per seed (measured: 5 FileScans in the
+    # executed plan, ~4x the 100x cost) — this shape keeps exactly
+    # one sketch build and one exact-side scan.
+    probe = exact.select(
+        "w",
+        "cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("seed"),
+                        _cms_bucket(i, F.col("w")).alias("b"),
+                    )
+                    for i in range(CMS_D)
+                ]
+            )
+        ).alias("sb"),
+    ).select("w", "cnt", "sb.seed", "sb.b")
+    est = (
+        F.broadcast(probe)
+        .join(sketch, ["seed", "b"])
+        .groupBy("w", "cnt")
+        .agg(F.min("c").alias("cms"))
+    )
+    cms = F.col("cms")
     return est.select(
         F.col("w").alias("token"),
         F.col("cnt").cast("long").alias("exact_cnt"),

@@ -67,17 +67,15 @@ SINGLE_PART_OK = {
                                               # read r10, exactly 2
                                               # SinglePartition ENSURE_
                                               # REQUIREMENTS finals
-    "corpus_shard_manifest": ("pack-l2", 1),  # the packer's LEVEL-2 prefix-
-                                              # sum window: partitionBy(layout)
-                                              # folds to SinglePartition when
-                                              # there is one literal layout,
-                                              # but it windows the SUPER-CELL
-                                              # TOTALS table only — n_docs >>
-                                              # SHARD_SUP_SHIFT rows (1 row at
-                                              # test scale, ~10k at 10B docs),
-                                              # bounded by the shift knob, not
-                                              # the data — plan read r10
 }
+# (corpus_shard_manifest briefly carried a `pack-l2` SinglePartition
+# audit: with a single LITERAL layout, constant folding collapsed the
+# level-2 totals window to SinglePartition. The packer's histogram
+# localCheckpoint — added to stop the upstream corpus aggregate from
+# running twice — makes `layout` a real column, so the window now
+# plans as hashpartitioning(layout) over the shift-bounded totals
+# table and no SinglePartition exists; pinned in
+# tests/test_plans.py::test_shard_manifest_no_single_partition.)
 
 #: queries whose DISTRIBUTED work executes eagerly during construction
 #: (iterative trainers / greedy walks holding bounded driver state);
@@ -151,9 +149,7 @@ def main() -> None:
             "(documented extension points only); exch = Exchange count; "
             "1part = a SinglePartition exchange exists: '!' = unexplained "
             "(review!), 'cat-sort' = audited bounded catalog-sized sort, "
-            "'scalar' = audited partial-agg'd scalar aggregate, "
-            "'pack-l2' = audited level-2 prefix-sum window over a "
-            "shift-bounded super-cell totals table (all "
+            "'scalar' = audited partial-agg'd scalar aggregate (both "
             "scale-safe — see SCALE_NOTES.md).\n\n"
             "| query | bcast | push | pagg | topk | py | exch | 1part |\n"
             "|---|---|---|---|---|---|---|---|\n"

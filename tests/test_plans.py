@@ -440,13 +440,16 @@ def test_cms_sketch_is_partial_aggregated_jvm_side(spark):
     assert not rep["has_python_udf"]
 
 
-def test_shard_manifest_single_partition_is_totals_only(spark):
-    """corpus_shard_manifest: exactly ONE SinglePartition exchange may
-    exist (the packer's level-2 window over the shift-bounded
-    super-cell totals — the audited pack-l2), and the row-scaled side
-    stays partial-agg'd and JVM-side."""
+def test_shard_manifest_no_single_partition(spark):
+    """corpus_shard_manifest: no SinglePartition exchange at all. The
+    packer's histogram checkpoint makes `layout` a real column (not a
+    foldable literal), so the level-2 totals window plans as an
+    ordinary hashpartitioning(layout) exchange over the shift-bounded
+    totals table; the row-scaled side stays partial-agg'd, JVM-side,
+    and joins the grid-bounded file map by broadcast."""
     df = REGISTRY["corpus_shard_manifest"].run(spark, SF_DIR)
     rep = plan_report(df)
     assert rep["has_partial_agg"]
     assert not rep["has_python_udf"]
-    assert explain_str(df, "simple").count("SinglePartition") == 1
+    assert rep["has_broadcast_join"]
+    assert "SinglePartition" not in explain_str(df, "simple")
