@@ -234,6 +234,7 @@ CHUNKS = [
         "streaming_wet_ingest",
         "corpus_shard_manifest",
         "text_heavy_hitters_cms",
+        "text_contamination_overlap",
     ],
 ]
 
@@ -282,6 +283,7 @@ KEY_QUERIES = [
     "streaming_wet_ingest",
     "corpus_shard_manifest",
     "text_heavy_hitters_cms",
+    "text_contamination_overlap",
 ]
 
 

@@ -198,7 +198,10 @@ _PRIORITY = [
     # in tests/test_layout.py), and text_heavy_hitters_cms (its md5
     # sketch arithmetic is hash-checked by the local gate every
     # commit; guarantee pinned on the FULL vocab in
-    # tests/test_training_ops.py);
+    # tests/test_training_ops.py), and text_contamination_overlap
+    # (planted-fraction pytest; its oracle tests the same
+    # fingerprint-vs-string equivalence the in-window suffix ladder
+    # and dedup_exact_substring already carry driver evidence for);
     # then text_kn_bigram_perplexity and dedup_url_canonical
     # (both yielded r10 slots to newcomers after output-identical
     # refactors), then ALL 9 rows-only raws (r8-stamped; sim_pq_topk

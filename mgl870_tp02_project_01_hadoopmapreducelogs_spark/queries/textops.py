@@ -5127,3 +5127,124 @@ def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         (cms - F.col("cnt")).cast("long").alias("overest"),
         (cms >= F.col("cnt")).alias("never_under"),
     )
+
+
+# --- contamination OVERLAP fraction (thresholded decontamination) --------------
+
+#: n-gram width for the overlap-fraction rule (wider than the binary
+#: check's 3-gram shingles: the fraction is meant to measure SPAN
+#: overlap, not vocabulary coincidence)
+CONTAM_N = 8
+#: drop threshold: a doc whose distinct-8-gram overlap with the
+#: benchmark reaches this fraction is flagged (the Llama/GPT-family
+#: decontamination shape: threshold a high-order-n-gram overlap RATE,
+#: not any-hit)
+CONTAM_FRAC = 0.5
+
+
+@register(
+    "text_contamination_overlap",
+    rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        FROM documents
+    ),
+    g AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(t[p:p+{CONTAM_N}-1], ' ') AS gram
+        FROM (
+            SELECT doc_id, t,
+                   unnest(generate_series(1, len(t) - {CONTAM_N} + 1)) AS p
+            FROM toks WHERE len(t) >= {CONTAM_N}
+        )
+    ),
+    bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+    hits AS (
+        SELECT c.doc_id,
+               count(*) AS n_grams,
+               count(b.gram) AS n_hit
+        FROM g c LEFT JOIN bench b ON c.gram = b.gram
+        WHERE c.doc_id % 50 != 0
+        GROUP BY c.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_hit AS BIGINT) AS n_hit,
+           ROUND(n_hit / CAST(n_grams AS DOUBLE), 4) AS overlap_frac,
+           n_hit >= {CONTAM_FRAC} * n_grams AS contaminated
+    FROM hits
+    """,
+    doc="Benchmark decontamination by OVERLAP FRACTION (the "
+    "production rule the binary text_contamination_check "
+    "approximates): per corpus document, the fraction of its "
+    f"distinct {CONTAM_N}-grams that appear anywhere in the held-out "
+    "benchmark (doc_id % 50 = 0 stands in), flagged when the rate "
+    f"reaches {CONTAM_FRAC} — any-hit flags vocabulary coincidence; "
+    "the thresholded high-order rate flags true span-level leakage "
+    "(exact copies score 1.0, clean docs ~0). The threshold compare "
+    "is exact integer arithmetic (n_hit >= frac * n_grams with a "
+    "dyadic constant), immune to ROUND boundaries. Spark side "
+    f"fingerprints each {CONTAM_N}-gram as xxhash64 over the "
+    "token-hash slice (the dedup_exact_substring idiom — gram "
+    "strings never materialize or shuffle); the DuckDB oracle "
+    "groups raw gram strings, so the fingerprint equivalence "
+    "classes are themselves under test. Scale shape: distinct "
+    "(doc, fp) partial-aggs map-side; the benchmark gram set is "
+    "benchmark-sized -> broadcast left join; one per-doc rollup. "
+    "Reference has no analogue.",
+)
+def text_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d2 = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("t"),
+        )
+        .select("doc_id", F.size("t").alias("n"), "t")
+        .filter(F.col("n") >= CONTAM_N)
+    )
+    # token hashes materialized FIRST: an inline transform inside the
+    # sequence lambda would re-run per window position — the O(tokens²)
+    # HOF re-evaluation trap (SCALE_NOTES, measured 6x on shingling)
+    th = d2.select(
+        "doc_id",
+        "n",
+        F.expr("transform(t, tok -> xxhash64(tok))").alias("th"),
+    )
+    g = (
+        th.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, n - {CONTAM_N} + 1),"
+                    f" i -> xxhash64(slice(th, i, {CONTAM_N})))"
+                )
+            ).alias("fp"),
+        )
+        .distinct()
+    )
+    bench = (
+        g.filter(F.col("doc_id") % 50 == 0).select("fp").distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    hits = (
+        g.filter(F.col("doc_id") % 50 != 0)
+        .join(F.broadcast(bench), "fp", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"),
+        )
+    )
+    return hits.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_hit").cast("long").alias("n_hit"),
+        F.round(
+            F.col("n_hit") / F.col("n_grams").cast("double"), 4
+        ).alias("overlap_frac"),
+        (F.col("n_hit") >= CONTAM_FRAC * F.col("n_grams")).alias(
+            "contaminated"
+        ),
+    )

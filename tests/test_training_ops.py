@@ -1266,3 +1266,37 @@ def test_suffix_repeats_boundary_lengths(spark, tmp_path):
         (5, 1, 16), (5, 18, 16),
         (6, 1, 16), (6, 18, 16),
     }
+
+
+def test_contamination_overlap_planted_fractions(spark, tmp_path):
+    """Thresholded decontamination: an exact copy of a benchmark doc
+    scores overlap 1.0 and is flagged; a doc that embeds half the
+    benchmark text scores an intermediate fraction below the 0.5
+    threshold only if its unique half dilutes enough; a fully unique
+    doc scores 0.0 and passes. doc_id % 50 == 0 marks the benchmark."""
+    bench_text = " ".join(f"b{i}" for i in range(40))
+    half = " ".join(f"b{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (50, bench_text),                                  # benchmark
+            (1, bench_text),                                   # exact copy
+            (2, half + " " + " ".join(f"u{i}" for i in range(30))),
+            (3, " ".join(f"v{i}" for i in range(40))),         # clean
+        ],
+        "doc_id long, text string",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.doc_id: r
+        for r in REGISTRY["text_contamination_overlap"]
+        .run(spark, str(tmp_path))
+        .collect()
+    }
+    assert set(out) == {1, 2, 3}  # the benchmark doc itself is excluded
+    assert out[1].overlap_frac == 1.0 and out[1].contaminated
+    # doc 2: 43 distinct 8-gram starts, hits = windows inside b0..b19
+    # (13 of them: starts 1..13); 13/43 < 0.5 -> measured, not flagged
+    assert out[2].n_hit == 13 and out[2].n_grams == 43
+    assert not out[2].contaminated and 0 < out[2].overlap_frac < 0.5
+    assert out[3].n_hit == 0 and out[3].overlap_frac == 0.0
+    assert not out[3].contaminated
