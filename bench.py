@@ -235,6 +235,7 @@ CHUNKS = [
         "corpus_shard_manifest",
         "text_heavy_hitters_cms",
         "text_contamination_overlap",
+        "pipeline_wet_curation",
     ],
 ]
 
@@ -284,6 +285,7 @@ KEY_QUERIES = [
     "corpus_shard_manifest",
     "text_heavy_hitters_cms",
     "text_contamination_overlap",
+    "pipeline_wet_curation",
 ]
 
 

@@ -201,7 +201,11 @@ _PRIORITY = [
     # tests/test_training_ops.py), and text_contamination_overlap
     # (planted-fraction pytest; its oracle tests the same
     # fingerprint-vs-string equivalence the in-window suffix ladder
-    # and dedup_exact_substring already carry driver evidence for);
+    # and dedup_exact_substring already carry driver evidence for),
+    # and pipeline_wet_curation (composes ONLY already-driver-green
+    # or in-window stages — WET parse, qf gate, URL dedup, exact
+    # dedup — through their shared SQL fragments; funnel law pinned
+    # in tests/test_warc.py);
     # then text_kn_bigram_perplexity and dedup_url_canonical
     # (both yielded r10 slots to newcomers after output-identical
     # refactors), then ALL 9 rows-only raws (r8-stamped; sim_pq_topk

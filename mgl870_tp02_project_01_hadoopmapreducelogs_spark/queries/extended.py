@@ -1916,3 +1916,146 @@ def dq_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "psi_contrib"
         ),
     )
+
+
+# --- end-to-end crawl curation: WET ingest -> hygiene funnel --------------------
+
+
+def _wet_curation_oracle() -> str:
+    from .textops import _CANON_SQL, NORM_SQL, QF_KEEP_SQL, URL_SQL
+
+    return f"""
+    WITH ingest AS (
+        SELECT doc_id, text, {URL_SQL} AS url FROM documents
+    ),
+    canon AS (
+        SELECT doc_id, text, {_CANON_SQL} AS cu FROM ingest
+    ),
+    hosts AS (
+        SELECT doc_id, text, cu,
+               CASE WHEN strpos(cu, '/') > 0
+                    THEN substr(cu, 1, strpos(cu, '/') - 1)
+                    ELSE cu END AS host
+        FROM canon
+    ),
+    q AS (SELECT * FROM hosts WHERE {QF_KEEP_SQL}),
+    k AS (
+        SELECT doc_id, text, host FROM (
+            SELECT doc_id, text, host,
+                   row_number() OVER (PARTITION BY cu
+                       ORDER BY length(text) DESC, doc_id) AS rn
+            FROM q) WHERE rn = 1
+    ),
+    f AS (
+        SELECT host FROM (
+            SELECT host,
+                   row_number() OVER (PARTITION BY md5({NORM_SQL})
+                       ORDER BY doc_id) AS rn2
+            FROM k) WHERE rn2 = 1
+    ),
+    c0 AS (SELECT host, count(*) AS n_ingested FROM hosts GROUP BY host),
+    c1 AS (SELECT host, count(*) AS n_quality FROM q GROUP BY host),
+    c2 AS (SELECT host, count(*) AS n_url_unique FROM k GROUP BY host),
+    c3 AS (SELECT host, count(*) AS n_final FROM f GROUP BY host)
+    SELECT c0.host,
+           CAST(n_ingested AS BIGINT) AS n_ingested,
+           CAST(COALESCE(n_quality, 0) AS BIGINT) AS n_quality,
+           CAST(COALESCE(n_url_unique, 0) AS BIGINT) AS n_url_unique,
+           CAST(COALESCE(n_final, 0) AS BIGINT) AS n_final
+    FROM c0 LEFT JOIN c1 USING (host) LEFT JOIN c2 USING (host)
+            LEFT JOIN c3 USING (host)
+    """
+
+
+@register(
+    "pipeline_wet_curation",
+    _wet_curation_oracle(),
+    doc="End-to-end FROM-CRAWL curation: the corpus is written as a "
+    "gzipped WET crawl and everything downstream consumes ONLY what "
+    "the wire format carries (record id, WARC-Target-URI, text) — "
+    "the pipeline a real Common Crawl deployment runs: parse "
+    "(sources/warc.read_wet, lineSep split + codegen headers) -> "
+    "quality gate (the shared 3-clause qf_keep heuristic) -> "
+    "URL-level dedup (shared url_canonical + keep-longest per "
+    "canonical URL) -> exact content dedup (md5 of normalized text, "
+    "min-id keeper) -> per-HOST survival funnel (ingested / quality "
+    "/ url-unique / final). The DuckDB oracle runs the same four "
+    "stages from the documents table through the SAME shared SQL "
+    "fragments (URL_SQL fixture, _CANON_SQL, QF_KEEP_SQL, NORM_SQL "
+    "fingerprints), so the hash simultaneously proves the WET "
+    "roundtrip lossless UNDER the full curation stack and the four "
+    "stage implementations composition-stable. Scale shape: the WET "
+    "read is one task per gzipped file with zero shuffle; the gate "
+    "is a codegen filter; URL and exact dedup are single keyed "
+    "aggregates (MIN(struct) keepers, no windows, no joins on the "
+    "corpus side); the per-host rollups are partial-agg'd and the "
+    "host-keyed stage joins broadcast (hosts are web-scale bounded "
+    "relative to docs). Beyond-reference: composes the round-10 "
+    "ingest rung with the hygiene stack in one oracle-checked plan.",
+)
+def pipeline_wet_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as TX
+    from ..sources import warc
+    from .textops import qf_keep, url_canonical
+
+    _, path = _write_wet_corpus(spark, sf_dir, "sg_wet_cur")
+    back = warc.read_wet(spark, path)
+    hosts = back.select(
+        F.col("record_id").alias("doc_id"),
+        "text",
+        url_canonical(F.col("uri")).alias("cu"),
+    ).withColumn("host", F.substring_index(F.col("cu"), "/", 1)).cache()
+    q = hosts.filter(qf_keep(F.col("text")))
+    # URL keeper: longest text, smallest id — carried via MIN(struct)
+    k = (
+        q.groupBy("cu")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.length("text")).alias("neg_len"),
+                    F.col("doc_id").alias("doc_id"),
+                    F.col("host").alias("host"),
+                    F.col("text").alias("text"),
+                )
+            ).alias("s")
+        )
+        .select("s.doc_id", "s.host", "s.text")
+    )
+    f = (
+        k.select("host", "doc_id", TX.fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("doc_id").alias("doc_id"),
+                    F.col("host").alias("host"),
+                )
+            ).alias("s")
+        )
+        .select("s.host")
+    )
+    c0 = hosts.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ingested")
+    )
+    c1 = q.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_quality")
+    )
+    c2 = k.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_url_unique")
+    )
+    c3 = f.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_final")
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        c0.join(F.broadcast(c1), "host", "left")
+        .join(F.broadcast(c2), "host", "left")
+        .join(F.broadcast(c3), "host", "left")
+        .select(
+            "host",
+            "n_ingested",
+            F.coalesce("n_quality", zero).alias("n_quality"),
+            F.coalesce("n_url_unique", zero).alias("n_url_unique"),
+            F.coalesce("n_final", zero).alias("n_final"),
+        )
+    )

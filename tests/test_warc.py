@@ -190,3 +190,23 @@ def test_wet_stream_read_equals_batch_read(spark, tmp_path):
     assert sorted(map(tuple, landed.collect())) == sorted(
         map(tuple, batch.collect())
     )
+
+
+def test_wet_curation_funnel_monotone(spark):
+    """Per-host funnel law: ingested >= quality >= url-unique >=
+    final (a host can lose docs to another host's exact-dup keeper
+    but never gain), totals conserve the corpus at ingest, and at
+    least one stage strictly filters somewhere (non-vacuous)."""
+    from mgl870_tp02_project_01_hadoopmapreducelogs_spark.queries import (
+        REGISTRY,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["pipeline_wet_curation"].run(spark, sf).collect()
+    n_docs = spark.read.parquet(f"{sf}/documents.parquet").count()
+    assert sum(r.n_ingested for r in rows) == n_docs
+    for r in rows:
+        assert r.n_ingested >= r.n_quality >= r.n_url_unique >= r.n_final
+        assert r.n_final >= 0
+    assert sum(r.n_url_unique for r in rows) < sum(r.n_quality for r in rows) or \
+        sum(r.n_quality for r in rows) < n_docs
