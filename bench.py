@@ -236,6 +236,7 @@ CHUNKS = [
         "text_heavy_hitters_cms",
         "text_contamination_overlap",
         "pipeline_wet_curation",
+        "graph_pagerank_docs",
     ],
 ]
 
@@ -286,6 +287,7 @@ KEY_QUERIES = [
     "text_heavy_hitters_cms",
     "text_contamination_overlap",
     "pipeline_wet_curation",
+    "graph_pagerank_docs",
 ]
 
 

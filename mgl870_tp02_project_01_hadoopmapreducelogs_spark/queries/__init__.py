@@ -205,7 +205,10 @@ _PRIORITY = [
     # and pipeline_wet_curation (composes ONLY already-driver-green
     # or in-window stages — WET parse, qf gate, URL dedup, exact
     # dedup — through their shared SQL fragments; funnel law pinned
-    # in tests/test_warc.py);
+    # in tests/test_warc.py), and graph_pagerank_docs (integer-exact
+    # iteration, planted-clique laws in tests/test_graph.py; its
+    # edge derivation is the in-window dedup_connected_components
+    # pair graph);
     # then text_kn_bigram_perplexity and dedup_url_canonical
     # (both yielded r10 slots to newcomers after output-identical
     # refactors), then ALL 9 rows-only raws (r8-stamped; sim_pq_topk

@@ -5248,3 +5248,141 @@ def text_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "contaminated"
         ),
     )
+
+
+# --- PageRank over the similarity graph (integer-exact iteration) --------------
+
+#: PageRank iterations (unrolled in the oracle, looped in Spark)
+PR_ITERS = 6
+#: damping as a ratio of integers — the iteration never touches a float
+PR_D_NUM, PR_D_DEN = 85, 100
+#: rank fixed-point scale: ranks live as BIGINT multiples of 1e-9
+PR_SCALE = 10**9
+
+
+def _pagerank_oracle() -> str:
+    edges_cte = f"""
+    sh0 AS ({SHINGLES_SQL}),
+    sh AS (
+        SELECT * FROM sh0 WHERE shingle NOT IN (
+            SELECT shingle FROM sh0 GROUP BY shingle
+            HAVING count(*) > {SHINGLE_DF_CAP}
+        )
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    prs AS (
+        SELECT doc_a, doc_b FROM cand
+        JOIN sizes na ON cand.doc_a = na.doc_id
+        JOIN sizes nb ON cand.doc_b = nb.doc_id
+        WHERE shared / CAST(na.n + nb.n - shared AS DOUBLE) >= 0.5
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM prs
+        UNION
+        SELECT doc_b, doc_a FROM prs
+    ),
+    deg AS (SELECT a AS doc_id, count(*) AS n FROM edges GROUP BY a),
+    nn AS (SELECT count(*) AS n_docs FROM documents),
+    r0 AS (
+        SELECT doc_id, CAST({PR_SCALE} AS BIGINT)
+                     // (SELECT n_docs FROM nn) AS r
+        FROM documents
+    )"""
+    steps = []
+    for i in range(1, PR_ITERS + 1):
+        prev = f"r{i-1}"
+        steps.append(f"""
+    r{i} AS (
+        SELECT d.doc_id,
+               (CAST({PR_D_DEN - PR_D_NUM} AS BIGINT) * {PR_SCALE})
+                 // ({PR_D_DEN} * (SELECT n_docs FROM nn))
+               + (CAST({PR_D_NUM} AS BIGINT) * COALESCE(s.contrib, 0))
+                 // {PR_D_DEN} AS r
+        FROM documents d LEFT JOIN (
+            SELECT e.b AS doc_id, SUM(p.r // dg.n) AS contrib
+            FROM edges e
+            JOIN {prev} p ON e.a = p.doc_id
+            JOIN deg dg ON dg.doc_id = e.a
+            GROUP BY e.b
+        ) s ON d.doc_id = s.doc_id
+    )""")
+    return (
+        "WITH " + edges_cte + "," + ",".join(steps)
+        + f"""
+    SELECT doc_id, CAST(r AS BIGINT) AS rank_e9
+    FROM r{PR_ITERS}
+    """
+    )
+
+
+@register(
+    "graph_pagerank_docs",
+    _pagerank_oracle(),
+    doc="PageRank over the document similarity graph (the Jaccard "
+    "pair graph dedup_connected_components clusters) — the "
+    "iterative-algorithm exemplar beyond min-label propagation, and "
+    "the centrality signal curation stacks use to pick canonical "
+    "docs inside near-dup neighborhoods. ENGINE-EXACT by "
+    "construction: ranks live as BIGINT multiples of 1e-9 and every "
+    "update is integer arithmetic — per-edge contribution is "
+    "`rank div outdeg` (integer floor), damping is `(85 * sum) div "
+    "100`, teleport `(15 * 1e9) div (100 * N)` — so float summation "
+    "order, the classic cross-engine PageRank divergence, cannot "
+    f"exist; {PR_ITERS} iterations, simplified form (dangling mass "
+    "not redistributed — isolated docs hold the teleport rank; "
+    "documented, identical in both engines). Spark shape: the rank "
+    "table is DOC-scaled (one row per doc, never corpus-token-"
+    "scaled); per iteration ONE edges-ranks join + ONE in-neighbor "
+    "aggregate + ONE left join back to the vertex set, lineage "
+    "truncated per round with localCheckpoint (the graph.py CC "
+    "idiom); the oracle unrolls the same six integer iterations as "
+    "chained CTEs (the text_bpe_train precedent). Output is pure "
+    "BIGINT — hash-exact with no rounding anywhere. Reference has "
+    "no analogue (its only graph notion is template clusters).",
+)
+def graph_pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        prs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .unionByName(
+            prs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("n"))
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    n_docs = docs.count()  # one driver scalar (model-scale, like seeds)
+    tele = ((PR_D_DEN - PR_D_NUM) * PR_SCALE) // (PR_D_DEN * n_docs)
+    ranks = docs.select(
+        "doc_id", F.lit(PR_SCALE // n_docs).cast("long").alias("r")
+    )
+    esrc = edges.join(deg, "a").select(
+        F.col("a"), F.col("b"), F.col("n")
+    ).localCheckpoint(eager=False)
+    for _ in range(PR_ITERS):
+        ranks = ranks.localCheckpoint(eager=False)
+        contrib = (
+            esrc.join(ranks, esrc.a == ranks.doc_id)
+            .select(
+                F.col("b").alias("doc_id"),
+                F.expr("r div n").alias("c"),
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = docs.join(contrib, "doc_id", "left").select(
+            "doc_id",
+            (
+                F.lit(tele).cast("long")
+                + F.expr(
+                    f"({PR_D_NUM} * coalesce(contrib, 0)) div {PR_D_DEN}"
+                )
+            ).alias("r"),
+        )
+    return ranks.select("doc_id", F.col("r").cast("long").alias("rank_e9"))

@@ -68,3 +68,43 @@ def test_distributed_cc_converges_on_long_chain(spark, monkeypatch):
     rows = comp.collect()
     assert len(rows) == n + 1
     assert {r.component for r in rows} == {0}
+
+
+def test_pagerank_planted_clique_and_isolated(spark, tmp_path):
+    """Integer PageRank laws on a planted graph: three exact copies
+    form a Jaccard-1.0 clique whose members hold equal rank strictly
+    above the teleport floor; isolated docs hold exactly the teleport
+    rank; total scaled mass never exceeds the 1e9 budget (flooring
+    and dangling mass can only leak downward); two runs are
+    bit-identical."""
+    from pyspark.sql import functions as F
+
+    from mgl870_tp02_project_01_hadoopmapreducelogs_spark.queries import (
+        REGISTRY,
+    )
+    from mgl870_tp02_project_01_hadoopmapreducelogs_spark.queries.textops import (
+        PR_D_DEN,
+        PR_D_NUM,
+        PR_SCALE,
+    )
+
+    clique = "alpha beta gamma delta epsilon zeta eta theta iota"
+    docs = spark.createDataFrame(
+        [
+            (1, clique),
+            (2, clique),
+            (3, clique),
+            (4, "one two three four five six seven eight nine"),
+            (5, "uno dos tres cuatro cinco seis siete ocho nueve"),
+        ],
+        "doc_id long, text string",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    run = REGISTRY["graph_pagerank_docs"].run
+    r1 = {r.doc_id: r.rank_e9 for r in run(spark, str(tmp_path)).collect()}
+    r2 = {r.doc_id: r.rank_e9 for r in run(spark, str(tmp_path)).collect()}
+    assert r1 == r2  # bit-identical across runs
+    tele = (PR_D_DEN - PR_D_NUM) * PR_SCALE // (PR_D_DEN * 5)
+    assert r1[4] == tele and r1[5] == tele  # isolated: teleport only
+    assert r1[1] == r1[2] == r1[3] > tele   # symmetric clique, enriched
+    assert sum(r1.values()) <= PR_SCALE     # mass only leaks down
