@@ -244,10 +244,17 @@ HEADLINE = [name for chunk in CHUNKS for name in chunk]
 
 #: the pinned subset that rides the FINAL (tail-surviving) output
 #: line: the entire mining chunk (the family rounds 7-8 lost to tail
-#: truncation), the six TPC-H headliners, and one or two
-#: representatives per remaining family. Keep this under ~25 entries
-#: (~27 bytes each) so the final line stays well inside the driver's
-#: ~2.2 KB tail budget; full coverage lives on the line before.
+#: truncation), the six TPC-H headliners, one or two representatives
+#: per remaining family, and every newcomer for its birth round plus
+#: one. BUDGET (mechanically enforced by tests/test_bench.py::
+#: test_final_bench_line_fits_driver_tail_budget at < 1800 bytes
+#: against pessimistic 3-digit timings; the driver tail keeps
+#: ~2.2 KB): 35 entries measure ~1.35 KB — headroom for ~10 more.
+#: ROTATION RULE for the next round: the nine round-10 newcomers
+#: keep their pins through round 11, then fold to at most two
+#: family representatives each (dedup -> suffix ladder + bucketed
+#: URL; sources -> one WET entry; layout/sketch/graph -> one each),
+#: freeing ~8 slots before the budget binds.
 KEY_QUERIES = [
     # mining chunk, whole
     "t1a_mine_templates",

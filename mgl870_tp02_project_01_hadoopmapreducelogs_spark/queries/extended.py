@@ -2007,6 +2007,9 @@ def pipeline_wet_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("host", F.substring_index(F.col("cu"), "/", 1)).cache()
     q = hosts.filter(qf_keep(F.col("text")))
     # URL keeper: longest text, smallest id — carried via MIN(struct)
+    # cached like `hosts`: `k` fans out to the per-host count AND the
+    # exact-dedup stage — without it the keyed keeper aggregate (the
+    # most expensive corpus-side shuffle here) runs twice
     k = (
         q.groupBy("cu")
         .agg(
@@ -2020,6 +2023,7 @@ def pipeline_wet_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s")
         )
         .select("s.doc_id", "s.host", "s.text")
+        .cache()
     )
     f = (
         k.select("host", "doc_id", TX.fingerprint(F.col("text")).alias("fp"))

@@ -233,11 +233,15 @@ def _doc_shingles(
 #: DF_CAP², and the dropped set is tiny (broadcast anti-join).
 SHINGLE_DF_CAP = 50
 
+#: Jaccard near-dup threshold — the ONE definition shared by the
+#: whole pair-graph family (jaccard pairs, LSH-recall ground truth,
+#: connected components, PageRank); Spark filters and every oracle
+#: must reference it, never a bare literal
+JACCARD_THRESHOLD = 0.5
 
-@register(
-    "dedup_ngram_jaccard",
-    f"""
-    WITH sh0 AS ({SHINGLES_SQL}),
+#: shared oracle fragment: shingle table -> df-cap -> per-doc set
+#: sizes -> candidate pair shared-counts (CTE names sh0/sh/sizes/cand)
+JACCARD_CAND_SQL = f"""sh0 AS ({SHINGLES_SQL}),
     sh AS (
         SELECT * FROM sh0 WHERE shingle NOT IN (
             SELECT shingle FROM sh0 GROUP BY shingle
@@ -245,17 +249,40 @@ SHINGLE_DF_CAP = 50
         )
     ),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-    pairs AS (
+    cand AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY 1, 2
-    )
+    )"""
+
+#: ...plus the thresholded pairs and the symmetric directed edge list
+#: (adds CTEs jpairs/edges) — the pair GRAPH consumed by CC + PageRank
+JACCARD_EDGES_SQL = JACCARD_CAND_SQL + f""",
+    jpairs AS (
+        SELECT doc_a, doc_b FROM cand
+        JOIN sizes na ON cand.doc_a = na.doc_id
+        JOIN sizes nb ON cand.doc_b = nb.doc_id
+        WHERE shared / CAST(na.n + nb.n - shared AS DOUBLE)
+              >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM jpairs
+        UNION
+        SELECT doc_b, doc_a FROM jpairs
+    )"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {JACCARD_CAND_SQL}
     SELECT doc_a, doc_b,
            ROUND(shared / CAST(na.n + nb.n - shared AS DOUBLE), 4) AS jaccard
-    FROM pairs
-    JOIN sizes na ON pairs.doc_a = na.doc_id
-    JOIN sizes nb ON pairs.doc_b = nb.doc_id
-    WHERE shared / CAST(na.n + nb.n - shared AS DOUBLE) >= 0.5
+    FROM cand
+    JOIN sizes na ON cand.doc_a = na.doc_id
+    JOIN sizes nb ON cand.doc_b = nb.doc_id
+    WHERE shared / CAST(na.n + nb.n - shared AS DOUBLE)
+          >= {JACCARD_THRESHOLD}
     """,
     doc="N-gram Jaccard near-dup detection: 3-word shingles, stop-"
     "shingle df-filter (document frequency > SHINGLE_DF_CAP dropped "
@@ -307,7 +334,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.join(na, "doc_a")
         .join(nb, "doc_b")
-        .filter(jac >= 0.5)
+        .filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
 
@@ -1001,30 +1028,7 @@ def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_connected_components",
     f"""
-    WITH RECURSIVE sh0 AS ({SHINGLES_SQL}),
-    sh AS (
-        SELECT * FROM sh0 WHERE shingle NOT IN (
-            SELECT shingle FROM sh0 GROUP BY shingle
-            HAVING count(*) > {SHINGLE_DF_CAP}
-        )
-    ),
-    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-    cand AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-    ),
-    pairs AS (
-        SELECT doc_a, doc_b FROM cand
-        JOIN sizes na ON cand.doc_a = na.doc_id
-        JOIN sizes nb ON cand.doc_b = nb.doc_id
-        WHERE shared / CAST(na.n + nb.n - shared AS DOUBLE) >= 0.5
-    ),
-    edges AS (
-        SELECT doc_a AS a, doc_b AS b FROM pairs
-        UNION
-        SELECT doc_b, doc_a FROM pairs
-    ),
+    WITH RECURSIVE {JACCARD_EDGES_SQL},
     reach(a, b) AS (
         SELECT a, b FROM edges
         UNION
@@ -2693,24 +2697,13 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_lsh_recall",
     f"""
-    WITH sh0 AS ({SHINGLES_SQL}),
-    sh AS (
-        SELECT * FROM sh0 WHERE shingle NOT IN (
-            SELECT shingle FROM sh0 GROUP BY shingle
-            HAVING count(*) > {SHINGLE_DF_CAP}
-        )
-    ),
-    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-    cand AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-    ),
+    WITH {JACCARD_CAND_SQL},
     truth AS (
         SELECT doc_a, doc_b FROM cand
         JOIN sizes na ON cand.doc_a = na.doc_id
         JOIN sizes nb ON cand.doc_b = nb.doc_id
-        WHERE shared / CAST(na.n + nb.n - shared AS DOUBLE) >= 0.5
+        WHERE shared / CAST(na.n + nb.n - shared AS DOUBLE)
+              >= {JACCARD_THRESHOLD}
     ),
     sig AS ({_minhash_sig_sql()}),
     bands AS ({_bands_sql()}),
@@ -5262,30 +5255,7 @@ PR_SCALE = 10**9
 
 def _pagerank_oracle() -> str:
     edges_cte = f"""
-    sh0 AS ({SHINGLES_SQL}),
-    sh AS (
-        SELECT * FROM sh0 WHERE shingle NOT IN (
-            SELECT shingle FROM sh0 GROUP BY shingle
-            HAVING count(*) > {SHINGLE_DF_CAP}
-        )
-    ),
-    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-    cand AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-    ),
-    prs AS (
-        SELECT doc_a, doc_b FROM cand
-        JOIN sizes na ON cand.doc_a = na.doc_id
-        JOIN sizes nb ON cand.doc_b = nb.doc_id
-        WHERE shared / CAST(na.n + nb.n - shared AS DOUBLE) >= 0.5
-    ),
-    edges AS (
-        SELECT doc_a AS a, doc_b AS b FROM prs
-        UNION
-        SELECT doc_b, doc_a FROM prs
-    ),
+    {JACCARD_EDGES_SQL},
     deg AS (SELECT a AS doc_id, count(*) AS n FROM edges GROUP BY a),
     nn AS (SELECT count(*) AS n_docs FROM documents),
     r0 AS (
