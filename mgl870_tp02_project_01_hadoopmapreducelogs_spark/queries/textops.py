@@ -5216,6 +5216,10 @@ def text_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fp"),
         )
         .distinct()
+        # two consumers (bench + hits) — materialize the fingerprint
+        # distinct once instead of re-running its shuffle per branch
+        # (the pack_cells_into_files two-consumer idiom)
+        .localCheckpoint(eager=False)
     )
     bench = (
         g.filter(F.col("doc_id") % 50 == 0).select("fp").distinct()

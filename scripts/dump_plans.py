@@ -90,6 +90,9 @@ EAGER_CONSTRUCTION = {
     "dedup_semdedup_kmeans": "spark.ml KMeans fit + broadcast-centroid "
     "cosine pass + per-cell applyInPandas gram (same stage as "
     "dedup_semdedup, whose row above shows the shape)",
+    "graph_pagerank_docs": "one count() scan for the integer teleport "
+    "constant (model-scale scalar, like seeds); the six rank "
+    "iterations are lazy and localCheckpoint-truncated per round",
 }
 
 
