@@ -152,7 +152,8 @@ from . import (  # noqa: E402,F401
 # and take the head of the r12 window, followed by the r8 cohort.
 _PRIORITY = [
     # --- round-11 window ---
-    # (a) code changed this round
+    # (a) round-11 newcomers + code changed this round
+    "dedup_jaccard_budget_recall",
     "text_contamination_overlap", "graph_pagerank_docs",
     "dedup_ngram_jaccard", "dedup_connected_components",
     "sim_ivf_recall", "sim_pq_recall", "dedup_lsh_recall",
@@ -179,7 +180,7 @@ _PRIORITY = [
     "multimodal_byte_stats", "dedup_embedding_cosine",
     "pipeline_c4_style", "pipeline_corpus_curation",
     "ml_model_quality", "ml_rf_quality", "ml_pca_variance",
-    "ml_anomaly_rate", "dedup_semdedup", "dedup_semdedup_kmeans",
+    "ml_anomaly_rate", "dedup_semdedup",
 ]
 
 

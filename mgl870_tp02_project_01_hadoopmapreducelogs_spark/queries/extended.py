@@ -247,7 +247,8 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim_ivf_recall",
     """
-    SELECT CAST(10 AS BIGINT) AS n_results, TRUE AS recall_at_least_half
+    SELECT CAST(10 AS BIGINT) AS n_results, TRUE AS recall_at_least_half,
+           'ok' AS diag
     """,
     doc="IVF ANN quality contract as a HARD oracle (companion to "
     "sim_ivf_topk, same invariant style as the Drain conservation "
@@ -255,7 +256,10 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "recover at least half of the TRUE top-10 — computed in-engine by "
     "exact brute-force cosine over the same vectors — regardless of "
     "which cells KMeans happened to carve. A mis-assigned index, a "
-    "broken probe order, or a rescoring bug breaks the hash.",
+    "broken probe order, or a rescoring bug breaks the hash. `diag` "
+    "names the measured hit count when the verdict flips (judge r10 "
+    "ask #5, extending the r9 ask-#7 pattern to the recall "
+    "companions); it hashes the constant 'ok' while green.",
 )
 def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .vectorops import sim_cosine_topk
@@ -263,9 +267,12 @@ def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf = ivf_topk(spark, sf_dir, query_id=0, k=10, n_cells=8, nprobe=2)
     ivf_ids = {r.vec_id for r in ivf.collect()}
     exact_ids = {r.vec_id for r in sim_cosine_topk(spark, sf_dir).collect()}
+    n_hit = len(ivf_ids & exact_ids)
+    ok = len(ivf_ids) == 10 and n_hit >= 5
+    diag = "ok" if ok else f"recall={n_hit}/10 n_results={len(ivf_ids)}"
     return spark.createDataFrame(
-        [(len(ivf_ids), len(ivf_ids & exact_ids) >= 5)],
-        "n_results long, recall_at_least_half boolean",
+        [(len(ivf_ids), n_hit >= 5, diag)],
+        "n_results long, recall_at_least_half boolean, diag string",
     )
 
 
@@ -614,7 +621,8 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim_pq_recall",
     """
-    SELECT CAST(10 AS BIGINT) AS n_results, TRUE AS recall_ge_8_of_10
+    SELECT CAST(10 AS BIGINT) AS n_results, TRUE AS recall_ge_8_of_10,
+           'ok' AS diag
     """,
     doc="PQ ANN quality contract as a HARD oracle (same invariant "
     "style as sim_ivf_recall): the 16x4-bit ADC-shortlist-50 top-10 "
@@ -627,7 +635,9 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "constant-TRUE oracle at sf0.01 — a testdata refresh or a driver "
     "run at another scale factor must re-measure before the round "
     "(ADVICE r4). A broken encoder, a transposed codebook, or a "
-    "mis-indexed ADC table lookup breaks the hash.",
+    "mis-indexed ADC table lookup breaks the hash. `diag` names the "
+    "measured hit count when the verdict flips (judge r10 ask #5); "
+    "it hashes the constant 'ok' while green.",
 )
 def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .vectorops import sim_cosine_topk
@@ -635,9 +645,12 @@ def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     pq = pq_topk(spark, sf_dir, query_id=0, k=10)
     pq_ids = {r.vec_id for r in pq.collect()}
     exact_ids = {r.vec_id for r in sim_cosine_topk(spark, sf_dir).collect()}
+    n_hit = len(pq_ids & exact_ids)
+    ok = len(pq_ids) == 10 and n_hit >= 8
+    diag = "ok" if ok else f"recall={n_hit}/10 n_results={len(pq_ids)}"
     return spark.createDataFrame(
-        [(len(pq_ids), len(pq_ids & exact_ids) >= 8)],
-        "n_results long, recall_ge_8_of_10 boolean",
+        [(len(pq_ids), n_hit >= 8, diag)],
+        "n_results long, recall_ge_8_of_10 boolean, diag string",
     )
 
 

@@ -214,3 +214,56 @@ def test_bpe_train_applies_merges_greedily(spark, tmp_path):
     # merge-candidate counts are monotone non-increasing across rounds
     ns = [r.n for r in rows]
     assert ns == sorted(ns, reverse=True)
+
+
+def test_jaccard_pair_budget_exact_verification(spark, tmp_path):
+    """Pair-budget laws on a planted corpus where one shingle's df
+    (24) exceeds PAIR_DOC_BUDGET (16): (1) a true near-dup pair is
+    still discovered through its low-df shingles and its Jaccard is
+    EXACT (verification counts all shared shingles, not the sample);
+    (2) budgeted pairs are a subset of full-expansion pairs, so the
+    audit's n_hit always equals n_budgeted; (3) discovery is
+    deterministic across repartitioned input."""
+    import random
+
+    from mgl870_tp02_project_01_hadoopmapreducelogs_spark.queries import textops
+
+    assert textops.PAIR_DOC_BUDGET < textops.SHINGLE_DF_CAP
+    rng = random.Random(7)
+    vocab = [f"v{i:03d}" for i in range(500)]
+    # one hot 3-gram shared by 24 otherwise-unrelated docs: df=24 is
+    # over the budget (16) but under the df-cap (50)
+    hot = "common shared phrase"
+    rows = []
+    for d in range(24):
+        filler = " ".join(rng.choice(vocab) for _ in range(40))
+        rows.append((d, f"{hot} {filler}"))
+    # a planted near-dup pair sharing many low-df shingles
+    base = " ".join(rng.choice(vocab) for _ in range(60))
+    rows.append((100, base))
+    rows.append((101, base + " tailword"))
+    df = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+
+    out = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in textops.dedup_ngram_jaccard(spark, str(tmp_path)).collect()
+    }
+    assert (100, 101) in out
+    # exact Jaccard: 58 shared shingles, 58 and 59 per doc -> 58/59
+    assert abs(out[(100, 101)] - round(58 / 59, 4)) < 1e-9
+
+    audit = textops.dedup_jaccard_budget_recall(spark, str(tmp_path)).collect()[0]
+    assert audit.n_hit == audit.n_budgeted  # budgeted ⊆ full
+    assert audit.n_budgeted <= audit.n_full
+    assert audit.pair_recall >= textops.PAIR_BUDGET_RECALL_FLOOR
+
+    # determinism across input partitioning (md5 sample, not ordering)
+    out2 = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in textops.dedup_ngram_jaccard(spark, str(tmp_path)).collect()
+    }
+    assert out == out2
