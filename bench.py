@@ -238,6 +238,19 @@ CHUNKS = [
         "pipeline_wet_curation",
         "graph_pagerank_docs",
     ],
+    # round-11 additions — own chunk so earlier probe positions hold.
+    # The budget-recall audit runs BOTH discovery paths by design
+    # (the unbudgeted full expansion lives only there); the bucketed
+    # incremental-index twin's time INCLUDES writing both fp-bucketed
+    # tables (the ingest cost a deployment amortizes); the langid
+    # agreement contract runs the learned detector AND the stopword
+    # heuristic to verdict their agreement.
+    [
+        "dedup_jaccard_budget_recall",
+        "text_detect_language_learned",
+        "text_langid_agreement",
+        "dedup_incremental_index_bucketed",
+    ],
 ]
 
 HEADLINE = [name for chunk in CHUNKS for name in chunk]
@@ -250,11 +263,12 @@ HEADLINE = [name for chunk in CHUNKS for name in chunk]
 #: test_final_bench_line_fits_driver_tail_budget at < 1800 bytes
 #: against pessimistic 3-digit timings; the driver tail keeps
 #: ~2.2 KB): 35 entries measure ~1.35 KB — headroom for ~10 more.
-#: ROTATION RULE for the next round: the nine round-10 newcomers
-#: keep their pins through round 11, then fold to at most two
-#: family representatives each (dedup -> suffix ladder + bucketed
-#: URL; sources -> one WET entry; layout/sketch/graph -> one each),
-#: freeing ~8 slots before the budget binds.
+#: ROTATION RULE: round-10 newcomers keep their pins through round 11
+#: (this round), then fold to at most two family representatives each
+#: (dedup -> suffix ladder + bucketed URL; sources -> one WET entry;
+#: layout/sketch/graph -> one each), freeing ~8 slots at r12 before
+#: the budget binds; the four round-11 newcomers keep pins through
+#: r12 on the same rule.
 KEY_QUERIES = [
     # mining chunk, whole
     "t1a_mine_templates",
@@ -295,6 +309,11 @@ KEY_QUERIES = [
     "text_contamination_overlap",
     "pipeline_wet_curation",
     "graph_pagerank_docs",
+    # round-11 newcomers (round-over-round visibility from birth)
+    "dedup_jaccard_budget_recall",
+    "text_detect_language_learned",
+    "text_langid_agreement",
+    "dedup_incremental_index_bucketed",
 ]
 
 

@@ -144,16 +144,21 @@ from . import (  # noqa: E402,F401
 # further deferral per the verdict); (e) the oldest r7 cohort fills
 # the remaining slots, prioritizing the three same-code bench movers
 # under clean-probe this round (t2_match_lines, f5_mask_dynamic_tokens
-# are r7-stamped) and the mining/preprocess/TPC-H residents. The 17
+# are r7-stamped) and the mining/preprocess/TPC-H residents. The 21
 # r7-stamped entries the cap cannot admit (embedding-dedup planted/
 # keep-best, sim_label_centroids, sim_quantized/seeded topk family,
 # corpus_stats_by_language, the text_* round-7 wave, gopher
-# repetition, multimodal_feature_extract) turn 5 rounds old at r12
-# and take the head of the r12 window, followed by the r8 cohort.
+# repetition, multimodal_feature_extract, plus the four that yielded
+# their fills to round-11 newcomers: dedup_semdedup,
+# dedup_semdedup_kmeans, ml_anomaly_rate, ml_pca_variance) turn 5
+# rounds old at r12 and take the head of the r12 window, followed by
+# the r8 cohort.
 _PRIORITY = [
     # --- round-11 window ---
     # (a) round-11 newcomers + code changed this round
     "dedup_jaccard_budget_recall",
+    "text_detect_language_learned", "text_langid_agreement",
+    "dedup_incremental_index_bucketed",
     "text_contamination_overlap", "graph_pagerank_docs",
     "dedup_ngram_jaccard", "dedup_connected_components",
     "sim_ivf_recall", "sim_pq_recall", "dedup_lsh_recall",
@@ -179,8 +184,7 @@ _PRIORITY = [
     "tpch_q3_shipping_priority", "tpch_q6_forecast_revenue",
     "multimodal_byte_stats", "dedup_embedding_cosine",
     "pipeline_c4_style", "pipeline_corpus_curation",
-    "ml_model_quality", "ml_rf_quality", "ml_pca_variance",
-    "ml_anomaly_rate", "dedup_semdedup",
+    "ml_model_quality", "ml_rf_quality",
 ]
 
 

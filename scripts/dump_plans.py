@@ -45,6 +45,20 @@ SINGLE_PART_OK = {
     "text_bm25_search": ("scalar", 1),        # 1-row corpus stats (n_docs,
                                               # total_dl), partial-agg'd then
                                               # broadcast to the scorer
+    "dedup_jaccard_budget_recall": ("scalar", 3),  # the audit's three
+                                              # 1-row pair counts
+                                              # (n_full / n_budgeted /
+                                              # n_hit), each partial-
+                                              # agg'd map-side over a
+                                              # checkpointed pair set
+                                              # before its single-
+                                              # partition final
+    "text_langid_agreement": ("scalar", 1),   # the contract's final
+                                              # keyless verdict
+                                              # aggregate (count/sum
+                                              # over per-doc agree
+                                              # booleans), partials
+                                              # map-side
     "streaming_minhash_dedup_fast": ("scalar", 1),  # the contract's final
                                               # keyless verdict aggregate
                                               # (max/min/avg over 3 booleans),

@@ -38,15 +38,10 @@ ROWS_ONLY_REGISTRY = {
 }
 
 #: the subset of ROWS_ONLY_REGISTRY deliberately rotated into THIS
-#: round's driver window for rows-only re-confirmation. Round 10
-#: spends one slot on sim_pq_topk (also the bench-oscillation resident
-#: getting a fresh same-code 100x probe this round); the other eight
-#: raws were re-confirmed in round 8 and rotate in at r11 with the r7
-#: cohort.
-ROWS_ONLY_WINDOW: set = set()  # all 9 raws rotate in r11; sim_pq_topk
-# yielded its r10 slot to the dedup_suffix_repeats newcomer (its fresh
-# 100x clean-probe reading is in SCALE_NOTES, stronger evidence than
-# the driver's rows-only count for an oscillation resident)
+#: round's driver window for rows-only re-confirmation. Round 11
+#: re-confirms ALL NINE raws (judge r10 ask #1: their driver stamps
+#: were r8, deferred from r9 and r10 — no further deferral).
+ROWS_ONLY_WINDOW: set = set(ROWS_ONLY_REGISTRY)
 
 
 def test_registry_entries_bind_their_own_functions():
