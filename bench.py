@@ -366,6 +366,16 @@ def run_chunk(names: list[str], sf_dir: str) -> None:
             samples.append(run(name))
         while max(samples) / min(samples) > 1.5 and len(samples) < 5:
             samples.append(run(name))
+        # JIT warm-up slope (round 11, the t2_match_lines root cause):
+        # an 8x intra-session probe read 2.95 -> 1.86 -> ... -> 0.80 —
+        # a steadily DECLINING curve, so min-of-2/3 lands wherever C2
+        # compilation happens to be, and two slow-but-equal samples
+        # (1.86, 1.85) pass the 1.5x disagreement gate while reading
+        # 2.3x the steady state. Keep sampling while the tail still
+        # improves >3% per run: converged queries pay nothing (their
+        # 2nd sample repeats the 1st), warming queries run until flat.
+        while len(samples) < 6 and samples[-1] < samples[-2] * 0.97:
+            samples.append(run(name))
         times[name] = round(min(samples), 3)
     times["__probe_ms__"] = _cpu_probe_ms()
     times["__probe_start_ms__"] = probe_start
