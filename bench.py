@@ -250,6 +250,8 @@ CHUNKS = [
         "text_detect_language_learned",
         "text_langid_agreement",
         "dedup_incremental_index_bucketed",
+        "corpus_domain_cap",
+        "corpus_token_budget_sample",
     ],
 ]
 
@@ -314,6 +316,8 @@ KEY_QUERIES = [
     "text_detect_language_learned",
     "text_langid_agreement",
     "dedup_incremental_index_bucketed",
+    "corpus_domain_cap",
+    "corpus_token_budget_sample",
 ]
 
 

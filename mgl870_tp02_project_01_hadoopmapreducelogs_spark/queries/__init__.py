@@ -148,9 +148,10 @@ from . import (  # noqa: E402,F401
 # r7-stamped entries the cap cannot admit (embedding-dedup planted/
 # keep-best, sim_label_centroids, sim_quantized/seeded topk family,
 # corpus_stats_by_language, the text_* round-7 wave, gopher
-# repetition, multimodal_feature_extract, plus the four that yielded
+# repetition, multimodal_feature_extract, plus the six that yielded
 # their fills to round-11 newcomers: dedup_semdedup,
-# dedup_semdedup_kmeans, ml_anomaly_rate, ml_pca_variance) turn 5
+# dedup_semdedup_kmeans, ml_anomaly_rate, ml_pca_variance,
+# tpch_q3_shipping_priority, tpch_q6_forecast_revenue) turn 5
 # rounds old at r12 and take the head of the r12 window, followed by
 # the r8 cohort.
 _PRIORITY = [
@@ -159,6 +160,7 @@ _PRIORITY = [
     "dedup_jaccard_budget_recall",
     "text_detect_language_learned", "text_langid_agreement",
     "dedup_incremental_index_bucketed",
+    "corpus_domain_cap", "corpus_token_budget_sample",
     "text_contamination_overlap", "graph_pagerank_docs",
     "dedup_ngram_jaccard", "dedup_connected_components",
     "sim_ivf_recall", "sim_pq_recall", "dedup_lsh_recall",
@@ -181,7 +183,6 @@ _PRIORITY = [
     "p4_failure_event_filter", "a1_a2_event_totals",
     "w1_a4_a5_windowed_features", "a9_pearson_correlation",
     "t1b_drainish_mining", "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority", "tpch_q6_forecast_revenue",
     "multimodal_byte_stats", "dedup_embedding_cosine",
     "pipeline_c4_style", "pipeline_corpus_curation",
     "ml_model_quality", "ml_rf_quality",

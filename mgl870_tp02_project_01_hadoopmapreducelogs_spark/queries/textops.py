@@ -5203,6 +5203,192 @@ def dedup_url_canonical_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _url_keeper_agg(spark.table(table))
 
 
+# --- per-domain contribution cap (RefinedWeb/FineWeb crawl hygiene) -----------
+
+#: max documents kept per registrable host — the RefinedWeb-style cap
+#: that stops one domain from dominating the corpus mix
+DOMAIN_CAP = 50
+
+
+@register(
+    "corpus_domain_cap",
+    f"""
+    WITH urls AS (
+        SELECT doc_id, n_chars, {URL_SQL} AS url FROM documents
+    ),
+    canon AS (
+        SELECT doc_id, n_chars, {_CANON_SQL} AS canonical_url FROM urls
+    ),
+    h AS (
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+               split_part(canonical_url, '/', 1) AS host
+        FROM canon
+    ),
+    r AS (
+        SELECT doc_id, host, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY host ORDER BY n_chars DESC, doc_id
+               ) AS rnk
+        FROM h
+    )
+    SELECT doc_id, host, CAST(rnk AS BIGINT) AS rnk,
+           rnk <= {DOMAIN_CAP} AS kept
+    FROM r
+    """,
+    doc="Per-domain contribution cap (RefinedWeb §3 / FineWeb crawl "
+    f"hygiene): keep at most {DOMAIN_CAP} documents per registrable "
+    "host so no single domain dominates the training mix — ranked "
+    "best-first (longest text, smallest doc_id on ties) so the cap "
+    "keeps the highest-value docs, the keeper order the URL-dedup "
+    "family already uses. Host derives from the shared canonicalizer "
+    "(everything before the first path slash). Plan: one codegen'd "
+    "URL projection + ONE host-keyed window — partitioned by host, "
+    "never a global sort, so at 100 TB the shuffle is host-keyed and "
+    "a hot domain is bounded by its own doc count (a genuinely "
+    "pathological host can be salted into (host, doc_id div K) "
+    "sub-ranks and merged, same as any top-k-per-group skew). "
+    "Beyond-reference operator (the reference has no URL surface).",
+)
+def corpus_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    canon = _url_canon_frame(spark, sf_dir)
+    h = canon.select(
+        "doc_id",
+        "n_chars",
+        F.split_part(F.col("canonical_url"), F.lit("/"), F.lit(1)).alias(
+            "host"
+        ),
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return h.select(
+        "doc_id",
+        "host",
+        F.row_number().over(w).cast("long").alias("rnk"),
+    ).select(
+        "doc_id", "host", "rnk", (F.col("rnk") <= DOMAIN_CAP).alias("kept")
+    )
+
+
+# --- exact token-budget sampling (packer file 0 over a shuffled order) --------
+
+#: token budget for the deterministic subsample — the dataloader-facing
+#: "give me exactly ~N tokens of unbiased corpus" primitive
+SAMPLE_TOKENS = 20_000
+
+#: super-cell shift for the sample's prefix sum: cells are 32-bit
+#: md5-shuffle values, so level-1 partitions hold <= 2^20 cells and
+#: the level-2 totals table is <= 2^12 rows — bounded by the hash
+#: width, never the corpus
+SAMPLE_SUP_SHIFT = 20
+
+#: the 8-hex-digit md5 prefix as an integer, DuckDB side (the qclf
+#: strpos-decode idiom widened to 8 digits; Spark twin is
+#: conv(substring(md5(..), 1, 8), 16, 10))
+_HEX8_SQL = " + ".join(
+    f"({_HEXPOS.format(arg='{arg}', i=i + 1)}) * {16 ** (7 - i)}"
+    for i in range(8)
+)
+
+
+@register(
+    "corpus_token_budget_sample",
+    rf"""
+    WITH d AS (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(lower(trim(text)), '\s+'))
+                    AS BIGINT) AS n_tokens,
+               'sample42:' || CAST(doc_id AS VARCHAR) AS sk
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tokens,
+               CAST({_HEX8_SQL.format(arg='sk')} AS BIGINT) AS shuffle_cell
+        FROM d
+    ),
+    hist AS (
+        SELECT shuffle_cell, SUM(n_tokens) AS cnt FROM c GROUP BY shuffle_cell
+    ),
+    f AS (
+        SELECT shuffle_cell,
+               COALESCE(SUM(cnt) OVER (
+                   ORDER BY shuffle_cell
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 // {SAMPLE_TOKENS} AS file
+        FROM hist
+    )
+    SELECT c.doc_id, c.n_tokens, c.shuffle_cell,
+           f.file = 0 AS kept
+    FROM c JOIN f USING (shuffle_cell)
+    """,
+    doc="Exact token-budget subsampling: keep an unbiased, "
+    f"deterministic subset of ~{SAMPLE_TOKENS} tokens — the 'give me "
+    "N tokens of corpus' primitive every ablation and scaling-law "
+    "run fronts its dataloader with. Docs are ordered by a seeded "
+    "32-bit md5 shuffle key (content-free, so the sample is unbiased "
+    "and reproducible across engines, runs, and relayouts — the "
+    "corpus_shuffle_deterministic order), token counts prefix-summed "
+    "in that order, and a doc is kept iff its cumulative-before "
+    "count sits under the budget — i.e. the sample IS FILE 0 of the "
+    "training-shard packer (operators/layout.pack_cells_into_files "
+    "with cells = shuffle keys), proving the packer primitive "
+    "generalizes from shard manifests to budgeted sampling. Docs "
+    "sharing a 32-bit key (rare) are taken atomically — both engines "
+    "group identically, so the report is hash-exact. Scale shape: "
+    "the Spark side uses the packer's TWO-LEVEL distributed prefix "
+    "sum (level-1 windows hold <= 2^20 cells, the level-2 totals "
+    "table <= 2^12 rows — bounded by the hash width, not the "
+    "corpus); the oracle uses the plain windowed sum. Doc-aligned "
+    "overshoot is bounded by one document (the packer's cell-aligned "
+    "law). Beyond-reference operator.",
+)
+def corpus_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.layout import pack_cells_into_files
+
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    c = d.select(
+        "doc_id",
+        "n_tokens",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("sample42:"), F.col("doc_id").cast("string"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("shuffle_cell"),
+    )
+    hist = c.groupBy("shuffle_cell").agg(F.sum("n_tokens").alias("cnt"))
+    files = pack_cells_into_files(
+        hist.select(
+            F.lit(0).alias("layout"),
+            F.col("shuffle_cell").alias("cell"),
+            "cnt",
+        ),
+        SAMPLE_TOKENS,
+        SAMPLE_SUP_SHIFT,
+    ).select(F.col("cell").alias("shuffle_cell"), "file")
+    return c.join(files, "shuffle_cell").select(
+        "doc_id",
+        "n_tokens",
+        "shuffle_cell",
+        (F.col("file") == 0).alias("kept"),
+    )
+
+
 # --- Kneser-Ney bigram perplexity (the KenLM smoothing, interpolated) -----------
 
 #: absolute discount — 0.75 is the standard KN discount and is exactly

@@ -1300,3 +1300,66 @@ def test_contamination_overlap_planted_fractions(spark, tmp_path):
     assert not out[2].contaminated and 0 < out[2].overlap_frac < 0.5
     assert out[3].n_hit == 0 and out[3].overlap_frac == 0.0
     assert not out[3].contaminated
+
+
+def test_domain_cap_keeps_best_n_per_host(spark, tmp_path):
+    """Per-domain cap laws on a planted corpus: a host with more docs
+    than DOMAIN_CAP keeps exactly DOMAIN_CAP and they are the LONGEST
+    ones (doc_id tie-break); a host under the cap keeps everything."""
+    from mgl870_tp02_project_01_hadoopmapreducelogs_spark.queries import textops
+
+    cap = textops.DOMAIN_CAP
+    rows = []
+    # 'big' host: cap + 10 docs with distinct lengths 1..cap+10
+    for i in range(cap + 10):
+        rows.append((i, "x " * (i + 1), "en", "big", i + 1))
+    # 'tiny' host: 3 docs
+    for j in range(3):
+        rows.append((1000 + j, "y", "en", "tiny", 1))
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    out = REGISTRY["corpus_domain_cap"].run(spark, str(tmp_path)).collect()
+    by_host = {}
+    for r in out:
+        by_host.setdefault(r.host.split(".")[0], []).append(r)
+    big = by_host["big"]
+    kept = sorted(r.doc_id for r in big if r.kept)
+    # longest-first: the cap keeps the docs with the LARGEST n_chars,
+    # i.e. the highest doc_ids in this construction
+    assert len(kept) == cap
+    assert kept == sorted(range(cap + 10))[-cap:]
+    assert all(r.kept for r in by_host["tiny"])
+
+
+def test_token_budget_sample_laws(spark, tmp_path):
+    """Budget-sample laws: kept token mass lands within one document
+    of SAMPLE_TOKENS (the packer's cell-aligned law), the keep set is
+    deterministic across input repartitioning, and membership follows
+    the md5 shuffle order (content-free, unbiased)."""
+    from mgl870_tp02_project_01_hadoopmapreducelogs_spark.queries import textops
+
+    rows = [
+        (i, " ".join(f"w{i}_{k}" for k in range(40)), "en", "s", 40)
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    out = REGISTRY["corpus_token_budget_sample"].run(spark, str(tmp_path))
+    rows1 = {(r.doc_id, r.kept) for r in out.collect()}
+    kept_tokens = sum(40 for d, k in rows1 if k)
+    budget = textops.SAMPLE_TOKENS
+    assert budget - 40 < kept_tokens <= budget + 40
+    # deterministic across a second run (fresh plan, same md5 order)
+    rows2 = {
+        (r.doc_id, r.kept)
+        for r in REGISTRY["corpus_token_budget_sample"]
+        .run(spark, str(tmp_path))
+        .collect()
+    }
+    assert rows1 == rows2
