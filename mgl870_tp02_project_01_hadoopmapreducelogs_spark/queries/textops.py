@@ -1285,19 +1285,36 @@ def _langid_learned_sql() -> str:
 def _langid_learned_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark twin of _langid_learned_sql: one corpus gram pass ->
     broadcast weight join -> per-doc integer sums -> argmax."""
-    docs = load(spark, sf_dir, "documents")
+    # spread() before the CPU-heavy gram chain: the testdata tables are
+    # single-row-group parquet, so without it the whole explode + md5
+    # pipeline fuses onto ONE scan task (measured: the entire 10x gram
+    # stream ran on one core, 46s; the _doc_shingles precedent)
+    docs = spread(
+        load(spark, sf_dir, "documents"),
+        scan_partitions(spark, sf_dir, "documents"),
+    )
     d = docs.select(
         "doc_id", "lang", F.lower(F.trim(F.col("text"))).alias("t")
     )
-    # t is a materialized attribute before the transform (the
-    # window_gram_expr caller contract: inline expressions re-run per
-    # element); docs shorter than 3 chars yield no grams and fall back
-    # to the default language through the left join
-    g = d.filter(F.length("t") >= 3).select(
+    # grams come from SLICES OF A CHAR ARRAY, not substring(t, i, 3):
+    # Spark's substring walks the UTF-8 string from position 0, so a
+    # per-position substring inside transform is O(len²) per doc — the
+    # HOF re-evaluation trap's string-flavored cousin, measured 46s at
+    # 10x before this change. split('') (the text_char_entropy idiom,
+    # trailing empty dropped) materializes the codepoints once; array
+    # slices are O(k) at any position. Docs shorter than 3 chars yield
+    # no grams and fall back to the default language via the left join.
+    cs = d.select(
+        "doc_id",
+        F.filter(F.split("t", ""), lambda c: c != F.lit("")).alias("cs"),
+    )
+    g = cs.filter(F.size("cs") >= 3).select(
         "doc_id",
         F.explode(
-            F.expr("transform(sequence(1, length(t) - 2),"
-                   " i -> substring(t, i, 3))")
+            F.transform(
+                F.sequence(F.lit(1), F.size("cs") - 2),
+                lambda i: F.concat_ws("", F.slice("cs", i, 3)),
+            )
         ).alias("gr"),
     )
     gb = g.select(
