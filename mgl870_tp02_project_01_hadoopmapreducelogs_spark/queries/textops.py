@@ -316,6 +316,22 @@ JACCARD_EDGES_SQL = JACCARD_CAND_SQL + f""",
     )"""
 
 
+def _capped_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The df-capped shingle table (doc_id, shingle) — cached (it has
+    2+ consumers everywhere it appears: discovery grouping, the
+    per-doc set table, the audit's full expansion); shared by the
+    production discovery and the budget audit so the cap and the
+    anti-join can never drift between them."""
+    sh0 = _doc_shingles(spark, sf_dir).cache()
+    hot = (
+        sh0.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > SHINGLE_DF_CAP)
+        .select("shingle")
+    )
+    return sh0.join(F.broadcast(hot), "shingle", "left_anti").cache()
+
+
 @register(
     "dedup_ngram_jaccard",
     f"""
@@ -348,16 +364,7 @@ JACCARD_EDGES_SQL = JACCARD_CAND_SQL + f""",
     "exactly.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh0 = _doc_shingles(spark, sf_dir).cache()
-    hot = (
-        sh0.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > SHINGLE_DF_CAP)
-        .select("shingle")
-    )
-    # two consumers (discovery grouping + the per-doc set table):
-    # cache so the anti-join runs once
-    sh = sh0.join(F.broadcast(hot), "shingle", "left_anti").cache()
+    sh = _capped_shingles(spark, sf_dir)
     # per-doc shingle-hash SETS: one doc-keyed aggregate serves both
     # the sizes and the verification intersections. Spark intersects
     # xxhash64 fingerprints (8 B/shingle — gram strings never ride the
@@ -485,14 +492,7 @@ PAIR_BUDGET_RECALL_FLOOR = 0.95
     "measured number, mirrored verbatim in the oracle SQL.",
 )
 def dedup_jaccard_budget_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh0 = _doc_shingles(spark, sf_dir).cache()
-    hot = (
-        sh0.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > SHINGLE_DF_CAP)
-        .select("shingle")
-    )
-    sh = sh0.join(F.broadcast(hot), "shingle", "left_anti").cache()
+    sh = _capped_shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     # full expansion — audit-only (the pre-budget discovery shape):
     # posting lists are df-cap-bounded so collect_list is memory-safe
