@@ -168,6 +168,20 @@ SHINGLES_SQL = r"""
 """
 
 
+def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents scan repartitioned to session parallelism — use
+    at the head of CPU-HEAVY per-row chains (gram/token explodes, md5
+    bucketing, regex batteries). A single-row-group parquet file
+    otherwise fuses the whole chain onto one scan task (see load()/
+    spread(); measured on the learned langid: 46s -> 8s at 10x).
+    No-op on inputs that already scan wide; cheap one-pass projections
+    should NOT pay this shuffle."""
+    return spread(
+        load(spark, sf_dir, "documents"),
+        scan_partitions(spark, sf_dir, "documents"),
+    )
+
+
 def window_gram_expr(toks_col, k: int = 3):
     """Sliding k-gram window array over a MATERIALIZED token-array
     column: ``[concat_ws(' ', toks[i:i+k]) for i in 1..n-k+1]``.
@@ -979,7 +993,7 @@ RAW_SHINGLES_SQL = r"""
 )
 def text_repetition_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(
-        load(spark, sf_dir, "documents"),
+        _docs_spread(spark, sf_dir),
         scan_partitions(spark, sf_dir, "documents"),
     )
     # toks and the window array are materialized as attributes across
@@ -1149,7 +1163,7 @@ _QW_SQL = (
     "text_dsir_selection's scoring pass.",
 )
 def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     tb = docs.select(
         "doc_id",
         F.explode(
@@ -1775,7 +1789,7 @@ def text_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "100 TB story. Oracle mirrors the whole chain in one WITH block.",
 )
 def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     t = F.col("text")
     keep = qf_keep(t)
     kept = docs.filter(keep).select("doc_id", "lang", "text")
@@ -1853,7 +1867,7 @@ CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
     "O(corpus tokens x overlap factor), linear at 100 TB.",
 )
 def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     arr = F.split(F.trim(F.col("text")), r"\s+")
     toks = docs.select("doc_id", arr.alias("arr"))
     starts = toks.select(
@@ -1918,7 +1932,7 @@ _PII_PHONE = r"\+\d[\d-]{7,}"
     "none — both engines construct and mask the identical payload.",
 )
 def text_mask_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     raw = F.concat(
         F.col("text"),
         F.lit(" contact user"),
@@ -1982,7 +1996,7 @@ def text_mask_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    docs = load(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     toks = docs.select(
         "doc_id",
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"),
@@ -2307,7 +2321,7 @@ def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = (
-        load(spark, sf_dir, "documents")
+        _docs_spread(spark, sf_dir)
         .select(
             "doc_id",
             F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("t"),
@@ -2499,7 +2513,7 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean log-weight over target-domain docs is +KL(p_t || p_c) and
     over raw docs is -KL, so target docs must average strictly
     higher."""
-    docs = load(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     tb = docs.select(
         "doc_id",
         "lang",
@@ -2623,7 +2637,7 @@ EXSUB_K = 50
 def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    d2 = load(spark, sf_dir, "documents").select(
+    d2 = _docs_spread(spark, sf_dir).select(
         "doc_id",
         F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("t"),
     ).select("doc_id", F.size("t").alias("n_tokens"), "t")
@@ -3021,7 +3035,7 @@ DUP_SPAN_K = 8
 )
 def text_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(
-        load(spark, sf_dir, "documents"),
+        _docs_spread(spark, sf_dir),
         scan_partitions(spark, sf_dir, "documents"),
     )
     return remove_dup_spans(docs)
@@ -3307,7 +3321,7 @@ def pipeline_c4_style(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = spread(
-        load(spark, sf_dir, "documents"),
+        _docs_spread(spark, sf_dir),
         scan_partitions(spark, sf_dir, "documents"),
     )
     t = F.col("text")
@@ -3898,7 +3912,7 @@ _BPE_APPLY_SQL = (
 )
 def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = learn_bpe_merges(spark, sf_dir)
-    docs = load(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     words = docs.select(
         "doc_id",
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"),
@@ -3971,7 +3985,7 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     "whole-stage-codegen'd end to end.)",
 )
 def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    docs = _docs_spread(spark, sf_dir).filter(F.length("text") > 0)
     chars = docs.select(
         "doc_id",
         F.explode(
@@ -4073,7 +4087,7 @@ CCNET_B = 4096
 def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    docs = load(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     tb = docs.select(
         "doc_id",
         "lang",
@@ -4203,7 +4217,7 @@ SOFT_W = 5
     "(within-doc repetition): this is the cross-corpus soft policy.",
 )
 def dedup_soft_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").select(
+    docs = _docs_spread(spark, sf_dir).select(
         "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("t")
     )
     base = docs.select("doc_id", F.size("t").alias("n_tokens"), "t")
@@ -4318,7 +4332,7 @@ BM25_TOPK = 10
     "Tie-break (score desc, doc_id) on the INTEGER score.",
 )
 def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").select(
+    docs = _docs_spread(spark, sf_dir).select(
         "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("t")
     )
     dl = docs.select("doc_id", F.size("t").alias("dl"))
@@ -4531,7 +4545,7 @@ def _diversity_lang_grams(
     gram text, identical modulo 64-bit collisions (~1e-9 here). ONE
     helper shared by the exact entry and its approx contract twin so
     the slicing cannot drift between them."""
-    docs = load(spark, sf_dir, "documents").select(
+    docs = _docs_spread(spark, sf_dir).select(
         "lang", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("t")
     ).select(
         "lang", "t", F.expr("transform(t, tok -> xxhash64(tok))").alias("th")
@@ -4719,7 +4733,7 @@ def _fineweb_funnel_sql() -> str:
 )
 def pipeline_fineweb_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(
-        load(spark, sf_dir, "documents"),
+        _docs_spread(spark, sf_dir),
         scan_partitions(spark, sf_dir, "documents"),
     )
     t = F.col("text")
@@ -5518,7 +5532,7 @@ def _kn_prob():
     "broadcast vs shuffle per table size.",
 )
 def text_kn_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     big, bc, ctx, cont, tot = _kn_tables(docs)
     p_kn = F.log(_kn_prob())
     avg_lp = F.round(F.avg(p_kn), 4)
@@ -5797,7 +5811,7 @@ def _cms_bucket(i: int, w) -> "F.Column":
     "value_counts, process_logs_v9.py:231).",
 )
 def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    toks = load(spark, sf_dir, "documents").select(
+    toks = _docs_spread(spark, sf_dir).select(
         F.explode(
             F.split(F.lower(F.trim(F.col("text"))), r"\s+")
         ).alias("w")
@@ -5929,7 +5943,7 @@ CONTAM_FRAC = 0.5
 )
 def text_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     d2 = (
-        load(spark, sf_dir, "documents")
+        _docs_spread(spark, sf_dir)
         .select(
             "doc_id",
             F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("t"),
