@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from . import load, register
 from .logpipe import TEMPLATES_SQL
+from .vectorops import _emb_spread
 
 
 _SCRATCH_DIRS: set = set()
@@ -200,6 +201,12 @@ def ivf_topk(
 
     from ..functions import vectors as V
 
+    # deliberately NOT _emb_spread: the KMeans carve depends on the
+    # scan's row order (init sampling), and repartitioning measurably
+    # degraded the nprobe=2 cells below the recall companion's 5/10
+    # floor — the fit is model-scale anyway, and the scoring pass that
+    # dominates at scale runs over `assigned`, which the fit already
+    # shuffles
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
@@ -358,7 +365,7 @@ def sim_ivf_seeded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .vectorops import _int_emb
 
-    emb = load(spark, sf_dir, "embeddings").select(
+    emb = _emb_spread(spark, sf_dir).select(
         "vec_id", _int_emb(F.col("embedding")).alias("e")
     )
     # seeds: md5-order TakeOrdered + bounded collect (model-scale state,
@@ -527,7 +534,7 @@ def pq_topk(
     corpus-sized) are rescored on full vectors."""
     import numpy as np
 
-    emb = load(spark, sf_dir, "embeddings").select(
+    emb = _emb_spread(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     rows, books, dsub = pq_fit(emb, m=m, ksub=ksub)
@@ -752,7 +759,7 @@ def sim_pq_seeded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .vectorops import _cos, _int_emb
 
-    emb = load(spark, sf_dir, "embeddings").select(
+    emb = _emb_spread(spark, sf_dir).select(
         "vec_id", _int_emb(F.col("embedding")).alias("e")
     )
     seed_rows = (
@@ -912,7 +919,7 @@ def sim_ivfpq_seeded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .vectorops import _cos, _int_emb
 
-    emb = load(spark, sf_dir, "embeddings").select(
+    emb = _emb_spread(spark, sf_dir).select(
         "vec_id", _int_emb(F.col("embedding")).alias("e")
     )
     seed_rows = (

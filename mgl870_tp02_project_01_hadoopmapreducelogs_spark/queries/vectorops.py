@@ -11,7 +11,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from . import load, register
+from . import load, register, scan_partitions, spread
+
+
+def _emb_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings scan repartitioned to session parallelism. The
+    scaled embeddings.parquet is ONE row group, so every per-row
+    vector chain (cosine/dot aggregates, norms, PQ encode) otherwise
+    fuses onto a single scan task at ANY scale — the textops
+    _docs_spread lesson applied to the ANN family (measured there:
+    3-6x at 10x). No-op on inputs that already scan wide; the one
+    count()-only load stays plain."""
+    return spread(
+        load(spark, sf_dir, "embeddings"),
+        scan_partitions(spark, sf_dir, "embeddings"),
+    )
 
 INT_EMB_SQL = "list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000) AS BIGINT))"
 
@@ -137,7 +151,7 @@ COS_SQL = """
     "exact-rescoring stage after LSH/IVF candidate pruning.",
 )
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings").select(
+    emb = _emb_spread(spark, sf_dir).select(
         "vec_id", _int_emb(F.col("embedding")).alias("e")
     )
     anchors = _collect_anchors(emb, F.col("vec_id") == 0)
@@ -174,7 +188,7 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "general form of batch similarity search.",
 )
 def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    base = load(spark, sf_dir, "embeddings").select(
+    base = _emb_spread(spark, sf_dir).select(
         "vec_id", _int_emb(F.col("embedding")).alias("e")
     )
     anchors = _collect_anchors(base, F.col("vec_id") < 5)
@@ -216,7 +230,7 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "candidates then rescored exactly (sim_cosine_topk).",
 )
 def sim_lsh_sign_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings").select(
+    emb = _emb_spread(spark, sf_dir).select(
         "vec_id", _int_emb(F.col("embedding")).alias("e")
     )
     bucket = sum(
@@ -279,7 +293,7 @@ def sim_lsh_sign_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus x corpus.",
 )
 def sim_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
-    base = load(spark, sf_dir, "embeddings").select(
+    base = _emb_spread(spark, sf_dir).select(
         "vec_id", _int_emb(F.col("embedding")).alias("e")
     )
     anchor_rows = _collect_anchors(base, F.col("vec_id") < 5)
@@ -487,7 +501,7 @@ _DEDUP_BANDS_SQL = " UNION ALL ".join(
     "cos 0.9, measured 9.9s at 100x/208k vectors.",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings").select(
+    emb = _emb_spread(spark, sf_dir).select(
         "vec_id", _int_emb(F.col("embedding")).alias("e")
     )
     return embedding_near_pairs(
@@ -590,7 +604,7 @@ _PLANT_BANDS_SQL = " UNION ALL ".join(
     "the threshold cannot flip between engines.",
 )
 def dedup_embedding_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    b0 = load(spark, sf_dir, "embeddings").select(
+    b0 = _emb_spread(spark, sf_dir).select(
         "vec_id", _int_emb(F.col("embedding")).alias("e")
     )
     base = _with_planted(b0)
@@ -743,7 +757,7 @@ def semdedup_parts(
     registered query and its oracle both apply it, so the same entry is
     valid at sf-scale (where it equals SEM_K) and at 100x (where it
     bounds cell grams to ~SEM_TARGET_CELL rows)."""
-    b0 = load(spark, sf_dir, "embeddings").select(
+    b0 = _emb_spread(spark, sf_dir).select(
         "vec_id", _int_emb(F.col("embedding")).alias("e")
     )
     if k is None:
@@ -965,7 +979,7 @@ def semdedup_kmeans_parts(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    b0 = load(spark, sf_dir, "embeddings").select(
+    b0 = _emb_spread(spark, sf_dir).select(
         "vec_id", _int_emb(F.col("embedding")).alias("e")
     )
     if k is None:
@@ -1121,7 +1135,7 @@ _MMR_SQL = (
 def sim_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
-    emb = load(spark, sf_dir, "embeddings").select(
+    emb = _emb_spread(spark, sf_dir).select(
         "vec_id", _int_emb(F.col("embedding")).alias("e")
     )
     q_anchor = _collect_anchors(emb, F.col("vec_id") == 0)
@@ -1214,7 +1228,7 @@ def sim_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "generate_subscripts.",
 )
 def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
+    emb = _emb_spread(spark, sf_dir)
     return (
         emb.select("label", F.posexplode("embedding").alias("pos0", "v"))
         .groupBy("label", (F.col("pos0") + 1).cast("long").alias("pos"))
@@ -1277,7 +1291,7 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     "topk's exact path).",
 )
 def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings").select(
+    emb = _emb_spread(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     stats = (
@@ -1375,7 +1389,7 @@ def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "back; both shuffles key on the tiny label space.",
 )
 def dq_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings").select(
+    emb = _emb_spread(spark, sf_dir).select(
         "vec_id", "label", _int_emb(F.col("embedding")).alias("e")
     )
     n2 = emb.select(
