@@ -184,7 +184,15 @@ def test_semdedup_assignment_is_map_only(spark):
     assigned, _ = semdedup_parts(spark, SF_DIR)
     plan = executed_plan_str(assigned)
     assert "Window" not in plan, "argmax must not plan as a window"
-    assert "Exchange" not in plan, "assignment must be map-only"
+    # the only Exchange allowed is the scan-widening round-robin
+    # repartition (_emb_spread, round-11 fusion sweep) — a KEYED
+    # exchange would mean the assignment itself shuffles the corpus
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan, (
+        "assignment must be map-only (no keyed shuffle)"
+    )
+    assert plan.count("Exchange") == plan.count(
+        "Exchange RoundRobinPartitioning"
+    ), plan
     assert "MapInPandas" in plan
 
 
