@@ -107,7 +107,7 @@ def _langid_oracle() -> str:
     "the Spark expression.",
 )
 def text_detect_language(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     return docs.select(
         "doc_id", "lang", TX.detect_language(F.col("text")).alias("detected")
     )
@@ -124,7 +124,7 @@ NORM_SQL = r"trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', '', 'g')
     doc="Document fingerprint: md5 of normalized text (content address).",
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     return docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
 
 
@@ -141,7 +141,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "carries (fp, doc_id) only.",
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     return (
         docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
         .groupBy("fp")
@@ -946,7 +946,7 @@ SIMHASH_PAIRS_SQL = rf"""
     "nothing; planted 1-bit/2-bit flips are pytest-covered too.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     hashes = simhash_fingerprints(docs).cache()
     return simhash_near_pairs(hashes, max_hamming=2)
 
@@ -1061,7 +1061,7 @@ def qf_keep(t):
     "expensive dedup. Single codegen'd projection, no shuffle.",
 )
 def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     t = F.col("text")
     keep = qf_keep(t)
     return docs.select("doc_id", keep.alias("keep"))
@@ -1452,7 +1452,7 @@ LANGID_AGREEMENT_FLOOR = 0.98
     "tie-break divergence between engines breaks the hash.",
 )
 def text_langid_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     learned = _langid_learned_frame(spark, sf_dir).select(
         "doc_id", "detected"
     )
@@ -1602,7 +1602,7 @@ def corpus_stats_by_language(spark: SparkSession, sf_dir: str) -> DataFrame:
     "TakeOrdered over the vocab-sized aggregate.",
 )
 def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     toks = docs.select(
         "doc_id",
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"),
@@ -2113,7 +2113,7 @@ def text_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     "out at 4 decimals.",
 )
 def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     toks = docs.select(
         "doc_id",
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"),
@@ -2181,7 +2181,7 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     "AVG of logs rounds AFTER aggregation.",
 )
 def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     arr = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     toks = docs.select("doc_id", arr.alias("t"))
     big = (
@@ -2793,7 +2793,7 @@ def dedup_suffix_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos_cap = (1 << SA_POS_BITS) - SA_MIN_LEN
     doc_cap = 1 << (62 - SA_POS_BITS)
     d2 = (
-        load(spark, sf_dir, "documents")
+        _docs_spread(spark, sf_dir)
         .select(
             "doc_id",
             F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("t"),
@@ -2955,7 +2955,7 @@ OOV_VOCAB_K = 100
     "is map-only against the broadcast vocab.",
 )
 def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     toks = docs.select(
         "doc_id",
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"),
@@ -3368,7 +3368,7 @@ _INCR_INDEX_ORACLE = f"""
 def _incr_index_sides(spark: SparkSession, sf_dir: str):
     """(index, batch) sides of the cross-run dedup — shared by the
     shuffle-keyed entry and its bucketed twin."""
-    docs = load(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     fps = docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
     idx = fps.filter(F.col("doc_id") % 2 == 0).select("fp").distinct()
     batch = fps.filter(F.col("doc_id") % 2 == 1)
@@ -3517,7 +3517,7 @@ def corpus_shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     "explosion; identical shape at 100 TB.",
 )
 def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     split = F.when(
         F.substring(
             F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 2
@@ -3643,7 +3643,7 @@ BPE_TOPK = 20
     "engine-identical.",
 )
 def text_bpe_merge_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     words = docs.select(
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w")
     )
@@ -3770,7 +3770,7 @@ def learn_bpe_merges(
     """The BPE trainer loop shared by ``text_bpe_train`` (returns the
     merge list) and ``text_bpe_apply`` (tokenizes the corpus with it).
     Driver state is the merge list itself — ``BPE_ROUNDS`` rows."""
-    docs = load(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     words = docs.select(
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w")
     )
@@ -4434,7 +4434,7 @@ SRC_MIN_KEEP_PCT = 50
     "predicate compares integer products, engine-exact.",
 )
 def dq_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     t = F.col("text")
     f = docs.select(
         "doc_id",
