@@ -992,10 +992,7 @@ RAW_SHINGLES_SQL = r"""
     "division is IEEE-identical and rounds after.",
 )
 def text_repetition_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread(
-        _docs_spread(spark, sf_dir),
-        scan_partitions(spark, sf_dir, "documents"),
-    )
+    docs = _docs_spread(spark, sf_dir)
     # toks and the window array are materialized as attributes across
     # separate selects (window_gram_expr's caller contract)
     tokdf = docs.select(
@@ -3034,10 +3031,7 @@ DUP_SPAN_K = 8
     "bit-for-bit.",
 )
 def text_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread(
-        _docs_spread(spark, sf_dir),
-        scan_partitions(spark, sf_dir, "documents"),
-    )
+    docs = _docs_spread(spark, sf_dir)
     return remove_dup_spans(docs)
 
 
@@ -3320,10 +3314,7 @@ _C4_NORM = (
 def pipeline_c4_style(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    docs = spread(
-        _docs_spread(spark, sf_dir),
-        scan_partitions(spark, sf_dir, "documents"),
-    )
+    docs = _docs_spread(spark, sf_dir)
     t = F.col("text")
     kept = docs.filter(qf_keep(t)).select("doc_id", "lang", "text")
     cleaned = remove_dup_spans(kept, carry_cols=["lang"])
@@ -4732,10 +4723,7 @@ def _fineweb_funnel_sql() -> str:
     "per-row fold is semantics-preserving.",
 )
 def pipeline_fineweb_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread(
-        _docs_spread(spark, sf_dir),
-        scan_partitions(spark, sf_dir, "documents"),
-    )
+    docs = _docs_spread(spark, sf_dir)
     t = F.col("text")
     # 3-gram windows as a per-row array (window_gram_expr — raw
     # whitespace split, no normalization; materialized-attribute
