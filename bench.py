@@ -375,10 +375,21 @@ def run_chunk(names: list[str], sf_dir: str) -> None:
         # a steadily DECLINING curve, so min-of-2/3 lands wherever C2
         # compilation happens to be, and two slow-but-equal samples
         # (1.86, 1.85) pass the 1.5x disagreement gate while reading
-        # 2.3x the steady state. Keep sampling while the tail still
-        # improves >3% per run: converged queries pay nothing (their
-        # 2nd sample repeats the 1st), warming queries run until flat.
-        while len(samples) < 6 and samples[-1] < samples[-2] * 0.97:
+        # 2.3x the steady state. Keep sampling while the running min
+        # still falls >3% per run (ADVICE r11: comparing only
+        # samples[-2] lets ONE noisy slow sample end sampling
+        # mid-slope). A query showing no improvement at all converges
+        # on its first check — flat queries pay nothing extra; once an
+        # improvement has been seen, tolerate one non-improving sample
+        # before concluding the curve is flat.
+        flat, improved = 0, False
+        while len(samples) < 7:
+            if samples[-1] < min(samples[:-1]) * 0.97:
+                flat, improved = 0, True
+            else:
+                flat += 1
+                if flat >= (2 if improved else 1):
+                    break
             samples.append(run(name))
         times[name] = round(min(samples), 3)
     times["__probe_ms__"] = _cpu_probe_ms()

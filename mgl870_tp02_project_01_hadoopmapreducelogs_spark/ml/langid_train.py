@@ -49,6 +49,11 @@ GRAM_K = 3
 TRAIN_SYN_N = 400
 TRAIN_SYN_SALT = "langid-train-syn"
 
+#: L2 strength of the multinomial LR fit — a named constant so the
+#: generated weights-file header (scripts/train_langid.py) states the
+#: regularization actually used rather than a drifting literal
+REG_PARAM = 1e-4
+
 
 def bucket_of_gram(gram: str) -> int:
     """Python twin of the serving path's bucketing: first 3 hex digits
@@ -190,7 +195,7 @@ def fit_weights(spark, texts: list[str], labels: list[str]):
     train = spark.createDataFrame(rows, ["label", "w", "features"])
     lr = LogisticRegression(
         maxIter=300,
-        regParam=1e-4,
+        regParam=REG_PARAM,
         elasticNetParam=0.0,
         family="multinomial",
         standardization=False,

@@ -100,7 +100,7 @@ def main() -> None:
             '"""Frozen language-ID weights — GENERATED, do not '
             "hand-edit.\n\nProduced by scripts/train_langid.py on "
             f"{os.path.basename(sf_dir)}:\npyspark.ml multinomial "
-            "LogisticRegression (L2 1e-3, LBFGS) on mean-pooled\n"
+            f"LogisticRegression (L2 {lt.REG_PARAM:g}, LBFGS) on mean-pooled\n"
             "1024-bucket hashed char-3-grams; real docs labeled by the "
             "stopword-vote\nheuristic (teacher) plus "
             f"{lt.TRAIN_SYN_N}/lang deterministic synthetic docs;\n"
