@@ -38,10 +38,11 @@ ROWS_ONLY_REGISTRY = {
 }
 
 #: the subset of ROWS_ONLY_REGISTRY deliberately rotated into THIS
-#: round's driver window for rows-only re-confirmation. Round 11
-#: re-confirms ALL NINE raws (judge r10 ask #1: their driver stamps
-#: were r8, deferred from r9 and r10 — no further deferral).
-ROWS_ONLY_WINDOW: set = set(ROWS_ONLY_REGISTRY)
+#: round's driver window for rows-only re-confirmation. Round 12
+#: rotates NONE in: all nine raws were re-stamped r11 (the freshest
+#: evidence in the registry), and the r12 slots go to the stale
+#: sweep-touched cohort instead (judge r11 ask #1).
+ROWS_ONLY_WINDOW: set = set()
 
 
 def test_registry_entries_bind_their_own_functions():

@@ -127,3 +127,77 @@ def test_split_frames_rejects_malformed_payload():
     vid = multimodal.encode_ppm(4, 2, bytes(24)) + b"garbage-not-a-frame"
     with pytest.raises(ValueError):
         multimodal.split_ppm_frames(vid)
+
+
+# --- image perceptual-hash near-dup (dedup_image_phash) ---------------------
+
+
+def _phash_py(d: int) -> int:
+    """Pure-Python mirror of the dedup_image_phash test pattern +
+    aHash — used to PLANT pairs at known hamming distances, so the
+    test checks the Spark pipeline against an independent
+    implementation (no Spark code reused)."""
+    import hashlib
+
+    base, parity = d // 2, d % 2
+    rows = [
+        hashlib.md5(f"{base}:{y}".encode()).hexdigest() for y in range(8)
+    ]
+
+    def gray(x, y):
+        g = (int(rows[y][2 * x], 16) * 16 + int(rows[y][2 * x + 1], 16)) % 251
+        if parity == 1 and x == 0 and y == 0:
+            g = (g + 100) % 251
+        return g
+
+    cells = []
+    for cy in range(4):
+        for cx in range(8):
+            s = (
+                gray(2 * cx, 2 * cy)
+                + gray(2 * cx + 1, 2 * cy)
+                + gray(2 * cx, 2 * cy + 1)
+                + gray(2 * cx + 1, 2 * cy + 1)
+            )
+            cells.append(s // 4)
+    tot = sum(cells)
+    return sum(1 << k for k, c in enumerate(cells) if c * 32 > tot)
+
+
+def test_image_phash_finds_planted_near_identical_images(spark, tmp_path):
+    from itertools import combinations
+
+    from mgl870_tp02_project_01_hadoopmapreducelogs_spark.queries import (
+        streamq,
+    )
+
+    # scan the doc_id space for planted twins at hamming exactly 1 and 2
+    k1 = k2 = None
+    for k in range(500):
+        ham = bin(_phash_py(2 * k) ^ _phash_py(2 * k + 1)).count("1")
+        if ham == 1 and k1 is None:
+            k1 = k
+        if ham == 2 and k2 is None:
+            k2 = k
+        if k1 is not None and k2 is not None:
+            break
+    assert k1 is not None and k2 is not None
+    ids = [2 * k1, 2 * k1 + 1, 2 * k2, 2 * k2 + 1]
+    spark.createDataFrame(
+        [(i, f"doc {i}") for i in ids], "doc_id long, text string"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    out = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in streamq.dedup_image_phash(spark, str(tmp_path)).collect()
+    }
+    expected = {
+        (a, b): bin(_phash_py(a) ^ _phash_py(b)).count("1")
+        for a, b in combinations(sorted(ids), 2)
+        if bin(_phash_py(a) ^ _phash_py(b)).count("1") <= 2
+    }
+    # the planted twins are in, at their exact distances...
+    assert expected[(2 * k1, 2 * k1 + 1)] == 1
+    assert expected[(2 * k2, 2 * k2 + 1)] == 2
+    # ...and the probing emits exactly the brute-force pair set
+    assert out == expected

@@ -267,3 +267,18 @@ def test_jaccard_pair_budget_exact_verification(spark, tmp_path):
         for r in textops.dedup_ngram_jaccard(spark, str(tmp_path)).collect()
     }
     assert out == out2
+
+
+def test_fineweb_funnel_learned_twin_matches_heuristic_report(spark):
+    # the learned detector agrees with its teacher 1.0 on this corpus
+    # (text_langid_agreement), so the two funnels must emit IDENTICAL
+    # reports — a weights or serving regression breaks the composed
+    # pipeline here, not just the standalone entry
+    from mgl870_tp02_project_01_hadoopmapreducelogs_spark.queries import textops
+
+    sf = "/root/testdata/sf0.001"
+    heur = sorted(map(tuple, textops.pipeline_fineweb_funnel(spark, sf).collect()))
+    learned = sorted(
+        map(tuple, textops.pipeline_fineweb_funnel_learned(spark, sf).collect())
+    )
+    assert learned == heur
