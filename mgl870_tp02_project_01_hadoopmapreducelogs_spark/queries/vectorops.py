@@ -151,7 +151,13 @@ COS_SQL = """
     "exact-rescoring stage after LSH/IVF candidate pruning.",
 )
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb_spread(spark, sf_dir).select(
+    # DELIBERATELY un-spread (r12 A/B, SCALE_NOTES): one 64-dim dot +
+    # a TakeOrdered is too cheap to amortize the repartition — measured
+    # nospread 0.49-0.58s vs spread 0.65-0.73s at sf0.1 AND 10x, and
+    # 1.4-2.0s vs 1.9-3.1s at 100x. The heavy vector chains (PQ encode,
+    # gram feeds) keep _emb_spread; this one-pass scan scans wide on
+    # real multi-row-group input anyway.
+    emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", _int_emb(F.col("embedding")).alias("e")
     )
     anchors = _collect_anchors(emb, F.col("vec_id") == 0)
@@ -986,9 +992,15 @@ def semdedup_kmeans_parts(
         n_base = n_base if n_base is not None else b0.count()
         k = _sem_k_rule(n_base)
     base = _with_planted(b0).withColumn("n2", _dot(F.col("e"), F.col("e")))
+    # TWO consumers (the bounded KMeans training sample and the
+    # full-corpus assignment) otherwise re-expand the whole lineage —
+    # including _emb_spread's repartition — once each (the budget-
+    # recall-audit two-consumer trap; measured here r12: sf0.1 steady
+    # state 6.2-6.6s -> ~5.3s, 100x 17.7-18.6s -> ~15s with the
+    # checkpoint, while dropping the spread instead costs 1.5x at 100x)
     with_vec = base.withColumn(
         "v", array_to_vector(F.col("e").cast("array<double>"))
-    )
+    ).localCheckpoint(eager=False)
     # quantizer trains on a bounded sample, assigns the full corpus —
     # the standard IVF-codebook rule (~64 training points per centroid
     # is ample; FAISS warns below ~39). A full-corpus fit is O(passes *
