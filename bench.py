@@ -253,6 +253,16 @@ CHUNKS = [
         "corpus_domain_cap",
         "corpus_token_budget_sample",
     ],
+    # round-12 additions — own chunk so earlier probe positions hold.
+    # The image phash entry synthesizes + resizes + decodes a toy
+    # raster per doc inside mapInPandas (the cost IS the byte
+    # pipeline); the learned funnel twin runs the trained langid's
+    # gram pass on top of the funnel's per-row gates, so it reads
+    # roughly funnel + langid.
+    [
+        "dedup_image_phash",
+        "pipeline_fineweb_funnel_learned",
+    ],
 ]
 
 HEADLINE = [name for chunk in CHUNKS for name in chunk]

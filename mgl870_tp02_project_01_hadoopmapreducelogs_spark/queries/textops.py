@@ -4961,6 +4961,12 @@ def pipeline_fineweb_funnel_learned(
         "doc_id", F.col("detected")
     )
     t = F.col("text")
+    # the report's TWO rollup consumers re-expand the flags lineage
+    # once each — free for the heuristic funnel (flags is a narrow
+    # per-row projection) but here flags carries the learned
+    # detector's gram aggregate + doc join, so materialize it once
+    # (the two-consumer checkpoint idiom; un-checkpointed the plan
+    # audit read 19 exchanges vs the heuristic funnel's 6)
     flags = shdf.join(det, "doc_id").select(
         "doc_id",
         "lang",
@@ -4968,7 +4974,7 @@ def pipeline_fineweb_funnel_learned(
         _fineweb_rep_ok().alias("rep_ok"),
         qf_keep(t).alias("q_ok"),
         TX.fingerprint(t).alias("fp"),
-    )
+    ).localCheckpoint(eager=False)
     return _fineweb_report(flags)
 
 

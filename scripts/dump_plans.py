@@ -107,6 +107,10 @@ EAGER_CONSTRUCTION = {
     "graph_pagerank_docs": "one count() scan for the integer teleport "
     "constant (model-scale scalar, like seeds); the six rank "
     "iterations are lazy and localCheckpoint-truncated per round",
+    "dedup_jaccard_budget_recall": "one count() scan for the audit's "
+    "sample modulus (r12 input bound, model-scale scalar — the "
+    "pagerank teleport shape); both audit legs are lazy over the "
+    "checkpointed sampled shingle table",
 }
 
 
