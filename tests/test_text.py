@@ -282,3 +282,20 @@ def test_fineweb_funnel_learned_twin_matches_heuristic_report(spark):
         map(tuple, textops.pipeline_fineweb_funnel_learned(spark, sf).collect())
     )
     assert learned == heur
+
+
+def test_bloom_prescreen_report_equals_exact_anti_join(spark):
+    # a Bloom filter has no false negatives, so the prescreened report
+    # must equal the plain anti-join byte for byte — a salt drift,
+    # probe-arity mismatch, or bitset build bug drops/adds keeper rows
+    from mgl870_tp02_project_01_hadoopmapreducelogs_spark.queries import textops
+
+    sf = "/root/testdata/sf0.001"
+    exact = sorted(
+        map(tuple, textops.dedup_incremental_index(spark, sf).collect())
+    )
+    bloom = sorted(
+        map(tuple, textops.dedup_incremental_bloom(spark, sf).collect())
+    )
+    assert bloom == exact
+    assert len(bloom) > 0
