@@ -258,7 +258,11 @@ CHUNKS = [
     # raster per doc inside mapInPandas (the cost IS the byte
     # pipeline); the learned funnel twin runs the trained langid's
     # gram pass on top of the funnel's per-row gates, so it reads
-    # roughly funnel + langid.
+    # roughly funnel + langid. streaming_image_phash_dedup stays
+    # registered + driver-gated but UNbenched, the
+    # streaming_minhash_dedup precedent: one representative stateful
+    # streaming dedup (the fast production contract) carries the
+    # bench signal for the family.
     [
         "dedup_image_phash",
         "pipeline_fineweb_funnel_learned",

@@ -597,9 +597,10 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: the phash test pattern: per doc a 16x8 P6 PPM whose gray rows come
 #: from md5(f"{doc_id//2}:{row}") hex digits — docs 2k/2k+1 share a
 #: base image, the odd twin gets pixel (0,0) perturbed (+100 mod 251),
-#: so the corpus carries planted near-identical images at hamming 0-2
-IMG_PHASH_SQL = """
-    WITH grid AS (
+#: so the corpus carries planted near-identical images at hamming 0-2.
+#: The CTE chain (through `ph`: doc_id -> 32-bit aHash) is shared by
+#: the batch pair entry and the streaming dedup twin's oracle.
+IMG_PHASH_CTES = """grid AS (
         SELECT cx, cy, dx, dy
         FROM (SELECT unnest(generate_series(0, 7)) AS cx)
         CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS cy)
@@ -640,12 +641,55 @@ IMG_PHASH_SQL = """
                         THEN (CAST(1 AS BIGINT) << k) ELSE 0 END)
                     AS BIGINT) AS fp
         FROM tot GROUP BY doc_id
-    )
+    )"""
+
+IMG_PHASH_SQL = f"""
+    WITH {IMG_PHASH_CTES}
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
     FROM ph a JOIN ph b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.fp, b.fp)) <= 2
 """
+
+
+def _phash_synth(batches):
+    """mapInPandas kernel: doc_id -> (doc_id, simhash) through the
+    REAL byte pipeline (encode_ppm -> resize_ppm 2x box-average ->
+    decode_ppm -> integer aHash). Module-level so the batch pair entry
+    and the streaming dedup twin share one fingerprint definition —
+    a drift between them would break both oracles differently."""
+    import hashlib
+
+    import pandas as pd
+
+    for pdf in batches:
+        fps = []
+        for d in pdf["doc_id"]:
+            d = int(d)
+            base, parity = d // 2, d % 2
+            hexrows = [
+                hashlib.md5(f"{base}:{y}".encode()).hexdigest()
+                for y in range(8)
+            ]
+            body = bytearray()
+            for y in range(8):
+                hv = hexrows[y]
+                for x in range(16):
+                    g = (int(hv[2 * x], 16) * 16 + int(hv[2 * x + 1], 16)) % 251
+                    if parity == 1 and x == 0 and y == 0:
+                        g = (g + 100) % 251
+                    body += bytes((g, g, g))
+            payload = multimodal.encode_ppm(16, 8, bytes(body))
+            small = multimodal.resize_ppm(payload, 2)
+            _, _, thumb = multimodal.decode_ppm(small)
+            cells = thumb[0::3]  # gray channel; row-major = bit k
+            tot = sum(cells)
+            fp = 0
+            for k, c in enumerate(cells):
+                if c * 32 > tot:
+                    fp |= 1 << k
+            fps.append(fp)
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": fps})
 
 
 @register(
@@ -677,10 +721,6 @@ IMG_PHASH_SQL = """
     "wanted.",
 )
 def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
-
-    import pandas as pd
-
     from . import scan_partitions, spread
     from .textops import simhash_near_pairs
 
@@ -688,39 +728,57 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "documents").select("doc_id"),
         scan_partitions(spark, sf_dir, "documents"),
     )
-
-    def synth_hash(batches):
-        for pdf in batches:
-            fps = []
-            for d in pdf["doc_id"]:
-                d = int(d)
-                base, parity = d // 2, d % 2
-                hexrows = [
-                    hashlib.md5(f"{base}:{y}".encode()).hexdigest()
-                    for y in range(8)
-                ]
-                body = bytearray()
-                for y in range(8):
-                    hv = hexrows[y]
-                    for x in range(16):
-                        g = (int(hv[2 * x], 16) * 16 + int(hv[2 * x + 1], 16)) % 251
-                        if parity == 1 and x == 0 and y == 0:
-                            g = (g + 100) % 251
-                        body += bytes((g, g, g))
-                payload = multimodal.encode_ppm(16, 8, bytes(body))
-                small = multimodal.resize_ppm(payload, 2)
-                _, _, thumb = multimodal.decode_ppm(small)
-                cells = thumb[0::3]  # gray channel; row-major = bit k
-                tot = sum(cells)
-                fp = 0
-                for k, c in enumerate(cells):
-                    if c * 32 > tot:
-                        fp |= 1 << k
-                fps.append(fp)
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": fps})
-
-    hashes = docs.mapInPandas(synth_hash, "doc_id long, simhash long").cache()
+    hashes = docs.mapInPandas(_phash_synth, "doc_id long, simhash long").cache()
     return simhash_near_pairs(hashes, max_hamming=2)
+
+
+@register(
+    "streaming_image_phash_dedup",
+    f"""
+    WITH {IMG_PHASH_CTES}
+    SELECT a.doc_id,
+           max(CASE WHEN b.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS is_dup
+    FROM ph a LEFT JOIN ph b
+      ON b.doc_id < a.doc_id AND bit_count(xor(a.fp, b.fp)) <= 2
+    GROUP BY a.doc_id
+    """,
+    doc="STREAMING image near-dup — dedup composed across modality AND "
+    "time: the incoming doc firehose is perceptual-hashed per row "
+    "(the SAME _phash_synth byte pipeline as the batch pair entry, "
+    "stateless mapInPandas on the stream), each fingerprint emits its "
+    "33 one-bit-neighbor bucket keys (identity + 32 single-bit "
+    "flips; two fps share a bucket IFF hamming <= 2 — the batch "
+    "probing's completeness guarantee, reused as the stream's "
+    "bucketing), and the keys feed the PROVEN minhash state machine "
+    "(minhash_dedup_stream: prefix-bounded groups, one long per "
+    "occupied bucket, first-arrival-wins across micro-batches, "
+    "min-id-wins within a batch). A doc is flagged duplicate iff an "
+    "earlier/smaller doc sits within hamming 2 of its image. "
+    "Single-batch run ≡ the batch min-id rule, which the DuckDB "
+    "oracle recomputes by brute-forcing all fingerprint pairs from "
+    "the arithmetic pixel definition — a different algorithm on both "
+    "legs. State is bounded by occupied-bucket cardinality (33 longs "
+    "per distinct fingerprint), never corpus text.",
+)
+def streaming_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = load_documents_stream(spark, sf_dir).select("doc_id")
+    hashes = stream.mapInPandas(_phash_synth, "doc_id long, simhash long")
+    keys = hashes.select(
+        "doc_id",
+        F.lit(0).alias("band_id"),
+        F.explode(
+            F.array(
+                F.col("simhash"),
+                *[
+                    F.col("simhash").bitwiseXOR(F.lit(1 << i))
+                    for i in range(32)
+                ],
+            )
+        ).alias("band"),
+    )
+    flags = minhash_dedup_stream(keys)
+    out = _run_stream(flags, "image_phash_stream", mode="append")
+    return out.groupBy("doc_id").agg(F.max("is_dup").alias("is_dup"))
 
 
 @register(

@@ -201,3 +201,48 @@ def test_image_phash_finds_planted_near_identical_images(spark, tmp_path):
     assert expected[(2 * k2, 2 * k2 + 1)] == 2
     # ...and the probing emits exactly the brute-force pair set
     assert out == expected
+
+
+def test_streaming_image_phash_flags_planted_twin(spark, tmp_path):
+    # the planted odd twin sits within hamming <= 2 of its even base
+    # for most bases — pick one via the mirror, then the stream must
+    # flag exactly the higher doc_id as duplicate (min-id rule)
+    from mgl870_tp02_project_01_hadoopmapreducelogs_spark.queries import (
+        streamq,
+    )
+
+    k = next(
+        k
+        for k in range(500)
+        if bin(_phash_py(2 * k) ^ _phash_py(2 * k + 1)).count("1") <= 2
+    )
+    far = next(
+        i
+        for i in range(3000, 4000)
+        if i // 2 != k
+        and all(
+            bin(_phash_py(i) ^ _phash_py(d)).count("1") > 2
+            for d in (2 * k, 2 * k + 1)
+        )
+    )
+    ids = [2 * k, 2 * k + 1, far]
+    # the documents stream globs for a FILE named documents.parquet
+    # (the testdata layout), so stage a single part file under that name
+    import glob
+    import shutil
+
+    stage = tmp_path / "stage"
+    spark.createDataFrame(
+        [(i, f"doc {i}") for i in ids], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(stage))
+    shutil.move(
+        glob.glob(str(stage / "part-*.parquet"))[0],
+        str(tmp_path / "documents.parquet"),
+    )
+    out = {
+        r.doc_id: r.is_dup
+        for r in streamq.streaming_image_phash_dedup(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out == {2 * k: 0, 2 * k + 1: 1, far: 0}
