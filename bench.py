@@ -267,6 +267,7 @@ CHUNKS = [
         "dedup_image_phash",
         "pipeline_fineweb_funnel_learned",
         "dedup_incremental_bloom",
+        "dedup_image_phash_groups",
     ],
 ]
 

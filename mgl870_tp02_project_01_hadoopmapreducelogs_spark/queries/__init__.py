@@ -159,7 +159,7 @@ from . import (  # noqa: E402,F401
 # relational rows a3/a6/a7/a8/a10/a11/k1-k4/p2/p3/p5/s2/s3/s6,
 # setop_union_distinct, join_left_semi/anti, join_window_alignment,
 # ml_stratified_split_counts, ml_windowed_dataset,
-# rollup_region_nation,
+# rollup_region_nation, window_rank_analytics,
 # text_quality_score/sample_temperature/token_count — all code-
 # unchanged since their stamp and all re-verified by the local
 # 206-entry gate every closing) defer to r13 alongside the remaining
@@ -171,6 +171,7 @@ _PRIORITY = [
     # (a) r12 newcomers + code changed this round
     "dedup_image_phash", "pipeline_fineweb_funnel_learned",
     "dedup_incremental_bloom", "streaming_image_phash_dedup",
+    "dedup_image_phash_groups",
     "dedup_jaccard_budget_recall", "dedup_ngram_jaccard",
     # (b) the full r7 cohort (5 rounds old; sweep-touched first,
     # then the semdedup probe pair, then the rest)
@@ -198,7 +199,6 @@ _PRIORITY = [
     # (f) r8 cohort fill
     "asof_join_last_order", "join_broadcast_dims",
     "approx_sketches", "skew_salted_agg",
-    "window_rank_analytics",
 ]
 
 

@@ -733,6 +733,52 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_image_phash_groups",
+    f"""
+    WITH RECURSIVE {IMG_PHASH_CTES},
+    jpairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.fp, b.fp)) <= 2
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM jpairs
+        UNION
+        SELECT doc_b, doc_a FROM jpairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (
+        SELECT a AS doc_id, LEAST(a, min(b)) AS component
+        FROM reach GROUP BY a
+    )
+    SELECT component, component AS keeper, count(*) AS n_docs
+    FROM comp GROUP BY component
+    """,
+    doc="Image near-dup pairs → dedup GROUPS: the dedup_connected_"
+    "components composition applied to the perceptual-hash pair graph "
+    "— iterative min-label propagation (operators/graph.dedup_groups: "
+    "Kiveris-style join+agg rounds, localCheckpoint lineage "
+    "truncation) over dedup_image_phash's hamming<=2 pairs, one "
+    "keeper per visually-duplicate image cluster. The oracle "
+    "recomputes the components with a recursive CTE over the "
+    "brute-forced arithmetic fingerprints — both the byte pipeline "
+    "AND the iterative grouping check against a different algorithm. "
+    "Transitive grouping is exactly what pair emission cannot give a "
+    "pipeline owner: near-dup chains (A~B~C with A,C at hamming 4) "
+    "collapse to one keeper.",
+)
+def dedup_image_phash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import graph
+
+    pairs = dedup_image_phash(spark, sf_dir).select("doc_a", "doc_b")
+    return graph.dedup_groups(pairs)
+
+
+@register(
     "streaming_image_phash_dedup",
     f"""
     WITH {IMG_PHASH_CTES}

@@ -246,3 +246,37 @@ def test_streaming_image_phash_flags_planted_twin(spark, tmp_path):
         ).collect()
     }
     assert out == {2 * k: 0, 2 * k + 1: 1, far: 0}
+
+
+def test_image_phash_groups_collapse_planted_twins(spark, tmp_path):
+    # two planted twin pairs -> exactly two 2-doc components keyed by
+    # the smaller id, plus singletons for any far doc
+    from mgl870_tp02_project_01_hadoopmapreducelogs_spark.queries import (
+        streamq,
+    )
+
+    ks = [
+        k
+        for k in range(500)
+        if bin(_phash_py(2 * k) ^ _phash_py(2 * k + 1)).count("1") <= 2
+    ][:2]
+    ids = [2 * ks[0], 2 * ks[0] + 1, 2 * ks[1], 2 * ks[1] + 1]
+    # guard: the two pairs must not collide with each other
+    assert all(
+        bin(_phash_py(a) ^ _phash_py(b)).count("1") > 2
+        for a in ids[:2]
+        for b in ids[2:]
+    )
+    spark.createDataFrame(
+        [(i, f"doc {i}") for i in ids], "doc_id long, text string"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.component: (r.keeper, r.n_docs)
+        for r in streamq.dedup_image_phash_groups(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out == {
+        2 * ks[0]: (2 * ks[0], 2),
+        2 * ks[1]: (2 * ks[1], 2),
+    }
