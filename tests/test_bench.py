@@ -125,6 +125,26 @@ def test_probe_dilation_gates():
     assert quiet < loud
 
 
+def test_dilation_retry_budget_is_per_chunk():
+    """Round-12 artifact defect: a run-GLOBAL retry budget of 3 was
+    consumed by chunks 0-2, so chunks 3-12 recorded raw host dilation
+    (two queries read 13x their quiet values — judge-adjudicated as
+    measurement, not regression). The retry decision must now depend
+    only on the chunk's own probes — no module/run-level counter may
+    disarm it."""
+    import inspect
+
+    import bench
+
+    src = inspect.getsource(bench.main)
+    assert "dilation_retries_left" not in src, (
+        "global dilation-retry counter reintroduced; the budget must "
+        "be per-chunk"
+    )
+    # and the self-describing verdict must ride the final line
+    assert '"probe_flags"' in src or "probe_flags" in src
+
+
 def test_final_bench_line_fits_driver_tail_budget():
     """BENCH_r07 and r08 were both unparseable: the driver keeps only a
     ~2.2 KB tail of stdout and parses the LAST line, which front-
@@ -157,6 +177,7 @@ def test_final_bench_line_fits_driver_tail_budget():
             "sf": 0.1,
             "chunk_attempts": [2] * len(bench.CHUNKS),
             "chunk_accepted_run": ["retry"] * len(bench.CHUNKS),
+            "probe_flags": "D" * len(bench.CHUNKS),
             "queries": {n: 103.65 for n in bench.KEY_QUERIES},
         },
         separators=(",", ":"),
