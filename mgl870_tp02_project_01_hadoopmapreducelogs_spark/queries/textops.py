@@ -367,8 +367,17 @@ def _capped_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     if hit is not None:
         return hit[1]
     for old_key, (raw, capped) in list(_SHINGLE_MEMO.items()):
-        raw.unpersist()
-        capped.unpersist()
+        # only unpersist frames owned by the LIVE session; entries from
+        # a previous, now-stopped SparkSession in the same Python
+        # process would make py4j raise on the dead context (ADVICE
+        # r12) — their executors are gone, so dropping the dict entry
+        # is the whole cleanup
+        if old_key[0] == key[0]:
+            try:
+                raw.unpersist()
+                capped.unpersist()
+            except Exception:
+                pass
         del _SHINGLE_MEMO[old_key]
     sh0 = _doc_shingles(spark, sf_dir).cache()
     capped = _df_capped(sh0).cache()
@@ -509,12 +518,19 @@ PAIR_BUDGET_RECALL_FLOOR = 0.95
 
 #: audit input bound (judge r11 ask #7): the recall audit's FULL
 #: expansion grows with df^2 (55.8s at 10x pre-bound), so the audit
-#: measures recall on a deterministic doc sample — keep doc_id % mod
-#: == 0 with mod = ceil(n / this), the dedup_lsh_recall sampled-truth
-#: pattern. At driver scale (sf0.01, 500 docs) mod = 1 and the audit
-#: still covers the whole corpus; at any scale its input is bounded
-#: at ~this many docs, so the audit can run pre-flight on a 100 TB
-#: corpus without itself becoming the scale-killer.
+#: measures recall on a deterministic doc sample — keep docs where
+#: md5(doc_id)'s leading 32 bits % mod == 0 with mod = ceil(n / this),
+#: the dedup_lsh_recall sampled-truth pattern. CONTENT-hash keyed
+#: (ADVICE r12): a doc_id % mod predicate assumes dense ids from ~0 —
+#: on a sparse or hashed id space it can select far fewer docs than
+#: the bound (even none), silently making recall_ok vacuous; the md5
+#: predicate tracks the bound on ANY id distribution and is mirrored
+#: exactly in DuckDB via hex-prefix decoding. n_docs_sampled rides the
+#: report so a too-small sample is self-evident. At driver scale
+#: (sf0.01, 500 docs) mod = 1 and the audit still covers the whole
+#: corpus; at any scale its input is bounded at ~this many docs, so
+#: the audit can run pre-flight on a 100 TB corpus without itself
+#: becoming the scale-killer.
 JACCARD_AUDIT_MAX_DOCS = 2000
 
 
@@ -523,7 +539,8 @@ JACCARD_AUDIT_MAX_DOCS = 2000
     f"""
     WITH adocs AS (
         SELECT doc_id, text FROM documents
-        WHERE doc_id % (SELECT GREATEST(1, CAST(CEIL(
+        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+              % (SELECT GREATEST(1, CAST(CEIL(
                   count(*) / {JACCARD_AUDIT_MAX_DOCS}.0) AS BIGINT))
               FROM documents) = 0
     ),
@@ -547,7 +564,8 @@ JACCARD_AUDIT_MAX_DOCS = 2000
         WHERE shared / CAST(na.n + nb.n - shared AS DOUBLE)
               >= {JACCARD_THRESHOLD}
     )
-    SELECT (SELECT count(*) FROM full_pairs) AS n_full,
+    SELECT (SELECT count(*) FROM adocs) AS n_docs_sampled,
+           (SELECT count(*) FROM full_pairs) AS n_full,
            (SELECT count(*) FROM budg) AS n_budgeted,
            (SELECT count(*) FROM full_pairs f
              JOIN budg b ON f.doc_a = b.doc_a AND f.doc_b = b.doc_b) AS n_hit,
@@ -576,14 +594,19 @@ JACCARD_AUDIT_MAX_DOCS = 2000
     "here (audit-scale, like dedup_lsh_recall's sampled truth); the "
     "production path never pays df² fan-out. `recall_ok` pins pair "
     f"recall >= {PAIR_BUDGET_RECALL_FLOOR} beside the exact measured "
-    "number, mirrored verbatim in the oracle SQL.",
+    "number, mirrored verbatim in the oracle SQL. The sample keys on "
+    "md5(doc_id) (ADVICE r12 — id-distribution-free, so the bound "
+    "holds on sparse/hashed id spaces) and reports n_docs_sampled.",
 )
 def dedup_jaccard_budget_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     n_docs = load(spark, sf_dir, "documents").count()
     mod = max(1, math.ceil(n_docs / JACCARD_AUDIT_MAX_DOCS))
-    docs = _docs_spread(spark, sf_dir).filter(F.col("doc_id") % mod == 0)
+    hv = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    docs = _docs_spread(spark, sf_dir).filter(hv % mod == 0)
     # the sampled df-capped shingle table feeds FOUR consumers (sizes,
     # the full-expansion grouping, and the production builder's set +
     # posting-list aggregates) — localCheckpoint so each consumer
@@ -632,12 +655,14 @@ def dedup_jaccard_budget_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hit = full_pairs.join(budg, ["doc_a", "doc_b"])
     row = (
-        full_pairs.agg(F.count(F.lit(1)).alias("n_full"))
+        docs.agg(F.count(F.lit(1)).alias("n_docs_sampled"))
+        .crossJoin(full_pairs.agg(F.count(F.lit(1)).alias("n_full")))
         .crossJoin(budg.agg(F.count(F.lit(1)).alias("n_budgeted")))
         .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
     )
     raw = F.col("n_hit") / F.greatest(F.col("n_full"), F.lit(1)).cast("double")
     return row.select(
+        "n_docs_sampled",
         "n_full",
         "n_budgeted",
         "n_hit",
@@ -894,12 +919,15 @@ def simhash_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def simhash_near_pairs(hashes: DataFrame, max_hamming: int = 2) -> DataFrame:
+def simhash_near_pairs(
+    hashes: DataFrame, max_hamming: int = 2, n_bits: int = 32
+) -> DataFrame:
     """Near-dup pairs by 1-bit-neighbor bucket probing over DISTINCT
     fingerprints.
 
     Probing runs at the FINGERPRINT level: each distinct simhash is
-    emitted under 33 bucket keys — itself plus every 1-bit flip. Two
+    emitted under n_bits + 1 bucket keys — itself plus every 1-bit
+    flip (33 for the 32-bit aHash, 65 for the 64-bit dHash). Two
     hashes at hamming distance d share a key iff d ≤ 2 (d=0: same
     hash; d=1: one's neighbor is the other; d=2: flipping one
     differing bit on each side meets in the middle), so the bucket
@@ -923,14 +951,20 @@ def simhash_near_pairs(hashes: DataFrame, max_hamming: int = 2) -> DataFrame:
     if max_hamming > 2:
         raise ValueError("1-bit probing only guarantees pairs at hamming <= 2")
     fps = hashes.select("simhash").distinct()
+    # n_bits flips (n_bits=64 fingerprints live in a signed long; the
+    # top-bit flip XORs the sign bit, which bitwiseXOR handles exactly)
     keys = fps.select(
         "simhash",
         F.explode(
             F.array(
                 F.col("simhash"),
                 *[
-                    F.col("simhash").bitwiseXOR(F.lit(1 << i))
-                    for i in range(32)
+                    F.col("simhash").bitwiseXOR(
+                        # bit 63 as a signed-long literal (1 << 63
+                        # would overflow to a decimal literal)
+                        F.lit(-(1 << 63) if i == 63 else (1 << i))
+                    )
+                    for i in range(n_bits)
                 ],
             )
         ).alias("bucket"),

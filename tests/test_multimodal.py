@@ -203,6 +203,79 @@ def test_image_phash_finds_planted_near_identical_images(spark, tmp_path):
     assert out == expected
 
 
+def _dhash_py(d: int) -> int:
+    """Pure-Python mirror of the 64-bit dHash (gradient sign over the
+    9x8 left window of the 16x8 raster) — independent of the Spark
+    kernel (no shared code), UNSIGNED form."""
+    import hashlib
+
+    base, parity = d // 2, d % 2
+    rows = [
+        hashlib.md5(f"{base}:{y}".encode()).hexdigest() for y in range(8)
+    ]
+
+    def gray(x, y):
+        g = (int(rows[y][2 * x], 16) * 16 + int(rows[y][2 * x + 1], 16)) % 251
+        if parity == 1 and x == 0 and y == 0:
+            g = (g + 100) % 251
+        return g
+
+    fp = 0
+    for y in range(8):
+        for x in range(8):
+            if gray(x + 1, y) > gray(x, y):
+                fp |= 1 << (y * 8 + x)
+    return fp
+
+
+def test_image_dhash_is_64_bit_and_probing_matches_brute_force(
+    spark, tmp_path
+):
+    from itertools import combinations
+
+    from mgl870_tp02_project_01_hadoopmapreducelogs_spark.queries import (
+        streamq,
+    )
+
+    # 64-bit width must be real: some fingerprint in the first few
+    # docs sets a bit >= 32 (gradient signs are ~coin flips, so this
+    # holds with overwhelming margin — a regression to 32 bits fails)
+    assert any(_dhash_py(d) >> 32 for d in range(8))
+    # a planted twin flips at most the (0,0)->(1,0) gradient bit
+    for k in range(20):
+        assert bin(_dhash_py(2 * k) ^ _dhash_py(2 * k + 1)).count("1") <= 1
+
+    # one twin pair whose perturbation DID flip the gradient (ham 1),
+    # one where it didn't (ham 0), plus an unrelated far doc
+    k1 = next(
+        k
+        for k in range(500)
+        if bin(_dhash_py(2 * k) ^ _dhash_py(2 * k + 1)).count("1") == 1
+    )
+    k0 = next(
+        k
+        for k in range(500)
+        if bin(_dhash_py(2 * k) ^ _dhash_py(2 * k + 1)).count("1") == 0
+    )
+    ids = [2 * k1, 2 * k1 + 1, 2 * k0, 2 * k0 + 1, 7001]
+    spark.createDataFrame(
+        [(i, f"doc {i}") for i in ids], "doc_id long, text string"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    out = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in streamq.dedup_image_dhash(spark, str(tmp_path)).collect()
+    }
+    expected = {
+        (a, b): bin(_dhash_py(a) ^ _dhash_py(b)).count("1")
+        for a, b in combinations(sorted(ids), 2)
+        if bin(_dhash_py(a) ^ _dhash_py(b)).count("1") <= 2
+    }
+    assert expected[(2 * k1, 2 * k1 + 1)] == 1
+    assert expected[(2 * k0, 2 * k0 + 1)] == 0
+    assert out == expected
+
+
 def test_streaming_image_phash_flags_planted_twin(spark, tmp_path):
     # the planted odd twin sits within hamming <= 2 of its even base
     # for most bases — pick one via the mirror, then the stream must
