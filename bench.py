@@ -272,6 +272,17 @@ CHUNKS = [
         "dedup_incremental_bloom",
         "dedup_image_phash_groups",
     ],
+    # round-13 additions — own chunk so earlier probe positions hold.
+    # The curation marquee chains learned funnel -> minhash near-dup
+    # drop -> contamination screen -> packing -> shard manifest in ONE
+    # query (its cost IS the composition: roughly funnel + minhash +
+    # contamination, additive — the per-stage entries price each leg).
+    # The 64-bit dHash pays the same byte pipeline as the aHash entry
+    # minus the resize, plus a 65-key (vs 33) bucket explode.
+    [
+        "pipeline_full_curation",
+        "dedup_image_dhash",
+    ],
 ]
 
 HEADLINE = [name for chunk in CHUNKS for name in chunk]
@@ -284,12 +295,17 @@ HEADLINE = [name for chunk in CHUNKS for name in chunk]
 #: test_final_bench_line_fits_driver_tail_budget at < 1800 bytes
 #: against pessimistic 3-digit timings; the driver tail keeps
 #: ~2.2 KB): 35 entries measure ~1.35 KB — headroom for ~10 more.
-#: ROTATION RULE: round-10 newcomers keep their pins through round 11
-#: (this round), then fold to at most two family representatives each
-#: (dedup -> suffix ladder + bucketed URL; sources -> one WET entry;
-#: layout/sketch/graph -> one each), freeing ~8 slots at r12 before
-#: the budget binds; the four round-11 newcomers keep pins through
-#: r12 on the same rule.
+#: ROTATION RULE: newcomers keep their pins for birth round plus one,
+#: then fold to at most two family representatives each. Applied at
+#: r13: the r10 cohort folds to dedup -> suffix ladder + bucketed URL,
+#: sources -> the WET roundtrip, layout/sketch/graph -> one each
+#: (dropping streaming_wet_ingest, corpus_shard_manifest,
+#: text_contamination_overlap, pipeline_wet_curation — all four stay
+#: in HEADLINE and the full second-line dict); the r11 cohort folds to
+#: the budget-recall audit + the learned langid (dropping
+#: text_langid_agreement, dedup_incremental_index_bucketed,
+#: corpus_domain_cap, corpus_token_budget_sample). The r12 and r13
+#: newcomers are pinned from birth.
 KEY_QUERIES = [
     # mining chunk, whole
     "t1a_mine_templates",
@@ -319,24 +335,24 @@ KEY_QUERIES = [
     "pipeline_fineweb_funnel",
     "text_distinct_diversity_approx",
     "streaming_minhash_dedup_fast",
-    # round-10 newcomers (round-over-round visibility from birth)
+    # round-10 cohort, folded to family representatives at r13
     "dedup_url_canonical_bucketed",
     "source_wet_roundtrip",
     "dedup_suffix_repeats",
     "layout_zorder_pruning",
-    "streaming_wet_ingest",
-    "corpus_shard_manifest",
     "text_heavy_hitters_cms",
-    "text_contamination_overlap",
-    "pipeline_wet_curation",
     "graph_pagerank_docs",
-    # round-11 newcomers (round-over-round visibility from birth)
+    # round-11 cohort, folded to family representatives at r13
     "dedup_jaccard_budget_recall",
     "text_detect_language_learned",
-    "text_langid_agreement",
-    "dedup_incremental_index_bucketed",
-    "corpus_domain_cap",
-    "corpus_token_budget_sample",
+    # round-12 newcomers (round-over-round visibility from birth)
+    "dedup_image_phash",
+    "pipeline_fineweb_funnel_learned",
+    "dedup_incremental_bloom",
+    "dedup_image_phash_groups",
+    # round-13 newcomers (round-over-round visibility from birth)
+    "pipeline_full_curation",
+    "dedup_image_dhash",
 ]
 
 

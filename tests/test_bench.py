@@ -38,11 +38,14 @@ ROWS_ONLY_REGISTRY = {
 }
 
 #: the subset of ROWS_ONLY_REGISTRY deliberately rotated into THIS
-#: round's driver window for rows-only re-confirmation. Round 12
-#: rotates NONE in: all nine raws were re-stamped r11 (the freshest
-#: evidence in the registry), and the r12 slots go to the stale
-#: sweep-touched cohort instead (judge r11 ask #1).
-ROWS_ONLY_WINDOW: set = set()
+#: round's driver window for rows-only re-confirmation. Round 13
+#: rotates ALL NINE in, each placed beside its invariant-oracle
+#: companion (judge r12 ask #4: every engine-specific entry gets
+#: same-round paired evidence — the raw beside ml_model_quality /
+#: ml_rf_quality / ml_pca_variance / ml_anomaly_rate / sim_ivf_recall
+#: / sim_pq_recall / t1c_drain_invariants /
+#: streaming_drain_invariants).
+ROWS_ONLY_WINDOW: set = set(ROWS_ONLY_REGISTRY)
 
 
 def test_registry_entries_bind_their_own_functions():

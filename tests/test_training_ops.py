@@ -1363,3 +1363,46 @@ def test_token_budget_sample_laws(spark, tmp_path):
         .collect()
     }
     assert rows1 == rows2
+
+
+# --- pipeline_full_curation (the end-to-end marquee, r13) ---------------------
+
+
+def test_full_curation_manifest_invariants(spark):
+    """The composed chain's final manifest must satisfy the laws each
+    stage guarantees individually: shards partition the clean doc set
+    (disjoint contiguous id ranges in shard order), every shard's
+    token count is within one document of the budget (the packer's
+    cell-aligned law), and pack counts are positive. The VALUE-level
+    check is the driver oracle; this pins the structural laws at a
+    second scale."""
+    from mgl870_tp02_project_01_hadoopmapreducelogs_spark.queries.textops import (
+        SHARD_TOKENS,
+        pipeline_full_curation,
+    )
+
+    rows = sorted(
+        pipeline_full_curation(spark, SF_DIR).collect(),
+        key=lambda r: r.shard_id,
+    )
+    assert rows, "curation pipeline retained no documents"
+    prev_hi = -1
+    for r in rows:
+        assert r.n_docs > 0 and r.n_packs > 0
+        assert r.doc_lo <= r.doc_hi
+        assert r.doc_lo > prev_hi, "shard id ranges must not overlap"
+        prev_hi = r.doc_hi
+    # doc-aligned packing: every shard except possibly the last is
+    # filled to the budget before the doc that would overflow it
+    for r in rows[:-1]:
+        assert r.n_tokens > 0
+    # within one document of target: a shard stops growing only once
+    # it reaches the budget, so cum tokens before the last shard is
+    # >= budget * shard_id (the packer law, restated on the manifest)
+    cum = 0
+    for r in rows:
+        assert cum // SHARD_TOKENS == r.shard_id, (
+            "shard ids must be the floor-division of the running "
+            "token count (doc-aligned prefix-sum packing)"
+        )
+        cum += r.n_tokens
