@@ -45,12 +45,14 @@ SINGLE_PART_OK = {
     "text_bm25_search": ("scalar", 1),        # 1-row corpus stats (n_docs,
                                               # total_dl), partial-agg'd then
                                               # broadcast to the scorer
-    "dedup_jaccard_budget_recall": ("scalar", 3),  # the audit's three
-                                              # 1-row pair counts
-                                              # (n_full / n_budgeted /
+    "dedup_jaccard_budget_recall": ("scalar", 4),  # the audit's four
+                                              # 1-row counts (r13 adds
+                                              # n_docs_sampled to
+                                              # n_full / n_budgeted /
                                               # n_hit), each partial-
                                               # agg'd map-side over a
                                               # checkpointed pair set
+                                              # (or the sampled scan)
                                               # before its single-
                                               # partition final
     "text_langid_agreement": ("scalar", 1),   # the contract's final
