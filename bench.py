@@ -279,9 +279,12 @@ CHUNKS = [
     # contamination, additive — the per-stage entries price each leg).
     # The 64-bit dHash pays the same byte pipeline as the aHash entry
     # minus the resize, plus a 65-key (vs 33) bucket explode.
+    # the semantic screen shares the chunk: its cost is one
+    # Arrow BLAS pass over the embeddings + a keyed MAX
     [
         "pipeline_full_curation",
         "dedup_image_dhash",
+        "text_contamination_semantic",
     ],
 ]
 
@@ -353,6 +356,7 @@ KEY_QUERIES = [
     # round-13 newcomers (round-over-round visibility from birth)
     "pipeline_full_curation",
     "dedup_image_dhash",
+    "text_contamination_semantic",
 ]
 
 

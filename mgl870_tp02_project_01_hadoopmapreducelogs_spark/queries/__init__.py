@@ -143,13 +143,15 @@ from . import (  # noqa: E402,F401
 # engine-specific entry gets same-round paired evidence); (c) the
 # full 24-entry r8-stamped cohort turning five rounds old (ask #2 —
 # the single-operator relational rows, the semi/anti joins, the
-# union set-op, and the r8 text/ml residents); (d) one fill from the
-# oldest remaining r9 tail (dedup_anchor_containment). Everything
+# union set-op, and the r8 text/ml residents); (d) the round's
+# third newcomer (the semantic decontamination screen — it took the
+# slot the r9-tail fill dedup_anchor_containment held in the draft
+# rotation; that entry leads the r14 queue instead). Everything
 # else holds r10-r12 stamps and is re-verified by the full local
 # gate at every closing. The r9-stamped cohort (sim_knn/lsh, dq_*,
 # split_leakage_audit, the text fingerprint/novelty wave,
-# setop_intersect_except, cube/unpivot/skew residents) is next in
-# rotation order for r14.
+# setop_intersect_except, cube/unpivot/skew residents) plus
+# dedup_anchor_containment is next in rotation order for r14.
 _PRIORITY = [
     # --- round-13 window ---
     # (a) r13 newcomers + code changed this round
@@ -182,8 +184,8 @@ _PRIORITY = [
     "text_token_count", "text_quality_score",
     "text_sample_temperature",
     "ml_windowed_dataset", "ml_stratified_split_counts",
-    # (d) oldest-r9-tail fill
-    "dedup_anchor_containment",
+    # (d) r13 late newcomer
+    "text_contamination_semantic",
 ]
 
 

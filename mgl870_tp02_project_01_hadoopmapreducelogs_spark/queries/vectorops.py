@@ -1437,3 +1437,111 @@ def dq_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_norm2"
         ),
     )
+
+
+# --- semantic (embedding-level) benchmark decontamination (r13) -----------------
+
+#: the held-out benchmark as a BOUNDED set: the lowest-id vectors of
+#: the vec_id % 50 == 0 stand-in, capped so the anchor matrix is
+#: model-scale at ANY corpus size (real benchmarks are fixed-size by
+#: nature; an uncapped % 50 stand-in would grow the per-batch BLAS
+#: width with the corpus)
+SEM_BENCH_MAX = 64
+#: contamination threshold on max benchmark cosine — between the
+#: planted near-identical pairs (> 0.99) and the background cosine
+#: band of independent random embeddings
+SEM_CONTAM_TAU = 0.985
+
+_SEM_PAIR_COS = """
+    CASE WHEN sqrt(list_sum(list_transform(c.e, x -> CAST(x*x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(b.e, x -> CAST(x*x AS DOUBLE))))
+              = 0 THEN 0.0
+         ELSE list_sum(list_transform(list_zip(c.e, b.e),
+                                      p -> CAST(p[1]*p[2] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(c.e, x -> CAST(x*x AS DOUBLE))))
+                 * sqrt(list_sum(list_transform(b.e, x -> CAST(x*x AS DOUBLE)))))
+    END
+"""
+
+
+@register(
+    "text_contamination_semantic",
+    f"""
+    WITH b0 AS (SELECT vec_id, {INT_EMB_SQL} AS e FROM embeddings),
+    base AS ({_PLANTED_BASE_SQL}),
+    bench AS (
+        SELECT vec_id, e FROM base
+        WHERE vec_id % 50 = 0 AND vec_id < {PLANT_OFFSET}
+        ORDER BY vec_id LIMIT {SEM_BENCH_MAX}
+    ),
+    scores AS (
+        SELECT c.vec_id, MAX({_SEM_PAIR_COS}) AS mc
+        FROM base c JOIN bench b
+          ON c.vec_id NOT IN (SELECT vec_id FROM bench)
+        GROUP BY c.vec_id
+    )
+    SELECT vec_id,
+           ROUND(mc, 4) AS max_benchmark_cos,
+           mc >= {SEM_CONTAM_TAU} AS contaminated
+    FROM scores
+    """,
+    doc="SEMANTIC benchmark decontamination (the fuzzy-match screen "
+    "production pipelines run BESIDE the n-gram screens — an "
+    "embedding-space near-copy of a benchmark item evades "
+    "text_contamination_overlap whenever the paraphrase breaks every "
+    f"8-gram): per corpus document embedding, the MAX cosine against "
+    f"the held-out benchmark set (vec_id %% 50 == 0 stand-in, capped "
+    f"at the {SEM_BENCH_MAX} lowest ids — real benchmarks are "
+    "fixed-size, so the anchor matrix stays model-scale at any corpus "
+    f"size), flagged contaminated at >= {SEM_CONTAM_TAU}. The screen "
+    "runs over the PLANTED base (the dedup_embedding_planted "
+    "augmentation): every benchmark member's near-copy twin "
+    "(cos > 0.99, all 8-grams broken by construction) lands on the "
+    "corpus side and MUST flag, so the oracle's pinned answer proves "
+    "the screen non-vacuous — contaminated rows sit above the "
+    "threshold, the independent-embedding background (max cos ~0.45) "
+    "far below it. Execution is the proven "
+    "anchor_cosine_scan kernel: benchmark as a broadcast closure, ONE "
+    "Arrow-batched BLAS map pass over the corpus (zero exchanges), "
+    "then a vec_id-keyed MAX — integer-ized elements make every "
+    "cosine bit-identical to the DuckDB oracle's list arithmetic, so "
+    "the threshold compare is engine-exact. The oracle brute-forces "
+    "the corpus x benchmark cross join; at a benchmark too large for "
+    "one anchor matrix, shard the anchor set and fold the per-shard "
+    "maxes (associative) — still one corpus pass per shard, no pair "
+    "shuffle ever.",
+)
+def text_contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b0 = _emb_spread(spark, sf_dir).select(
+        "vec_id", _int_emb(F.col("embedding")).alias("e")
+    )
+    # the planted twins stand in for real-world paraphrased benchmark
+    # leaks: near-copies (cos > 0.99) of the %25==0 originals at
+    # vec_id + 1e6 — a benchmark member's twin lands corpus-side and
+    # MUST flag (non-vacuity is part of the oracle's pinned answer)
+    base = _with_planted(b0)
+    # the benchmark is the EXTERNAL fixed set — original items only
+    # (vec_id < PLANT_OFFSET); the planted twins are leaked
+    # paraphrases in the crawl, which is exactly what must flag
+    bench = [
+        (r.vec_id, list(r.e))
+        for r in base.filter(
+            (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < PLANT_OFFSET)
+        )
+        .orderBy("vec_id")
+        .limit(SEM_BENCH_MAX)
+        .collect()
+    ]
+    bench_ids = [i for i, _ in bench]
+    scores = anchor_cosine_scan(
+        base.filter(~F.col("vec_id").isin(bench_ids)), bench
+    )
+    return (
+        scores.groupBy("vec_id")
+        .agg(F.max("cos").alias("mc"))
+        .select(
+            "vec_id",
+            F.round("mc", 4).alias("max_benchmark_cos"),
+            (F.col("mc") >= SEM_CONTAM_TAU).alias("contaminated"),
+        )
+    )

@@ -306,3 +306,38 @@ def test_mmr_matches_numpy_ground_truth(spark):
     # diversity must bite: the walk must differ from plain relevance order
     plain = sorted(rel, key=lambda v: (-rel[v], v))[:MMR_K]
     assert [v for _, v in got] != plain
+
+
+def test_semantic_contamination_flags_exactly_the_planted_twins(spark):
+    """Every benchmark member's planted twin (cos > 0.99 near-copy at
+    vec_id + PLANT_OFFSET) must flag contaminated, and nothing else —
+    the independent-embedding background sits far below the threshold
+    (second scale beyond the oracle's sf0.01)."""
+    from mgl870_tp02_project_01_hadoopmapreducelogs_spark.queries.vectorops import (
+        PLANT_OFFSET,
+        SEM_BENCH_MAX,
+        text_contamination_semantic,
+    )
+
+    rows = text_contamination_semantic(spark, "/root/testdata/sf0.001").collect()
+    flagged = {r.vec_id for r in rows if r.contaminated}
+    # expected: the twins of the benchmark originals (lowest
+    # SEM_BENCH_MAX ids with vec_id % 50 == 0, all < PLANT_OFFSET)
+    import pyspark.sql.functions as F
+
+    base_ids = sorted(
+        r.vec_id
+        for r in spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        )
+        .filter(F.col("vec_id") % 50 == 0)
+        .select("vec_id")
+        .collect()
+    )[:SEM_BENCH_MAX]
+    expected = {i + PLANT_OFFSET for i in base_ids}
+    assert flagged == expected
+    for r in rows:
+        if r.vec_id in expected:
+            assert r.max_benchmark_cos > 0.99
+        else:
+            assert r.max_benchmark_cos < 0.6
