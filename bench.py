@@ -285,6 +285,7 @@ CHUNKS = [
         "pipeline_full_curation",
         "dedup_image_dhash",
         "text_contamination_semantic",
+        "text_length_quantiles_approx",
     ],
 ]
 
@@ -357,6 +358,7 @@ KEY_QUERIES = [
     "pipeline_full_curation",
     "dedup_image_dhash",
     "text_contamination_semantic",
+    "text_length_quantiles_approx",
 ]
 
 

@@ -151,7 +151,9 @@ from . import (  # noqa: E402,F401
 # gate at every closing. The r9-stamped cohort (sim_knn/lsh, dq_*,
 # split_leakage_audit, the text fingerprint/novelty wave,
 # setop_intersect_except, cube/unpivot/skew residents) plus
-# dedup_anchor_containment is next in rotation order for r14.
+# dedup_anchor_containment and the two post-close r13 newcomers
+# (text_length_quantiles_approx, the approx-quantile rank contract;
+# any later additions) is next in rotation order for r14.
 _PRIORITY = [
     # --- round-13 window ---
     # (a) r13 newcomers + code changed this round

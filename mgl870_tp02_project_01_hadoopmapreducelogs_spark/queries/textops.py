@@ -1851,6 +1851,113 @@ def text_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: approx_percentile accuracy knob: rank error <= 1/this. 100 keeps
+#: the contract non-trivial at driver scale (500-5000 rows/group)
+#: while modeling the 100 TB setting, where the t-digest/GK sketch is
+#: the only affordable percentile (mergeable partial aggregation, no
+#: per-group sort).
+APPROX_Q_ACC = 100
+#: the quantiles the exact entry reports — shared so the twin can
+#: never drift from text_length_quantiles' definition
+LENGTH_QS = (0.25, 0.5, 0.75, 0.95)
+
+
+@register(
+    "text_length_quantiles_approx",
+    """
+    SELECT lang, TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok,
+           TRUE AS p95_ok, 'ok' AS diag
+    FROM (SELECT DISTINCT lang FROM documents) ORDER BY lang
+    """,
+    doc="The 100 TB path of text_length_quantiles as a measured "
+    "contract (the text_distinct_diversity_approx invariant-oracle "
+    "style): per language, Greenwald-Khanna approx_percentile "
+    f"(accuracy {APPROX_Q_ACC} -> guaranteed rank error <= "
+    f"1/{APPROX_Q_ACC}) replaces the exact per-group sort — the "
+    "sketch is a MERGEABLE partial aggregate, so the 100 TB plan is "
+    "map-side sketches + one small merge per language instead of a "
+    "full sort per group (the swap the exact entry's doc defers). "
+    "The contract verifies the sketch's own guarantee IN RANK SPACE, "
+    "not value space: each returned quantile value's rank interval "
+    "(count-below, count-at-or-below against the actual column) must "
+    "intersect [(q - eps)n - 1, (q + eps)n + 1] — value-space bands "
+    "are data-distribution-dependent and can pass vacuously on "
+    "clustered lengths; the rank law is what GK actually promises "
+    "and fails loudly if the sketch, the accuracy knob, or the "
+    "quantile definition regresses. Verdict booleans ride per "
+    "quantile with a diag column naming the measured rank error when "
+    "a verdict flips (diagnosable from the driver artifact alone); "
+    "the oracle pins all-TRUE per language. Execution: one sketch "
+    "aggregate + one broadcast join of the (langs x 4) quantile rows "
+    "+ one conditional-count aggregate — two corpus passes, both "
+    "keyed, no sort anywhere.",
+)
+def text_length_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select("lang", F.col("n_chars").cast("double").alias("v"))
+    qs_sql = ", ".join(f"{q}D" for q in LENGTH_QS)
+    g = d.groupBy("lang").agg(
+        F.expr(
+            f"approx_percentile(v, array({qs_sql}), {APPROX_Q_ACC})"
+        ).alias("ap"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    pairs = g.select(
+        "lang", "n", F.posexplode("ap").alias("i", "apv")
+    )
+    ranks = (
+        d.join(F.broadcast(pairs), "lang")
+        .groupBy("lang", "i", "apv", "n")
+        .agg(
+            F.sum(F.when(F.col("v") < F.col("apv"), 1).otherwise(0)).alias(
+                "n_lt"
+            ),
+            F.sum(F.when(F.col("v") <= F.col("apv"), 1).otherwise(0)).alias(
+                "n_le"
+            ),
+        )
+    )
+    q_of = F.element_at(
+        F.array(*[F.lit(q) for q in LENGTH_QS]), F.col("i") + 1
+    )
+    eps = 1.0 / APPROX_Q_ACC
+    lo = (q_of - eps) * F.col("n") - 1
+    hi = (q_of + eps) * F.col("n") + 1
+    ok_col = (F.col("n_lt") <= hi) & (F.col("n_le") >= lo)
+    err_col = F.round(
+        F.greatest(
+            F.lit(0.0),
+            (F.col("n_lt") - q_of * F.col("n")) / F.col("n"),
+            (q_of * F.col("n") - F.col("n_le")) / F.col("n"),
+        ),
+        4,
+    )
+    per_q = ranks.select(
+        "lang", "i", ok_col.alias("ok"), err_col.alias("err")
+    )
+    piv = per_q.groupBy("lang").agg(
+        *[
+            F.max(F.when(F.col("i") == i, F.col("ok"))).alias(f"ok{i}")
+            for i in range(len(LENGTH_QS))
+        ],
+        F.max(F.when(~F.col("ok"), F.col("err"))).alias("worst_err"),
+    )
+    diag = F.when(
+        F.col("ok0") & F.col("ok1") & F.col("ok2") & F.col("ok3"),
+        F.lit("ok"),
+    ).otherwise(
+        F.concat(F.lit("rank_err="), F.col("worst_err").cast("string"))
+    )
+    return piv.select(
+        "lang",
+        F.col("ok0").alias("p25_ok"),
+        F.col("ok1").alias("p50_ok"),
+        F.col("ok2").alias("p75_ok"),
+        F.col("ok3").alias("p95_ok"),
+        diag.alias("diag"),
+    ).orderBy("lang")
+
+
 # --- composed end-to-end curation pipeline -------------------------------------
 
 

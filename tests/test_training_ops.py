@@ -1406,3 +1406,55 @@ def test_full_curation_manifest_invariants(spark):
             "token count (doc-aligned prefix-sum packing)"
         )
         cum += r.n_tokens
+
+
+# --- text_length_quantiles_approx (rank-space sketch contract, r13) -----------
+
+
+def test_approx_quantile_contract_holds_and_band_is_tight(spark, tmp_path):
+    """On a corpus with known ranks (n_chars = doc_id over 0..199, one
+    language) the GK sketch must return values whose rank interval
+    intersects [(q-eps)n - 1, (q+eps)n + 1]; with accuracy 100 and
+    n=200 that band is ±3 ranks — tight enough that a broken sketch,
+    accuracy knob, or quantile indexing fails. Also pins the verdict
+    at the real sf0.001 corpus."""
+    from mgl870_tp02_project_01_hadoopmapreducelogs_spark.queries.textops import (
+        text_length_quantiles_approx,
+    )
+
+    spark.createDataFrame(
+        [(i, "en", f"d{i}", i) for i in range(200)],
+        "doc_id long, lang string, text string, n_chars int",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    rows = text_length_quantiles_approx(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.p25_ok, r.p50_ok, r.p75_ok, r.p95_ok) == (
+        True,
+        True,
+        True,
+        True,
+    ), r.diag
+    assert r.diag == "ok"
+
+    for r in text_length_quantiles_approx(
+        spark, "/root/testdata/sf0.001"
+    ).collect():
+        assert r.p25_ok and r.p50_ok and r.p75_ok and r.p95_ok, r
+
+
+def test_approx_quantile_rank_band_can_fail():
+    """Falsifiability: the band arithmetic itself must reject an
+    out-of-band rank — a value whose count-below already exceeds
+    (q + eps)n + 1 is a contract violation, not a pass."""
+    n, q, eps = 200, 0.5, 0.01
+    hi = (q + eps) * n + 1
+    lo = (q - eps) * n - 1
+
+    def ok(n_lt, n_le):
+        return n_lt <= hi and n_le >= lo
+
+    # a value sitting at rank ~75% of the group violates the band
+    assert not ok(n_lt=150, n_le=151)
+    # the true median's ranks pass
+    assert ok(n_lt=99, n_le=100)
