@@ -286,6 +286,7 @@ CHUNKS = [
         "dedup_image_dhash",
         "text_contamination_semantic",
         "text_length_quantiles_approx",
+        "dedup_image_dhash_groups",
     ],
 ]
 
@@ -359,6 +360,7 @@ KEY_QUERIES = [
     "dedup_image_dhash",
     "text_contamination_semantic",
     "text_length_quantiles_approx",
+    "dedup_image_dhash_groups",
 ]
 
 

@@ -933,6 +933,58 @@ def dedup_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(hashes, max_hamming=2, n_bits=64)
 
 
+#: the dHash oracle's CTE chain (through dfp) re-used with WITH
+#: RECURSIVE for the connected-components grouping twin
+_IMG_DHASH_CTES = IMG_DHASH_SQL[
+    IMG_DHASH_SQL.index("WITH") + 4 : IMG_DHASH_SQL.index("SELECT a.doc_id AS doc_a")
+]
+
+
+@register(
+    "dedup_image_dhash_groups",
+    f"""
+    WITH RECURSIVE {_IMG_DHASH_CTES.rstrip()},
+    jpairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM dfp a JOIN dfp b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.fp, b.fp)) <= 2
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM jpairs
+        UNION
+        SELECT doc_b, doc_a FROM jpairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (
+        SELECT a AS doc_id, LEAST(a, min(b)) AS component
+        FROM reach GROUP BY a
+    )
+    SELECT component, component AS keeper, count(*) AS n_docs
+    FROM comp GROUP BY component
+    """,
+    doc="64-bit dHash pairs -> dedup GROUPS: the dedup_image_phash_"
+    "groups composition at the production fingerprint width — "
+    "iterative min-label propagation (operators/graph.dedup_groups) "
+    "over dedup_image_dhash's hamming<=2 pair graph, one keeper per "
+    "visually-duplicate cluster. Shares the memoized dHash "
+    "fingerprint frame with the pair entry (one cached copy per "
+    "session+corpus), so running pairs-then-groups hashes each image "
+    "once. The oracle recomputes the components with a recursive CTE "
+    "over the arithmetically-assembled two's-complement fingerprints "
+    "— byte pipeline, banding, AND grouping each checked against a "
+    "different algorithm.",
+)
+def dedup_image_dhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import graph
+
+    pairs = dedup_image_dhash(spark, sf_dir).select("doc_a", "doc_b")
+    return graph.dedup_groups(pairs)
+
+
 @register(
     "streaming_image_phash_dedup",
     f"""
