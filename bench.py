@@ -287,6 +287,7 @@ CHUNKS = [
         "text_contamination_semantic",
         "text_length_quantiles_approx",
         "dedup_image_dhash_groups",
+        "streaming_contamination_semantic",
     ],
 ]
 
@@ -361,6 +362,7 @@ KEY_QUERIES = [
     "text_contamination_semantic",
     "text_length_quantiles_approx",
     "dedup_image_dhash_groups",
+    "streaming_contamination_semantic",
 ]
 
 

@@ -1710,3 +1710,60 @@ def streaming_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _run_stream(stream, "late_data_audit", mode="append")
     return out.select(F.col("w.start").alias("window_start"), "n")
+
+
+# --- streaming semantic decontamination (r13) ----------------------------------
+
+
+def _sem_contam_sql() -> str:
+    from .vectorops import SEM_CONTAM_SQL
+
+    return SEM_CONTAM_SQL
+
+
+@register(
+    "streaming_contamination_semantic",
+    _sem_contam_sql(),
+    doc="STREAMING semantic decontamination — the fuzzy benchmark "
+    "screen applied to the incoming corpus firehose BEFORE it lands: "
+    "the bounded benchmark anchor set is collected once from the "
+    "static side (shared _sem_bench_anchors — the batch screen's "
+    "exact definition), then every streamed embedding is scored by "
+    "anchor_maxcos_rowwise — the anchor BLAS pass with the max "
+    "folded INSIDE the Arrow kernel, so the whole screen is "
+    "STATELESS (no streaming aggregate, no watermark, bounded "
+    "memory = the anchor matrix, works in append mode on an "
+    "unbounded stream). The planted near-copy twins ride the stream "
+    "via the same per-row _with_planted union and MUST flag. "
+    "Single-batch run ≡ the batch screen, whose oracle SQL this "
+    "entry reuses VERBATIM (shared constant — the two screens "
+    "cannot drift); max-fold parity is exact because np.max picks "
+    "one of the same float64 cosines the pair form emits.",
+)
+def streaming_contamination_semantic(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .vectorops import (
+        SEM_CONTAM_TAU,
+        _int_emb,
+        _sem_bench_anchors,
+        _with_planted,
+        anchor_maxcos_rowwise,
+    )
+
+    bench = _sem_bench_anchors(spark, sf_dir)
+    bench_ids = [i for i, _ in bench]
+    schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    )
+    s0 = stream.select("vec_id", _int_emb(F.col("embedding")).alias("e"))
+    base = _with_planted(s0).filter(~F.col("vec_id").isin(bench_ids))
+    scored = anchor_maxcos_rowwise(base, bench).select(
+        "vec_id",
+        F.round("max_cos", 4).alias("max_benchmark_cos"),
+        (F.col("max_cos") >= SEM_CONTAM_TAU).alias("contaminated"),
+    )
+    return _run_stream(scored, "semantic_contam_stream", mode="append")

@@ -1464,9 +1464,7 @@ _SEM_PAIR_COS = """
 """
 
 
-@register(
-    "text_contamination_semantic",
-    f"""
+SEM_CONTAM_SQL = f"""
     WITH b0 AS (SELECT vec_id, {INT_EMB_SQL} AS e FROM embeddings),
     base AS ({_PLANTED_BASE_SQL}),
     bench AS (
@@ -1484,7 +1482,68 @@ _SEM_PAIR_COS = """
            ROUND(mc, 4) AS max_benchmark_cos,
            mc >= {SEM_CONTAM_TAU} AS contaminated
     FROM scores
-    """,
+    """
+
+
+def anchor_maxcos_rowwise(base: DataFrame, anchors: list) -> DataFrame:
+    """Per-ROW max cosine against the bounded anchor set — the
+    anchor_cosine_scan BLAS pass with the max folded inside the
+    kernel, so no (anchor x vec) rows and no downstream aggregate
+    exist: fully STATELESS, which is what lets the semantic screen
+    run on an unbounded stream (a streaming groupBy(vec_id) would
+    never finalize in append mode — documents carry no event time).
+    Value-identical to groupBy(vec_id).max over anchor_cosine_scan:
+    np.max picks one of the same exact float64 cosines."""
+    import numpy as np
+
+    schema = "vec_id long, max_cos double"
+    if not anchors:
+        return base.sparkSession.createDataFrame([], schema)
+    A = np.array([e for _, e in anchors], dtype="float64")
+    an = np.sqrt((A * A).sum(axis=1))
+
+    def scan(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            u = np.stack(pdf["e"].to_numpy()).astype("float64")
+            n2 = (u * u).sum(axis=1)
+            dots = u @ A.T
+            den = np.sqrt(n2)[:, None] * an[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(den == 0.0, 0.0, dots / den)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "max_cos": cos.max(axis=1)}
+            )
+
+    return base.select("vec_id", "e").mapInPandas(scan, schema)
+
+
+def _sem_bench_anchors(spark: SparkSession, sf_dir: str):
+    """The bounded benchmark anchor set (vec_id, e) — the EXTERNAL
+    fixed set (original items only, vec_id < PLANT_OFFSET), shared by
+    the batch screen and its streaming twin so the anchor definition
+    can never drift between them."""
+    b0 = _emb_spread(spark, sf_dir).select(
+        "vec_id", _int_emb(F.col("embedding")).alias("e")
+    )
+    base = _with_planted(b0)
+    return [
+        (r.vec_id, list(r.e))
+        for r in base.filter(
+            (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < PLANT_OFFSET)
+        )
+        .orderBy("vec_id")
+        .limit(SEM_BENCH_MAX)
+        .collect()
+    ]
+
+
+@register(
+    "text_contamination_semantic",
+    SEM_CONTAM_SQL,
     doc="SEMANTIC benchmark decontamination (the fuzzy-match screen "
     "production pipelines run BESIDE the n-gram screens — an "
     "embedding-space near-copy of a benchmark item evades "
@@ -1520,18 +1579,7 @@ def text_contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vec_id + 1e6 — a benchmark member's twin lands corpus-side and
     # MUST flag (non-vacuity is part of the oracle's pinned answer)
     base = _with_planted(b0)
-    # the benchmark is the EXTERNAL fixed set — original items only
-    # (vec_id < PLANT_OFFSET); the planted twins are leaked
-    # paraphrases in the crawl, which is exactly what must flag
-    bench = [
-        (r.vec_id, list(r.e))
-        for r in base.filter(
-            (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < PLANT_OFFSET)
-        )
-        .orderBy("vec_id")
-        .limit(SEM_BENCH_MAX)
-        .collect()
-    ]
+    bench = _sem_bench_anchors(spark, sf_dir)
     bench_ids = [i for i, _ in bench]
     scores = anchor_cosine_scan(
         base.filter(~F.col("vec_id").isin(bench_ids)), bench

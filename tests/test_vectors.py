@@ -341,3 +341,48 @@ def test_semantic_contamination_flags_exactly_the_planted_twins(spark):
             assert r.max_benchmark_cos > 0.99
         else:
             assert r.max_benchmark_cos < 0.6
+
+
+def test_streaming_semantic_screen_flags_planted_twin(spark, tmp_path):
+    """On a staged micro-corpus the streamed screen must flag exactly
+    the planted twin of the one benchmark vector, with the unrelated
+    vector far below threshold — and emit one row per non-benchmark
+    vector (stateless append-mode output)."""
+    import glob
+    import shutil
+
+    from mgl870_tp02_project_01_hadoopmapreducelogs_spark.queries.streamq import (
+        streaming_contamination_semantic,
+    )
+    from mgl870_tp02_project_01_hadoopmapreducelogs_spark.queries.vectorops import (
+        PLANT_OFFSET,
+    )
+
+    # vec_id 0: benchmark original (%50==0, %25==0 -> has a twin);
+    # vec_id 7: unrelated. dim-8 embeddings, clearly separated.
+    rows = [
+        (0, [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0], 0),
+        (7, [8.0, -7.0, 6.0, -5.0, 4.0, -3.0, 2.0, -1.0], 0),
+    ]
+    stage = tmp_path / "stage"
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(str(stage))
+    shutil.move(
+        glob.glob(str(stage / "part-*.parquet"))[0],
+        str(tmp_path / "embeddings.parquet"),
+    )
+
+    out = {
+        r.vec_id: (r.max_benchmark_cos, r.contaminated)
+        for r in streaming_contamination_semantic(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # benchmark vector itself is excluded; its twin + the unrelated
+    # vector's twin-less row remain (7 is not %25==0 -> no twin)
+    assert set(out) == {PLANT_OFFSET + 0, 7}
+    cos_twin, flag_twin = out[PLANT_OFFSET + 0]
+    assert flag_twin and cos_twin > 0.99
+    cos_other, flag_other = out[7]
+    assert not flag_other and cos_other < 0.6
