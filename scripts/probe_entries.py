@@ -63,7 +63,16 @@ def main() -> None:
         samples = []
         for _ in range(n_samples):
             t0 = time.perf_counter()
-            REGISTRY[name].run(spark, sf_dir).collect()
+            # noop sink, matching bench.py's methodology. Probes
+            # collected through round 12 — equivalent for the
+            # model-scale outputs most entries emit, but a collect()
+            # pays py4j serialization of the WHOLE answer: on
+            # dedup_simhash's 54.5M-pair 10x answer set that read
+            # 559s where the noop-sink execution reads 32s (round 13)
+            # — measuring a consumption mode no production run uses.
+            REGISTRY[name].run(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
             samples.append(round(time.perf_counter() - t0, 3))
         out[name] = samples
     out["numpy_ms_post"] = cpu_probe_ms()
