@@ -353,3 +353,33 @@ def test_image_phash_groups_collapse_planted_twins(spark, tmp_path):
         2 * ks[0]: (2 * ks[0], 2),
         2 * ks[1]: (2 * ks[1], 2),
     }
+
+
+def test_synth_gray_ppm_vectorization_is_byte_identical():
+    """r13 optimization guard: the numpy-vectorized synthesizer must
+    produce byte-identical PPM payloads to the original per-pixel
+    definition (md5 hex-digit grays, odd twin's (0,0) perturbed)."""
+    import hashlib
+
+    from mgl870_tp02_project_01_hadoopmapreducelogs_spark.operators import (
+        multimodal,
+    )
+    from mgl870_tp02_project_01_hadoopmapreducelogs_spark.queries.streamq import (
+        _synth_gray_ppm,
+    )
+
+    def reference(d: int) -> bytes:
+        base, parity = d // 2, d % 2
+        body = bytearray()
+        for y in range(8):
+            hv = hashlib.md5(f"{base}:{y}".encode()).hexdigest()
+            for x in range(16):
+                g = (int(hv[2 * x], 16) * 16 + int(hv[2 * x + 1], 16)) % 251
+                if parity == 1 and x == 0 and y == 0:
+                    g = (g + 100) % 251
+                body += bytes((g, g, g))
+        return multimodal.encode_ppm(16, 8, bytes(body))
+
+    # even/odd twins, cache-hit ordering both ways, and a large id
+    for d in [0, 1, 3, 2, 17, 16, 99998, 99999]:
+        assert _synth_gray_ppm(d) == reference(d), f"doc {d} diverged"
