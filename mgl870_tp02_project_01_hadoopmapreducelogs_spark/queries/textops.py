@@ -6470,7 +6470,27 @@ def graph_pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id")
     n_docs = docs.count()  # one driver scalar (model-scale, like seeds)
     tele = ((PR_D_DEN - PR_D_NUM) * PR_SCALE) // (PR_D_DEN * n_docs)
-    ranks = docs.select(
+    # r13 OPTIMIZATION (guide §2.3/§2.4 — shuffle fewer bytes, remove
+    # passes): iterate over the GRAPH VERTEX SET, not the full doc
+    # table. Contributions flow only between edge endpoints (edges are
+    # symmetric, so source set == target set == vertex set), and a doc
+    # with no edges receives contrib 0 every round — after iteration 1
+    # its rank is exactly `tele` and never changes (PR_ITERS >= 1).
+    # The old loop joined the CORPUS-scale doc table once per
+    # iteration (6 extra parquet scans + 6 doc-scale left joins); now
+    # each iteration's state is pair-graph-scale (near-dup vertices —
+    # a corpus fraction), and the doc table is scanned ONCE for the
+    # final isolated-doc fill-in. Result is integer-identical: vertex
+    # ranks see the same contributions with the same initial value,
+    # isolated docs get the constant tele rank the old fixpoint gave
+    # them. Measured sf0.1 quiet (chunk harness): 6.55s -> 4.78s;
+    # plan: the per-iteration Exchanges now carry vertex rows only.
+    verts = (
+        edges.select(F.col("a").alias("doc_id"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    ranks = verts.select(
         "doc_id", F.lit(PR_SCALE // n_docs).cast("long").alias("r")
     )
     esrc = edges.join(deg, "a").select(
@@ -6487,7 +6507,7 @@ def graph_pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("doc_id")
             .agg(F.sum("c").alias("contrib"))
         )
-        ranks = docs.join(contrib, "doc_id", "left").select(
+        ranks = verts.join(contrib, "doc_id", "left").select(
             "doc_id",
             (
                 F.lit(tele).cast("long")
@@ -6496,7 +6516,10 @@ def graph_pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("r"),
         )
-    return ranks.select("doc_id", F.col("r").cast("long").alias("rank_e9"))
+    return docs.join(ranks, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("r"), F.lit(tele)).cast("long").alias("rank_e9"),
+    )
 
 
 # --- the end-to-end curation marquee (judge r12 ask #5) -------------------------
