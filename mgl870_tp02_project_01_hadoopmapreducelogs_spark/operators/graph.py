@@ -87,10 +87,14 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
-    if dedup_edges.count() <= DRIVER_CC_CAP:
-        rows = _driver_union_find(
-            sorted((r.a, r.b) for r in dedup_edges.collect())
-        )
+    # r13 OPTIMIZATION: size-probe and fetch in ONE job (the
+    # drain.DRIVER_FIT_CAP idiom) instead of count() + collect() —
+    # the limit bounds driver transfer to CAP+1 rows either way, and
+    # the session pins limit.initialNumPartitions so this is one
+    # parallel fetch, not CollectLimit's incremental job ladder.
+    head = dedup_edges.limit(DRIVER_CC_CAP + 1).collect()
+    if len(head) <= DRIVER_CC_CAP:
+        rows = _driver_union_find(sorted((r.a, r.b) for r in head))
         return edges.sparkSession.createDataFrame(
             rows, "doc_id long, component long"
         )

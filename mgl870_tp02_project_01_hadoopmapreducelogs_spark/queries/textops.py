@@ -433,6 +433,40 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_budgeted_pairs(_capped_shingles(spark, sf_dir))
 
 
+#: one live (applicationId, sf_dir) -> cached thresholded-pair frame;
+#: next different corpus evicts + unpersists (the _SHINGLE_MEMO idiom)
+_JACCARD_PAIRS_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def _jaccard_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The thresholded Jaccard pair set (doc_a, doc_b), cached for the
+    DOWNSTREAM consumers — connected components, the LSH recall audit
+    (three aggregates over one pair set), PageRank. r13 OPTIMIZATION
+    (guide §5 — persist only what is reused and cheaper cached than
+    recomputed): each consumer previously re-ran budgeted discovery +
+    exact verification over the (already cached) shingle table per
+    action; the pair set is strictly smaller than the shingle table
+    the session already pins (near-dup pairs are a corpus fraction),
+    so caching it is the cheaper side of that trade at any scale.
+    The registered dedup_ngram_jaccard entry itself stays uncached —
+    its bench number keeps measuring the full discovery pipeline.
+    Same (session, corpus) eviction idiom as _SHINGLE_MEMO."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _JACCARD_PAIRS_MEMO.get(key)
+    if hit is not None:
+        return hit
+    for old_key, frame in list(_JACCARD_PAIRS_MEMO.items()):
+        if old_key[0] == key[0]:
+            try:
+                frame.unpersist()
+            except Exception:
+                pass
+        del _JACCARD_PAIRS_MEMO[old_key]
+    pairs = dedup_ngram_jaccard(spark, sf_dir).cache()
+    _JACCARD_PAIRS_MEMO[key] = pairs
+    return pairs
+
+
 def _jaccard_budgeted_pairs(sh: DataFrame) -> DataFrame:
     """Budgeted discovery + exact verification over a df-capped
     shingle table — the production pair builder, shared with the
@@ -1658,7 +1692,7 @@ def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import graph
 
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = _jaccard_pairs_shared(spark, sf_dir).select("doc_a", "doc_b")
     return graph.dedup_groups(pairs)
 
 
@@ -3450,7 +3484,7 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mirrored verbatim in the oracle SQL.",
 )
 def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    truth = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    truth = _jaccard_pairs_shared(spark, sf_dir).select("doc_a", "doc_b")
     lsh = dedup_minhash_lsh(spark, sf_dir)
     hit = truth.join(lsh, ["doc_a", "doc_b"])
     row = (
@@ -6457,7 +6491,7 @@ def _pagerank_oracle() -> str:
     "no analogue (its only graph notion is template clusters).",
 )
 def graph_pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    prs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    prs = _jaccard_pairs_shared(spark, sf_dir).select("doc_a", "doc_b")
     edges = (
         prs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .unionByName(
