@@ -364,18 +364,32 @@ def embedding_near_pairs(
     construction, applied to sign-random-projection); exact cosine then
     filters. Pair volume is bounded by band-bucket sizes — never O(n²).
 
-    Rescoring runs as a per-bucket BLAS gram matrix (Arrow-batched
-    ``applyInPandas``): one shuffle on (band_id, bucket), then each
-    bucket scores all its pairs with an int64 matmul and emits ONLY the
-    pairs over the threshold. The join formulation this replaces
-    materialized every candidate pair (~n²/2^bits rows of 64-long
-    arrays) through a shuffle before filtering — 6x slower at sf0.1.
-    Floats stay bit-identical to the SQL oracle: integer dot products
-    are exact in both int64 and double accumulation, and the cosine is
-    formed with the same single-rounding op order (sqrt, multiply,
-    divide). At scale, pick ``bits`` ≈ log2(n/target_bucket_rows) so a
-    bucket's vectors fit an executor's Arrow batch; a hot bucket is a
-    skew key — cap or re-band, don't densify.
+    Rescoring runs as a per-bucket BLAS gram matrix inside ONE
+    Arrow-batched ``mapInPandas`` pass over a (band_id, bucket)-
+    repartitioned-and-sorted frame. r13 OPTIMIZATION (guide §4.1/§4.2
+    — fewer, larger Python calls; §2.3 — narrower types): the previous
+    ``groupBy().applyInPandas`` paid Spark's per-group Arrow plumbing
+    once per (band, bucket) — with fine band configs that is thousands
+    of sub-millisecond groups, and an A/B with a TRIVIAL per-group
+    function measured 2.4s of pure group overhead at sf0.1 (the whole
+    entry read 3.6s; the stream-grouped form reads 2.0s). Now the
+    bucket boundary is found with numpy inside the batch loop and only
+    a single boundary group per batch is carried over, so memory stays
+    bounded at one Arrow batch + one bucket — the same class as
+    applyInPandas' one-group buffer. The vectors additionally ride the
+    band shuffle as array<int> (floor(x*1000) of the testdata's unit-
+    scale doubles is thousands; the fused assert_true makes an
+    overflowing corpus fail LOUDLY instead of wrapping) — half the
+    shuffle and Arrow bytes of the array<long> they arrive as.
+    The join formulation this all replaces materialized every
+    candidate pair (~n²/2^bits rows of 64-long arrays) through a
+    shuffle before filtering — 6x slower at sf0.1. Floats stay
+    bit-identical to the SQL oracle: integer dot products are exact in
+    both int64 and double accumulation, and the cosine is formed with
+    the same single-rounding op order (sqrt, multiply, divide). At
+    scale, pick ``bits`` ≈ log2(n/target_bucket_rows) so a bucket's
+    vectors fit an executor's Arrow batch; a hot bucket is a skew key
+    — cap or re-band, don't densify.
     """
 
     def bucket(b: int):
@@ -384,9 +398,22 @@ def embedding_near_pairs(
             for j in range(bits)
         )
 
+    # int32 is provably safe for |e_i| < 2^31 (raw |x| <~ 2.1e6 — far
+    # beyond any unit-scale embedding); a corpus that outgrows it must
+    # fail loudly, not wrap (the plant_exact_dups guard idiom).
+    # array_max/array_min are codegen'd natives — NOT interpreted
+    # lambda HOFs (the char-entropy lesson), so the guard is two
+    # compares per row.
+    guard = F.assert_true(
+        (F.array_max("e") < F.lit(1 << 31))
+        & (F.array_min("e") > F.lit(-(1 << 31))),
+        F.lit("embedding_near_pairs: |e_i| outgrew int32 — widen the band payload"),
+    )
     banded = emb.select(
-        "vec_id",
-        "e",
+        (F.col("vec_id") + F.coalesce(guard.cast("long"), F.lit(0))).alias(
+            "vec_id"
+        ),
+        F.col("e").cast("array<int>").alias("e"),
         F.explode(
             F.array(
                 *[
@@ -399,52 +426,101 @@ def embedding_near_pairs(
         ).alias("bb"),
     ).select("vec_id", "e", "bb.band_id", "bb.bucket")
 
-    def score_bucket(pdf):
+    def score_stream(batches):
         import numpy as np
         import pandas as pd
 
-        pdf = pdf.sort_values("vec_id")
-        ids = pdf["vec_id"].to_numpy()
-        if len(ids) < 2:
-            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos": []}).astype(
-                {"vec_a": "int64", "vec_b": "int64", "cos": "float64"}
-            )
-        # float64 gram via BLAS dgemm, EXACT for this data: every
-        # product (|e_i| <= ~5000 -> <= 2.5e7) and every partial sum
-        # (64 terms -> <= 1.6e9) is an integer far below 2^53, so
-        # dgemm's accumulation order cannot round — bit-identical to
-        # the int64 matmul it replaces, and ~14x faster (numpy integer
-        # matmul has no BLAS path; measured 0.39s -> 0.03s per
-        # 3000-vector bucket). Row-blocked (~2^24 doubles per dgemm)
-        # so a hot bucket — e.g. the coarse 16x4 config's ~13k-row
-        # buckets at 100x — costs more passes, never a multi-GB
-        # allocation; block results are bit-identical to the full gram.
-        u = np.stack(pdf["e"].to_numpy()).astype("float64")
-        n = len(ids)
-        nrm = np.sqrt((u * u).sum(axis=1))
-        blk = max(128, (1 << 24) // n)
-        va, vb, vc = [], [], []
-        for s in range(0, n, blk):
-            g = u[s : s + blk] @ u.T
-            denom = np.outer(nrm[s : s + blk], nrm)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                cos = np.where(denom == 0, 0.0, g / denom)
-            bi, bj = np.nonzero(cos >= threshold)
-            gi = bi + s
-            keep = gi < bj  # upper triangle: vec_a < vec_b
-            va.append(ids[gi[keep]])
-            vb.append(ids[bj[keep]])
-            vc.append(cos[bi[keep], bj[keep]])
-        return pd.DataFrame(
-            {
-                "vec_a": np.concatenate(va) if va else np.array([], "int64"),
-                "vec_b": np.concatenate(vb) if vb else np.array([], "int64"),
-                "cos": np.concatenate(vc) if vc else np.array([], "float64"),
-            }
-        )
+        empty = pd.DataFrame(
+            {"vec_a": [], "vec_b": [], "cos": []}
+        ).astype({"vec_a": "int64", "vec_b": "int64", "cos": "float64"})
 
-    pairs = banded.groupBy("band_id", "bucket").applyInPandas(
-        score_bucket, "vec_a long, vec_b long, cos double"
+        def score_bucket(ids, u, va, vb, vc):
+            # float64 gram via BLAS dgemm, EXACT for this data: every
+            # product (|e_i| <= ~5000 -> <= 2.5e7) and every partial
+            # sum (64 terms -> <= 1.6e9) is an integer far below 2^53,
+            # so dgemm's accumulation order cannot round — and ~14x
+            # faster than numpy's BLAS-less integer matmul (measured
+            # 0.39s -> 0.03s per 3000-vector bucket). Row-blocked
+            # (~2^24 doubles per dgemm) so a hot bucket — e.g. the
+            # coarse 16x4 config's ~13k-row buckets at 100x — costs
+            # more passes, never a multi-GB allocation; block results
+            # are bit-identical to the full gram.
+            n = len(ids)
+            if n < 2:
+                return
+            nrm = np.sqrt((u * u).sum(axis=1))
+            blk = max(128, (1 << 24) // n)
+            for s in range(0, n, blk):
+                g = u[s : s + blk] @ u.T
+                denom = np.outer(nrm[s : s + blk], nrm)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = np.where(denom == 0, 0.0, g / denom)
+                bi, bj = np.nonzero(cos >= threshold)
+                gi = bi + s
+                keep = gi < bj  # upper triangle: vec_a < vec_b
+                va.append(ids[gi[keep]])
+                vb.append(ids[bj[keep]])
+                vc.append(cos[bi[keep], bj[keep]])
+
+        carry = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if not len(pdf):
+                continue
+            # partition is sorted by (band_id, bucket, vec_id); the
+            # LAST bucket may continue into the next batch — carry it
+            key = pdf["band_id"].to_numpy() * np.int64(1 << bits) + pdf[
+                "bucket"
+            ].to_numpy()
+            starts = np.concatenate(
+                [[0], np.nonzero(np.diff(key))[0] + 1, [len(key)]]
+            )
+            if len(starts) > 2:
+                body_end = starts[-2]
+            else:
+                body_end = 0  # single bucket in batch: all carry
+            if body_end < len(pdf):
+                carry = pdf.iloc[body_end:].copy()
+            if body_end == 0:
+                continue
+            ids_all = pdf["vec_id"].to_numpy()
+            u_all = np.stack(pdf["e"].to_numpy()[:body_end]).astype(
+                "float64"
+            )
+            va, vb, vc = [], [], []
+            for s, e2 in zip(starts[:-2], starts[1:-1]):
+                score_bucket(ids_all[s:e2], u_all[s:e2], va, vb, vc)
+            if va:
+                yield pd.DataFrame(
+                    {
+                        "vec_a": np.concatenate(va),
+                        "vec_b": np.concatenate(vb),
+                        "cos": np.concatenate(vc),
+                    }
+                )
+        if carry is not None and len(carry):
+            ids = carry["vec_id"].to_numpy()
+            u = np.stack(carry["e"].to_numpy()).astype("float64")
+            va, vb, vc = [], [], []
+            score_bucket(ids, u, va, vb, vc)
+            if va:
+                yield pd.DataFrame(
+                    {
+                        "vec_a": np.concatenate(va),
+                        "vec_b": np.concatenate(vb),
+                        "cos": np.concatenate(vc),
+                    }
+                )
+        else:
+            # anchor an all-empty partition's schema
+            yield empty
+
+    pairs = (
+        banded.repartition("band_id", "bucket")
+        .sortWithinPartitions("band_id", "bucket", "vec_id")
+        .mapInPandas(score_stream, "vec_a long, vec_b long, cos double")
     )
     # a pair sharing >1 band bucket is emitted once per bucket with a
     # bit-identical cos -> plain distinct dedups across bands

@@ -84,12 +84,16 @@ def test_q19_disjunction_splits_into_pushable_conjuncts(spark):
 
 def test_embedding_dedup_scores_in_buckets_not_pair_join(spark):
     """The near-pair rescorer must be the per-bucket gram path: one
-    hash exchange on (band_id, bucket) feeding FlatMapGroupsInPandas —
-    no per-pair join materializing candidates through a shuffle."""
+    hash exchange on (band_id, bucket) + an intra-partition sort
+    feeding a single streaming MapInPandas (r13: replaced per-group
+    FlatMapGroupsInPandas — Spark's per-group Arrow plumbing measured
+    2.4s of pure overhead on the fine band config at sf0.1) — no
+    per-pair join materializing candidates through a shuffle."""
     plan = explain_str(
         REGISTRY["dedup_embedding_cosine"].run(spark, SF_DIR), "simple"
     )
-    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "MapInPandas" in plan, plan
+    assert "hashpartitioning(band_id" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" not in plan, plan
 
