@@ -829,6 +829,7 @@ def semdedup_parts(
     sf_dir: str,
     k: int | None = None,
     threshold: float = SEM_COS_TH,
+    checkpoint: bool = True,
 ):
     """The SemDeDup pipeline before the summary rollup: returns
     ``(assigned, dropped)`` — per-vector cell assignment with centroid
@@ -901,6 +902,17 @@ def semdedup_parts(
         "cent_cos double",
     )
 
+    # r13 OPTIMIZATION (guide §2.4/§5 — the two-consumer checkpoint
+    # idiom): the registered entry consumes `assigned` twice (through
+    # the drop stage AND as the rollup's join side), and unmaterialized
+    # the whole assignment BLAS pass + base build ran TWICE per action
+    # (plan audit: two MapInPandas nodes each above its own spread
+    # exchange — plans/r13/dedup_semdedup_before.txt). Checkpointing
+    # materializes it once. `checkpoint=False` keeps the raw lazy frame
+    # for the plan-shape test (the checkpoint truncates the plan to a
+    # scan, hiding the map-only shape it asserts).
+    if checkpoint:
+        assigned = assigned.localCheckpoint(eager=False)
     dropped = _semdedup_drop_stage(assigned, threshold)
     return assigned, dropped
 
@@ -995,13 +1007,17 @@ def dedup_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "embeddings").count()
     k = _sem_k_rule(n)
     assigned, dropped = semdedup_kmeans_parts(spark, sf_dir, k=k, n_base=n)
-    assigned = assigned.cache()  # drop stage + invariant rollup reuse it
 
     # the invariant rollup is itself corpus-safe (judge r6): the
     # pair-membership check runs as a distributed bool_and over the
     # drop set instead of a driver-side walk — at a real dedup rate the
     # drop set is corpus-scale, so no .collect() here except the final
-    # 1-row createDataFrame
+    # 1-row createDataFrame. r13: the three separate rollup actions
+    # (drop stats, assignment stats, cell count) are fused into ONE job
+    # over the checkpointed `assigned` — `every vector assigned once`
+    # is exactly `count(*) == count(DISTINCT vec_id)`, so the groupBy +
+    # re-aggregate pass and the separate countDistinct job collapse
+    # into the same scalar aggregate (partials map-side as before).
     is_pair_member = (
         ((F.col("vec_id") % PLANT_EVERY == 0) & (F.col("vec_id") < PLANT_OFFSET))
         | (
@@ -1009,30 +1025,30 @@ def dedup_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (((F.col("vec_id") - PLANT_OFFSET) % PLANT_EVERY) == 0)
         )
     )
-    drop_stats = dropped.agg(
-        F.count(F.lit(1)).cast("long").alias("n_drops"),
-        F.coalesce(F.bool_and(is_pair_member), F.lit(True)).alias("only_pairs"),
-    ).first()
-
-    stats = (
-        assigned.groupBy("vec_id")
-        .agg(F.count(F.lit(1)).alias("n_assign"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_vectors"),
-            F.max("n_assign").alias("max_assign"),
+    row = (
+        assigned.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("vec_id").cast("long").alias("n_vectors"),
+            F.countDistinct("cluster").alias("n_cells"),
+        )
+        .crossJoin(
+            dropped.agg(
+                F.count(F.lit(1)).cast("long").alias("n_drops"),
+                F.coalesce(F.bool_and(is_pair_member), F.lit(True)).alias(
+                    "only_pairs"
+                ),
+            )
         )
         .first()
     )
-    n_cells = assigned.agg(F.countDistinct("cluster")).first()[0]
-    assigned.unpersist()
     return spark.createDataFrame(
         [
             (
-                stats["n_vectors"],
-                n_cells <= k,
-                stats["max_assign"] == 1,
-                bool(drop_stats["only_pairs"]),
-                drop_stats["n_drops"] > 0,
+                row["n_vectors"],
+                row["n_cells"] <= k,
+                row["n_rows"] == row["n_vectors"],
+                bool(row["only_pairs"]),
+                row["n_drops"] > 0,
             )
         ],
         "n_vectors long, cells_at_most_k boolean, "
@@ -1073,10 +1089,13 @@ def semdedup_kmeans_parts(
     # including _emb_spread's repartition — once each (the budget-
     # recall-audit two-consumer trap; measured here r12: sf0.1 steady
     # state 6.2-6.6s -> ~5.3s, 100x 17.7-18.6s -> ~15s with the
-    # checkpoint, while dropping the spread instead costs 1.5x at 100x)
-    with_vec = base.withColumn(
-        "v", array_to_vector(F.col("e").cast("array<double>"))
-    ).localCheckpoint(eager=False)
+    # checkpoint, while dropping the spread instead costs 1.5x at 100x).
+    # r13: the ML `v` vector column moved OFF the corpus-wide
+    # checkpoint — only the bounded train sample needs it now that
+    # assignment is the Arrow BLAS pass below, so the corpus pays
+    # neither the array_to_vector conversion nor the extra checkpoint
+    # bytes.
+    with_vec = base.localCheckpoint(eager=False)
     # quantizer trains on a bounded sample, assigns the full corpus —
     # the standard IVF-codebook rule (~64 training points per centroid
     # is ample; FAISS warns below ~39). A full-corpus fit is O(passes *
@@ -1110,33 +1129,74 @@ def semdedup_kmeans_parts(
     # entry's contract (invariant oracle + the planted-twin pytest
     # property) is carving-independent by design; re-verified.
     # Measured sf0.1 quiet (chunk harness): entry 4.35s -> 3.09s.
-    train = train.repartition(max(1, int(1.05 * train_target) // 50_000 + 1))
+    train = train.repartition(
+        max(1, int(1.05 * train_target) // 50_000 + 1)
+    ).withColumn("v", array_to_vector(F.col("e").cast("array<double>")))
+    # r13 (guide §1.2 — job count IS the cost on a bounded sample):
+    # every init pass and Lloyd iteration is one sequential Spark job;
+    # the default k-means|| + maxIter=20 ran ~27 of them and the fit
+    # never converged by tol anyway (numIter=20 measured). A dedup
+    # quantizer needs bounded cells and twin co-location — both hold
+    # under ANY reasonable carving (the contract the oracle checks is
+    # carving-independent) — so random init + 8 Lloyd rounds buys the
+    # same dedup behavior at ~1/3 the scheduler round-trips. Measured
+    # warm fit: 1.66s (k-means||, 20 iters) -> 0.9s.
     km = KMeans(
-        k=k, seed=42, featuresCol="v", predictionCol="cell"
+        k=k,
+        seed=42,
+        featuresCol="v",
+        predictionCol="cell",
+        initMode="random",
+        maxIter=8,
     ).fit(train)
 
-    # centroid table is model-scale: broadcast-join it and form the
-    # centroid cosine with the module's shared helpers (same op order
-    # as the seed variant: sqrt, multiply, divide)
-    centers = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())],
-        "cell int, c array<double>",
+    # r13 OPTIMIZATION (guide §4.2 — the seeded variant's Arrow BLAS
+    # assignment shape, applied to the KMeans centroids): the centroid
+    # table is model-scale, so it rides as a CLOSURE into one map-only
+    # mapInPandas pass that assigns (squared-Euclidean argmin over
+    # ||c||^2 - 2 x·c — the KMeans rule; first-min tie-break like
+    # spark.ml) and forms the centroid cosine in the same batch. This
+    # replaces km.transform(with_vec) + a broadcast join + an
+    # interpreted per-row cosine chain — the full-corpus ML predict
+    # UDF and the join measured 1.7s of the entry's 4.4s at sf0.1.
+    # Cell carving can differ from spark.ml's predict only on exact
+    # distance ties (float-rounding edge) — the entry's contract
+    # (invariant oracle + the carving-independent planted-twin pytest
+    # property) tolerates any carving by design.
+    import numpy as np
+
+    C = np.stack([np.asarray(c, dtype="float64") for c in km.clusterCenters()])
+    cn2 = (C * C).sum(axis=1)
+    cnrm = np.sqrt(cn2)
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            u = np.stack(pdf["e"].to_numpy()).astype("float64")
+            dots = u @ C.T
+            best = (cn2[None, :] - 2.0 * dots).argmin(axis=1)
+            den = np.sqrt(pdf["n2"].to_numpy()) * cnrm[best]
+            num = dots[np.arange(len(best)), best]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(den == 0, 0.0, num / den)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "e": pdf["e"],
+                    "cluster": best.astype("int64") + 1,
+                    "cent_cos": cos,
+                }
+            )
+
+    assigned = with_vec.select("vec_id", "e", "n2").mapInPandas(
+        assign, "vec_id long, e array<long>, cluster long, cent_cos double"
     )
-    assigned = (
-        km.transform(with_vec)
-        .join(F.broadcast(centers), "cell")
-        .select(
-            "vec_id",
-            "e",
-            (F.col("cell") + 1).cast("long").alias("cluster"),
-            _cos_pre(
-                F.col("e"),
-                F.col("c"),
-                F.sqrt(F.col("n2")),
-                F.sqrt(_dot(F.col("c"), F.col("c"))),
-            ).alias("cent_cos"),
-        )
-    )
+    # two consumers (drop stage + the entry's invariant rollup) — the
+    # semdedup_parts checkpoint idiom; replaces the entry-level cache
+    assigned = assigned.localCheckpoint(eager=False)
     dropped = _semdedup_drop_stage(assigned, SEM_COS_TH)
     return assigned, dropped
 

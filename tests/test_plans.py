@@ -185,7 +185,9 @@ def test_semdedup_assignment_is_map_only(spark):
         semdedup_parts,
     )
 
-    assigned, _ = semdedup_parts(spark, SF_DIR)
+    # checkpoint=False: the production checkpoint truncates the plan
+    # to a scan-of-RDD, hiding the assignment shape this test pins
+    assigned, _ = semdedup_parts(spark, SF_DIR, checkpoint=False)
     plan = executed_plan_str(assigned)
     assert "Window" not in plan, "argmax must not plan as a window"
     # the only Exchange allowed is the scan-widening round-robin
