@@ -78,26 +78,28 @@ def connected_components(
     under ``DRIVER_CC_CAP`` skip the loop entirely and union-find on
     the driver.
     """
-    # materialize the (pair-count-bounded) distinct edge list ONCE:
-    # the size probe, the driver fast path, and every distributed
-    # iteration all read these blocks — the upstream pair-generation
-    # pipeline executes exactly once either way
-    dedup_edges = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .distinct()
-        .localCheckpoint()
-    )
+    dedup_edges = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).distinct()
     # r13 OPTIMIZATION: size-probe and fetch in ONE job (the
     # drain.DRIVER_FIT_CAP idiom) instead of count() + collect() —
     # the limit bounds driver transfer to CAP+1 rows either way, and
     # the session pins limit.initialNumPartitions so this is one
-    # parallel fetch, not CollectLimit's incremental job ladder.
+    # parallel fetch, not CollectLimit's incremental job ladder. The
+    # probe runs on the UNcheckpointed edge list: in the (common)
+    # under-cap case the pair pipeline executes exactly once, inside
+    # this job — the eager checkpoint that used to precede it was a
+    # second full materialization the driver path never read again.
+    # The over-cap distributed path re-executes the pipeline once to
+    # checkpoint it below — the right side to pay, since its loop
+    # then reads the blocks ~10 more times.
     head = dedup_edges.limit(DRIVER_CC_CAP + 1).collect()
     if len(head) <= DRIVER_CC_CAP:
         rows = _driver_union_find(sorted((r.a, r.b) for r in head))
         return edges.sparkSession.createDataFrame(
             rows, "doc_id long, component long"
         )
+    dedup_edges = dedup_edges.localCheckpoint()
     sym = (
         dedup_edges
         .unionByName(dedup_edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
