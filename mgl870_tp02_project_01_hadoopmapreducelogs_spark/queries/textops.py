@@ -3616,6 +3616,11 @@ def pipeline_c4_style(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_spread(spark, sf_dir)
     t = F.col("text")
     kept = docs.filter(qf_keep(t)).select("doc_id", "lang", "text")
+    # r13 NOTE: checkpointing `kept` (its gate+tokenize subtree is
+    # duplicated by remove_dup_spans' two consumers) was tried and
+    # measured a WASH solo (1.57s -> 1.66s) — the duplicate subtrees
+    # overlap across cores inside one job, while the checkpoint adds a
+    # blocking materialization (the budget-recall lesson).
     cleaned = remove_dup_spans(kept, carry_cols=["lang"])
     w = Window.partitionBy(TX.fingerprint(F.col("cleaned"))).orderBy("doc_id")
     deduped = cleaned.withColumn("rn", F.row_number().over(w))
