@@ -350,6 +350,14 @@ DEDUP_BITS = 4
 DEDUP_COS_TH = 0.45
 
 
+#: group-count cutover for the near-pair rescorer's Python-boundary
+#: shape: at or below this many (band, bucket) groups the per-group
+#: Arrow overhead is negligible and grouped apply wins; above it the
+#: stream-grouped mapInPandas wins (both directions measured at sf0.1
+#: — see the embedding_near_pairs docstring)
+_STREAM_GROUP_MIN = 512
+
+
 def embedding_near_pairs(
     emb: DataFrame,
     bands: int = 8,
@@ -364,32 +372,43 @@ def embedding_near_pairs(
     construction, applied to sign-random-projection); exact cosine then
     filters. Pair volume is bounded by band-bucket sizes — never O(n²).
 
-    Rescoring runs as a per-bucket BLAS gram matrix inside ONE
-    Arrow-batched ``mapInPandas`` pass over a (band_id, bucket)-
-    repartitioned-and-sorted frame. r13 OPTIMIZATION (guide §4.1/§4.2
-    — fewer, larger Python calls; §2.3 — narrower types): the previous
-    ``groupBy().applyInPandas`` paid Spark's per-group Arrow plumbing
-    once per (band, bucket) — with fine band configs that is thousands
-    of sub-millisecond groups, and an A/B with a TRIVIAL per-group
-    function measured 2.4s of pure group overhead at sf0.1 (the whole
-    entry read 3.6s; the stream-grouped form reads 2.0s). Now the
-    bucket boundary is found with numpy inside the batch loop and only
-    a single boundary group per batch is carried over, so memory stays
-    bounded at one Arrow batch + one bucket — the same class as
-    applyInPandas' one-group buffer. The vectors additionally ride the
-    band shuffle as array<int> (floor(x*1000) of the testdata's unit-
-    scale doubles is thousands; the fused assert_true makes an
-    overflowing corpus fail LOUDLY instead of wrapping) — half the
-    shuffle and Arrow bytes of the array<long> they arrive as.
-    The join formulation this all replaces materialized every
-    candidate pair (~n²/2^bits rows of 64-long arrays) through a
-    shuffle before filtering — 6x slower at sf0.1. Floats stay
-    bit-identical to the SQL oracle: integer dot products are exact in
-    both int64 and double accumulation, and the cosine is formed with
-    the same single-rounding op order (sqrt, multiply, divide). At
-    scale, pick ``bits`` ≈ log2(n/target_bucket_rows) so a bucket's
-    vectors fit an executor's Arrow batch; a hot bucket is a skew key
-    — cap or re-band, don't densify.
+    Rescoring runs as a per-bucket BLAS gram matrix, with the Python-
+    boundary SHAPE picked by the statically-known group count
+    ``bands * 2^bits`` (r13 OPTIMIZATION, guide §4.1/§4.2 — fewer,
+    larger Python calls; §2.3 — narrower types):
+
+    - FINE configs (> _STREAM_GROUP_MIN groups, e.g. the 8x8 near-dup
+      config's 2048): ONE ``mapInPandas`` over a (band_id, bucket)-
+      repartitioned-and-sorted frame, bucket boundaries found with
+      numpy inside the batch loop, a single boundary bucket carried
+      between batches (memory bounded at one Arrow batch + one
+      bucket). The previous ``groupBy().applyInPandas`` paid Spark's
+      per-group Arrow plumbing once per group — an A/B with a TRIVIAL
+      per-group function measured 2.4s of pure group overhead at
+      sf0.1 where the whole entry read 3.6s; the stream-grouped form
+      reads 2.0s.
+    - COARSE configs (few, large groups, e.g. the registered 16x4
+      discovery scan's 256): plain ``groupBy().applyInPandas`` — the
+      per-group overhead is negligible there, and the stream form's
+      partition sort + boundary-carry concat measured ~0.5s SLOWER in
+      the chunk harness (1.46 -> 2.06s), so each config keeps the
+      shape that wins for it. Both shapes share one scorer and emit
+      identical rows.
+
+    The vectors ride the band shuffle as array<int> either way
+    (floor(x*1000) of the testdata's unit-scale doubles is thousands;
+    the fused assert_true makes an overflowing corpus fail LOUDLY
+    instead of wrapping) — half the shuffle and Arrow bytes of the
+    array<long> they arrive as. The join formulation this all
+    replaces materialized every candidate pair (~n²/2^bits rows of
+    64-long arrays) through a shuffle before filtering — 6x slower at
+    sf0.1. Floats stay bit-identical to the SQL oracle: integer dot
+    products are exact in both int64 and double accumulation, and the
+    cosine is formed with the same single-rounding op order (sqrt,
+    multiply, divide). At scale, pick ``bits`` ≈
+    log2(n/target_bucket_rows) so a bucket's vectors fit an executor's
+    Arrow batch; a hot bucket is a skew key — cap or re-band, don't
+    densify.
     """
 
     def bucket(b: int):
@@ -426,6 +445,65 @@ def embedding_near_pairs(
         ).alias("bb"),
     ).select("vec_id", "e", "bb.band_id", "bb.bucket")
 
+    def _score_bucket(ids, u, va, vb, vc):
+        # float64 gram via BLAS dgemm, EXACT for this data: every
+        # product (|e_i| <= ~5000 -> <= 2.5e7) and every partial
+        # sum (64 terms -> <= 1.6e9) is an integer far below 2^53,
+        # so dgemm's accumulation order cannot round — and ~14x
+        # faster than numpy's BLAS-less integer matmul (measured
+        # 0.39s -> 0.03s per 3000-vector bucket). Row-blocked
+        # (~2^24 doubles per dgemm) so a hot bucket — e.g. the
+        # coarse 16x4 config's ~13k-row buckets at 100x — costs
+        # more passes, never a multi-GB allocation; block results
+        # are bit-identical to the full gram.
+        import numpy as np
+
+        n = len(ids)
+        if n < 2:
+            return
+        nrm = np.sqrt((u * u).sum(axis=1))
+        blk = max(128, (1 << 24) // n)
+        for s in range(0, n, blk):
+            g = u[s : s + blk] @ u.T
+            denom = np.outer(nrm[s : s + blk], nrm)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(denom == 0, 0.0, g / denom)
+            bi, bj = np.nonzero(cos >= threshold)
+            gi = bi + s
+            keep = gi < bj  # upper triangle: vec_a < vec_b
+            va.append(ids[gi[keep]])
+            vb.append(ids[bj[keep]])
+            vc.append(cos[bi[keep], bj[keep]])
+
+    if bands * (1 << bits) <= _STREAM_GROUP_MIN:
+        # coarse config: few, large groups — per-group Arrow overhead
+        # is negligible and the stream form's sort+carry loses (see
+        # docstring); plain grouped apply
+        def score_group(pdf):
+            import numpy as np
+            import pandas as pd
+
+            pdf = pdf.sort_values("vec_id")
+            ids = pdf["vec_id"].to_numpy()
+            va, vb, vc = [], [], []
+            if len(ids) >= 2:
+                u = np.stack(pdf["e"].to_numpy()).astype("float64")
+                _score_bucket(ids, u, va, vb, vc)
+            return pd.DataFrame(
+                {
+                    "vec_a": np.concatenate(va) if va else np.array([], "int64"),
+                    "vec_b": np.concatenate(vb) if vb else np.array([], "int64"),
+                    "cos": np.concatenate(vc) if vc else np.array([], "float64"),
+                }
+            )
+
+        pairs = banded.groupBy("band_id", "bucket").applyInPandas(
+            score_group, "vec_a long, vec_b long, cos double"
+        )
+        return pairs.distinct().select(
+            "vec_a", "vec_b", F.round(F.col("cos"), 4).alias("cos")
+        )
+
     def score_stream(batches):
         import numpy as np
         import pandas as pd
@@ -434,33 +512,7 @@ def embedding_near_pairs(
             {"vec_a": [], "vec_b": [], "cos": []}
         ).astype({"vec_a": "int64", "vec_b": "int64", "cos": "float64"})
 
-        def score_bucket(ids, u, va, vb, vc):
-            # float64 gram via BLAS dgemm, EXACT for this data: every
-            # product (|e_i| <= ~5000 -> <= 2.5e7) and every partial
-            # sum (64 terms -> <= 1.6e9) is an integer far below 2^53,
-            # so dgemm's accumulation order cannot round — and ~14x
-            # faster than numpy's BLAS-less integer matmul (measured
-            # 0.39s -> 0.03s per 3000-vector bucket). Row-blocked
-            # (~2^24 doubles per dgemm) so a hot bucket — e.g. the
-            # coarse 16x4 config's ~13k-row buckets at 100x — costs
-            # more passes, never a multi-GB allocation; block results
-            # are bit-identical to the full gram.
-            n = len(ids)
-            if n < 2:
-                return
-            nrm = np.sqrt((u * u).sum(axis=1))
-            blk = max(128, (1 << 24) // n)
-            for s in range(0, n, blk):
-                g = u[s : s + blk] @ u.T
-                denom = np.outer(nrm[s : s + blk], nrm)
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    cos = np.where(denom == 0, 0.0, g / denom)
-                bi, bj = np.nonzero(cos >= threshold)
-                gi = bi + s
-                keep = gi < bj  # upper triangle: vec_a < vec_b
-                va.append(ids[gi[keep]])
-                vb.append(ids[bj[keep]])
-                vc.append(cos[bi[keep], bj[keep]])
+        score_bucket = _score_bucket
 
         carry = None
         for pdf in batches:

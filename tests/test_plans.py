@@ -83,19 +83,27 @@ def test_q19_disjunction_splits_into_pushable_conjuncts(spark):
 
 
 def test_embedding_dedup_scores_in_buckets_not_pair_join(spark):
-    """The near-pair rescorer must be the per-bucket gram path: one
-    hash exchange on (band_id, bucket) + an intra-partition sort
-    feeding a single streaming MapInPandas (r13: replaced per-group
-    FlatMapGroupsInPandas — Spark's per-group Arrow plumbing measured
-    2.4s of pure overhead on the fine band config at sf0.1) — no
-    per-pair join materializing candidates through a shuffle."""
-    plan = explain_str(
+    """The near-pair rescorer must be the per-bucket gram path — one
+    hash exchange on (band_id, bucket), never a per-pair join
+    materializing candidates through a shuffle. r13 picks the Python
+    boundary by the static group count: coarse configs (16x4 -> 256
+    groups, the registered cosine scan) keep grouped apply
+    (FlatMapGroupsInPandas); fine configs (8x8 -> 2048 groups, the
+    planted production config) use the stream-grouped MapInPandas
+    whose per-group overhead A/B measured 2.4s of pure Arrow plumbing
+    at sf0.1."""
+    coarse = explain_str(
         REGISTRY["dedup_embedding_cosine"].run(spark, SF_DIR), "simple"
     )
-    assert "MapInPandas" in plan, plan
-    assert "hashpartitioning(band_id" in plan, plan
-    assert "SortMergeJoin" not in plan, plan
-    assert "BroadcastHashJoin" not in plan, plan
+    assert "FlatMapGroupsInPandas" in coarse, coarse
+    fine = explain_str(
+        REGISTRY["dedup_embedding_planted"].run(spark, SF_DIR), "simple"
+    )
+    assert "MapInPandas" in fine, fine
+    assert "hashpartitioning(band_id" in fine, fine
+    for plan in (coarse, fine):
+        assert "SortMergeJoin" not in plan, plan
+        assert "BroadcastHashJoin" not in plan, plan
 
 
 def test_q2_decorrelated_min_broadcasts_dims(spark):
