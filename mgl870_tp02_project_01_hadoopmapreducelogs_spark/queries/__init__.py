@@ -145,7 +145,9 @@ from . import (  # noqa: E402,F401
 _PRIORITY = [
     # --- round-14 window ---
     # (a) code touched by r14 optimizations (driver re-gates the plans)
-    # (appended as the round progresses)
+    "dedup_ngram_jaccard", "dedup_jaccard_budget_recall",
+    "dedup_connected_components", "dedup_lsh_recall",
+    "graph_pagerank_docs",
     # (b) the r9-stamped cohort (five rounds old)
     "corpus_mixture_solver", "corpus_shuffle_deterministic",
     "cube_status_priority", "dedup_anchor_containment",
@@ -170,10 +172,7 @@ _PRIORITY = [
     "window_moving_stats",
     # (c) oldest r10-stamped entries fill the remaining budget
     "agg_ordered_collect", "dedup_minhash_groups",
-    "dedup_suffix_repeats", "dedup_url_canonical_bucketed",
-    "dq_referential_audit", "groupingsets_mixed",
-    "join_full_outer_reconcile", "join_fuzzy_match",
-    "layout_zorder_pruning",
+    "dedup_suffix_repeats", "dq_referential_audit",
 ]
 
 

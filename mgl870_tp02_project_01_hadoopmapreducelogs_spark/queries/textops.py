@@ -511,30 +511,36 @@ def _jaccard_budgeted_pairs(sh: DataFrame) -> DataFrame:
     # sample — emitted Jaccard values are exact. Array intersection is
     # codegen'd per candidate row: no per-shingle row explosion (the
     # first-cut explode-join fanned each pair out by |shingles(doc)|
-    # and measured 7x slower at sf0.1)
+    # and measured 7x slower at sf0.1). r14 OPTIMIZATION (guide §2.4 —
+    # one exchange where two ran): joining cand0 against `da` once per
+    # pair SIDE planned the corpus-scale per-doc aggregate TWICE (two
+    # ObjectHashAggregate+Exchange subtrees, the second side shuffled or
+    # broadcast again — plans/r14/dedup_ngram_jaccard_before.txt nodes
+    # 33-49). Melting each pair into two doc-keyed rows joins ONE `da`
+    # (the join key equals the aggregate's own partitioning, so the
+    # aggregate's exchange is reused), then regroups by the pair — the
+    # regroup moves 2 rows per candidate pair, and the candidate set is
+    # budget-bounded. Exactly one row per side exists in each group, so
+    # the first(when(side,..), ignorenulls) picks are deterministic.
+    # Measured sf0.1 quiet A/B: 3.18 -> 3.00s; results hash-identical.
+    cand_long = cand0.select(
+        "doc_a",
+        "doc_b",
+        F.explode(F.array(F.col("doc_a"), F.col("doc_b"))).alias("doc_id"),
+    )
+    side_a = F.col("doc_id") == F.col("doc_a")
     pairs = (
-        cand0.join(
-            da.select(
-                F.col("doc_id").alias("doc_a"),
-                F.col("hs").alias("ha"),
-                F.col("n").alias("na"),
-            ),
-            "doc_a",
-        )
-        .join(
-            da.select(
-                F.col("doc_id").alias("doc_b"),
-                F.col("hs").alias("hb"),
-                F.col("n").alias("nb"),
-            ),
-            "doc_b",
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            F.size(F.array_intersect("ha", "hb")).alias("shared"),
-            "na",
-            "nb",
+        cand_long.join(da, "doc_id")
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.size(
+                F.array_intersect(
+                    F.first(F.when(side_a, F.col("hs")), ignorenulls=True),
+                    F.first(F.when(~side_a, F.col("hs")), ignorenulls=True),
+                )
+            ).alias("shared"),
+            F.max(F.when(side_a, F.col("n"))).alias("na"),
+            F.max(F.when(~side_a, F.col("n"))).alias("nb"),
         )
     )
     jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")).cast("double")

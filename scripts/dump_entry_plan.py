@@ -1,5 +1,5 @@
 """Dump ``explain("formatted")`` for named registry entries into
-plans/r13/<entry>_<tag>.txt — the before/after plan evidence for the
+$SPARK_GRAFT_PLANS_DIR/<entry>_<tag>.txt (default plans/r14) — the before/after plan evidence for the
 optimization rounds.
 
 Usage: python scripts/dump_entry_plan.py <tag> <sf_dir> <entry> [...]
@@ -29,10 +29,11 @@ def main() -> None:
 
     spark = get_spark(app_name="dump-entry-plan")
     quiet_bounded_window_warns(spark)
-    os.makedirs("plans/r13", exist_ok=True)
+    outdir = os.environ.get("SPARK_GRAFT_PLANS_DIR", "plans/r14")
+    os.makedirs(outdir, exist_ok=True)
     for name in names:
         df = REGISTRY[name].run(spark, sf_dir)
-        out = f"plans/r13/{name}_{tag}.txt"
+        out = f"{outdir}/{name}_{tag}.txt"
         with open(out, "w") as f:
             f.write(f"-- {name} [{tag}] over {sf_dir}\n")
             f.write(explain_str(df, "formatted"))
